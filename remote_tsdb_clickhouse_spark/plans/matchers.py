@@ -1,0 +1,176 @@
+"""Prometheus label-matcher algebra compiled to Catalyst ``Column`` predicates.
+
+Reproduces the matcher->SQL translation of the reference
+(``read.go:103-139``, operators F1-F12 in SURVEY.md §2.2) with Spark as the
+execution engine.  Each matcher becomes one boolean ``Column``; the query
+builder ANDs them together (the reference joins clause strings with
+``" AND "``, ``sqlbuilder.go:20``).
+
+Semantics preserved exactly:
+
+- ``__name__`` matchers hit the ``metric_name`` column; other matchers probe
+  the ``labels`` array for the joined ``"name=value"`` string.
+- Regex matchers are **fully anchored** by concatenating ``^`` + pattern +
+  ``$`` (the reference anchors via ``concat('^', v, '$')`` to "match
+  prometheus behavior", ``read.go:104``).  For label matchers the *entire
+  joined string* ``name=value`` is the pattern body, so the effective regex
+  is ``^name=<value-re>$`` — value regexes interact with the label name
+  exactly as in the reference.
+- Missing-label semantics: ``k!="v"`` / ``k!~"v"`` match series *without*
+  label ``k`` (absence makes ``array_contains``/``exists`` false, and the
+  negation true) — F9/F11.
+- The configured ignore-label (default ``remote=clickhouse``) is silently
+  dropped, but **only for the EQ branch** (``read.go:123-125``); NEQ/RE/NRE
+  on that label still apply.
+
+Regex dialect note: Prometheus and ClickHouse ``match()`` use RE2; Spark
+``rlike`` uses Java regex.  Java accepts a superset (backreferences,
+lookaround) that RE2 would reject, so we proactively reject those constructs
+to stay within the common dialect; see :func:`check_re2_portable`.
+
+All predicates are pure Catalyst expressions (no UDFs): name/time predicates
+push down to the Parquet scan, and array predicates run inside whole-stage
+codegen before the aggregation shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from enum import IntEnum
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from remote_tsdb_clickhouse_spark.model import DEFAULT_READ_IGNORE_LABEL, NAME_LABEL
+
+
+class MatcherType(IntEnum):
+    """Wire enum values of ``prompb.LabelMatcher.Type``."""
+
+    EQ = 0
+    NEQ = 1
+    RE = 2
+    NRE = 3
+
+
+@dataclass(frozen=True)
+class LabelMatcher:
+    """One Prometheus label matcher, e.g. ``job=~"om.*"``."""
+
+    type: MatcherType
+    name: str
+    value: str
+
+
+class UnsupportedMatcherError(ValueError):
+    """Raised for unknown matcher types (reference ``read.go:116-117``)."""
+
+
+#: Java-regex constructs RE2 (the Prometheus/ClickHouse dialect) rejects.
+_NON_RE2_CONSTRUCTS = re.compile(
+    r"""
+    \\[1-9]            # backreferences \1..\9
+  | \\k<               # named backreferences
+  | \(\?=              # lookahead
+  | \(\?!              # negative lookahead
+  | \(\?<[=!]          # lookbehind
+    """,
+    re.VERBOSE,
+)
+
+
+def check_re2_portable(pattern: str) -> str:
+    """Reject regex constructs outside the RE2 dialect.
+
+    Prometheus would reject these patterns at parse time; accepting them here
+    (Java regex supports them) would silently diverge from reference
+    semantics, so we fail fast instead.
+    """
+    if _NON_RE2_CONSTRUCTS.search(pattern):
+        raise ValueError(
+            f"regex {pattern!r} uses constructs outside the RE2 dialect "
+            "(backreference/lookaround); Prometheus-compatible matchers "
+            "cannot contain them"
+        )
+    return pattern
+
+
+def _anchored(pattern: str) -> str:
+    # '^' + pattern + '$' — concat-anchoring exactly as read.go:104.
+    return "^" + check_re2_portable(pattern) + "$"
+
+
+def joined_label(name: str, value: str) -> str:
+    """The storage encoding of one label: ``name=value`` (``write.go:43``)."""
+    return f"{name}={value}"
+
+
+def compile_matcher(
+    m: LabelMatcher,
+    *,
+    ignore_label: str | None = DEFAULT_READ_IGNORE_LABEL,
+    metric_col: str = "metric_name",
+    labels_col: str = "labels",
+) -> Column | None:
+    """Compile one matcher to a boolean ``Column``.
+
+    Returns ``None`` when the matcher is the configured ignore-label EQ
+    matcher (F8): the caller emits no predicate for it.
+    """
+    if m.name == NAME_LABEL:
+        col = F.col(metric_col)
+        if m.type == MatcherType.EQ:
+            return col == F.lit(m.value)  # F3
+        if m.type == MatcherType.NEQ:
+            return col != F.lit(m.value)  # F4 — "Don't do this." (full scan)
+        if m.type == MatcherType.RE:
+            return col.rlike(_anchored(m.value))  # F5
+        if m.type == MatcherType.NRE:
+            return ~col.rlike(_anchored(m.value))  # F6
+        raise UnsupportedMatcherError(f"unsupported LabelMatcher type {m.type!r}")
+
+    label = joined_label(m.name, m.value)
+    arr = F.col(labels_col)
+    if m.type == MatcherType.EQ:
+        if ignore_label is not None and label == ignore_label:
+            return None  # F8: routing label, never stored — emit no clause
+        return F.array_contains(arr, label)  # F7: has(labels, 'k=v')
+    if m.type == MatcherType.NEQ:
+        return ~F.array_contains(arr, label)  # F9: matches series missing k
+    if m.type == MatcherType.RE:
+        pat = _anchored(label)
+        return F.exists(arr, lambda x: x.rlike(pat))  # F10: arrayExists+match
+    if m.type == MatcherType.NRE:
+        pat = _anchored(label)
+        return ~F.exists(arr, lambda x: x.rlike(pat))  # F11: vacuous-∀ on missing
+    raise UnsupportedMatcherError(f"unsupported LabelMatcher type {m.type!r}")
+
+
+def compile_matchers(
+    matchers: list[LabelMatcher],
+    *,
+    ignore_label: str | None = DEFAULT_READ_IGNORE_LABEL,
+    metric_col: str = "metric_name",
+    labels_col: str = "labels",
+) -> Column:
+    """AND all matcher predicates together (``sqlbuilder.go:20``).
+
+    An empty (or fully-ignored) matcher list compiles to ``TRUE``.
+    """
+    conds = [
+        c
+        for m in matchers
+        if (
+            c := compile_matcher(
+                m, ignore_label=ignore_label, metric_col=metric_col, labels_col=labels_col
+            )
+        )
+        is not None
+    ]
+    if not conds:
+        return F.lit(True)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

@@ -1,0 +1,158 @@
+"""The remote-read query path as a declarative Spark plan.
+
+Reproduces the reference's single read query (``read.go:15-101``):
+
+    SELECT metric_name, arraySort(labels) AS slb, <timeExpr> AS t,
+           max(value) AS max_0
+    FROM <table> WHERE <time bounds AND matchers>
+    GROUP BY metric_name, slb, t ORDER BY metric_name, slb, t
+
+plus the imperative adjacent-row series regrouping (``read.go:62-93``),
+re-expressed Spark-first:
+
+- time bounds + matchers -> Catalyst filter (pushdown-friendly; F1-F12);
+- ``arraySort(labels)`` -> ``array_sort`` (P2);
+- hint-driven downsampling -> floor-aligned epoch bucket (A2);
+- ``GROUP BY ... max(value)`` -> ``groupBy().agg(max)`` (A1);
+- the ORDER BY + adjacent-row regrouping loop -> a second aggregation
+  ``array_sort(collect_list(struct(t, v)))`` per series (O1/O2).  This
+  removes the global sort entirely: at 100 TB a total ORDER BY is a full
+  range-shuffle; per-series ``collect_list`` is a hash shuffle on the series
+  key only, and the per-series sort is local and tiny.  AQE coalesces the
+  post-shuffle partitions.
+
+Scale notes: both aggregations hash-partition on (metric_name, labels).
+Spark plans them as a single exchange (the second groupBy reuses the
+first's partitioning), with partial (map-side) max before the shuffle.
+Series keys are naturally high-cardinality, so skew is bounded by the
+per-series sample count — the downsampling bucket caps that.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from remote_tsdb_clickhouse_spark.model import DEFAULT_READ_IGNORE_LABEL
+from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, compile_matchers
+
+#: Only downsample when the step hint exceeds this (``read.go:13``).
+MIN_STEP_HINT_MS = 2000
+
+
+@dataclass(frozen=True)
+class ReadHints:
+    """Prometheus ``prompb.ReadHints`` subset the reference consumes."""
+
+    step_ms: int = 0
+    range_ms: int = 0
+
+
+@dataclass(frozen=True)
+class ReadQuery:
+    """One ``prompb.Query``: time range + matchers + hints."""
+
+    start_ms: int
+    end_ms: int = 0  # 0 => no upper bound (read.go:26-28)
+    matchers: tuple[LabelMatcher, ...] = ()
+    hints: ReadHints = field(default_factory=ReadHints)
+
+
+def downsample_interval_seconds(hints: ReadHints, *, ignore_hints: bool = False) -> int | None:
+    """The exact downsampling policy of ``read.go:38-52``.
+
+    Activates only when ``step_ms > 2000`` and hints are honored.  Interval =
+    ``min(step, range if 0 < range < step)``, halved ("hints seem optimistic,
+    return more datapoints than asked for"), converted ms -> s by integer
+    division, floored at 1 s.  Returns ``None`` when downsampling is off.
+    """
+    if ignore_hints or hints.step_ms <= MIN_STEP_HINT_MS:
+        return None
+    interval_ms = hints.step_ms
+    if 0 < hints.range_ms < hints.step_ms:
+        interval_ms = hints.range_ms
+    interval_s = (interval_ms // 2) // 1000
+    return max(interval_s, 1)
+
+
+def bucket_time(ts_col, interval_s: int):
+    """``toStartOfInterval(ts, INTERVAL n second)``: floor-align to epoch.
+
+    Expressed as pure Catalyst arithmetic on the internal epoch value —
+    stays inside whole-stage codegen, no UDF, no window-slide machinery.
+    """
+    epoch = ts_col.cast("long")
+    return F.timestamp_seconds((epoch - epoch % interval_s))
+
+
+def time_expr(q: ReadQuery, *, ignore_hints: bool = False):
+    """The ``t`` projection: raw second-truncated ts, or the A2 bucket."""
+    ts = F.col("ts")
+    interval_s = downsample_interval_seconds(q.hints, ignore_hints=ignore_hints)
+    if interval_s is None:
+        return ts
+    return bucket_time(ts, interval_s)
+
+
+def read_filter(q: ReadQuery, *, ignore_label: str | None = DEFAULT_READ_IGNORE_LABEL):
+    """WHERE clause: F1/F2 time bounds AND the compiled matcher algebra.
+
+    Time bounds use integer second division of the ms bounds, matching the
+    reference's ``StartTimestampMs/1000`` truncation (``read.go:24-28``); the
+    upper bound is inclusive and only applied when ``end_ms > 0``.
+    """
+    cond = F.col("ts") >= F.timestamp_seconds(F.lit(q.start_ms // 1000))
+    if q.end_ms > 0:
+        cond = cond & (F.col("ts") <= F.timestamp_seconds(F.lit(q.end_ms // 1000)))
+    return cond & compile_matchers(list(q.matchers), ignore_label=ignore_label)
+
+
+def read_query_grouped(
+    samples: DataFrame,
+    q: ReadQuery,
+    *,
+    ignore_label: str | None = DEFAULT_READ_IGNORE_LABEL,
+    ignore_hints: bool = False,
+) -> DataFrame:
+    """The flat grouped result: one row per (series, t) with ``max_0``.
+
+    Columns: ``metric_name STRING, slb ARRAY<STRING>, t TIMESTAMP,
+    max_0 DOUBLE`` — the reference query's exact projection (P1).
+    """
+    return (
+        samples.where(read_filter(q, ignore_label=ignore_label))
+        .select(
+            "metric_name",
+            F.array_sort("labels").alias("slb"),
+            time_expr(q, ignore_hints=ignore_hints).alias("t"),
+            "value",
+        )
+        .groupBy("metric_name", "slb", "t")
+        .agg(F.max("value").alias("max_0"))
+    )
+
+
+def read_query_df(
+    samples: DataFrame,
+    q: ReadQuery,
+    *,
+    ignore_label: str | None = DEFAULT_READ_IGNORE_LABEL,
+    ignore_hints: bool = False,
+) -> DataFrame:
+    """Full read path: grouped max + declarative series assembly (O2).
+
+    Output: one row per series —
+    ``metric_name STRING, slb ARRAY<STRING>,
+    samples ARRAY<STRUCT<t TIMESTAMP, v DOUBLE>>`` with samples
+    time-ascending (array_sort on the struct sorts by first field), exactly
+    the ordering the remote-read spec requires and the reference restores
+    via ORDER BY + adjacent-row regrouping.
+    """
+    grouped = read_query_grouped(samples, q, ignore_label=ignore_label, ignore_hints=ignore_hints)
+    return grouped.groupBy("metric_name", "slb").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("max_0").alias("v")))).alias(
+            "samples"
+        )
+    )

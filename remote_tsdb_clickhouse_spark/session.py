@@ -1,0 +1,43 @@
+"""SparkSession construction with scale-appropriate defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def ensure_query_confs(spark: SparkSession) -> SparkSession:
+    """Runtime confs every engine query assumes; safe on a live session.
+
+    UTC session time zone makes epoch math deterministic regardless of host
+    zone (and matches DuckDB's naive-timestamp interpretation in the oracle
+    comparisons); AQE re-plans shuffles at runtime (skew joins, coalesced
+    partitions) — essential at 100 TB, harmless locally.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    return spark
+
+
+def get_spark(app_name: str = "remote-tsdb-clickhouse-spark") -> SparkSession:
+    """Local-mode session mirroring the target cluster's per-executor shape.
+
+    ``local[N]`` with N from ``SPARK_GRAFT_CPUS`` (default all cores).  On a
+    real cluster these confs move to spark-submit; the engine code itself
+    never assumes local mode.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return ensure_query_confs(builder.getOrCreate())

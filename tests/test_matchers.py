@@ -1,0 +1,119 @@
+"""Matcher algebra F1-F12 (SURVEY §2.2) against adversarial labelsets."""
+
+from __future__ import annotations
+
+import pytest
+
+from remote_tsdb_clickhouse_spark.plans.matchers import (
+    LabelMatcher,
+    MatcherType,
+    UnsupportedMatcherError,
+    check_re2_portable,
+    compile_matcher,
+    compile_matchers,
+)
+
+EQ, NEQ, RE, NRE = MatcherType.EQ, MatcherType.NEQ, MatcherType.RE, MatcherType.NRE
+
+
+def names(samples_df, *matchers, ignore_label="remote=clickhouse"):
+    cond = compile_matchers(list(matchers), ignore_label=ignore_label)
+    return sorted(
+        r["metric_name"] for r in samples_df.where(cond).select("metric_name").distinct().collect()
+    )
+
+
+def test_name_eq(samples_df):
+    assert names(samples_df, LabelMatcher(EQ, "__name__", "go_goroutines")) == ["go_goroutines"]
+
+
+def test_name_neq(samples_df):
+    got = names(samples_df, LabelMatcher(NEQ, "__name__", "go_goroutines"))
+    assert "go_goroutines" not in got and "up" in got
+
+
+def test_name_regex_anchored(samples_df):
+    # 'go_.*' matches both go_ metrics; anchoring means 'go_go' alone must NOT
+    # match go_goroutines ('^go_go$')
+    assert names(samples_df, LabelMatcher(RE, "__name__", "go_.*")) == [
+        "go_gc_duration",
+        "go_goroutines",
+    ]
+    assert names(samples_df, LabelMatcher(RE, "__name__", "go_go")) == []
+
+
+def test_name_nre(samples_df):
+    got = names(samples_df, LabelMatcher(NRE, "__name__", "go_.*"))
+    assert got == ["http_requests_total", "up"]
+
+
+def test_label_eq_has(samples_df):
+    got = names(samples_df, LabelMatcher(EQ, "job", "omada"))
+    assert got == ["go_goroutines", "up"]
+
+
+def test_label_eq_value_containing_equals(samples_df):
+    # label value contains '=' — joined-string probe still exact
+    got = names(samples_df, LabelMatcher(EQ, "path", "/api/v1?x=1"))
+    assert got == ["go_gc_duration"]
+
+
+def test_label_neq_matches_missing_label(samples_df):
+    # F9: series WITHOUT label job also match job!="omada"
+    got = names(samples_df, LabelMatcher(NEQ, "job", "omada"))
+    assert "http_requests_total" in got  # one series has no job label at all
+    assert "go_goroutines" in got  # job=node series survives
+    assert "up" not in got
+
+
+def test_label_regex(samples_df):
+    got = names(samples_df, LabelMatcher(RE, "instance", "10\\.0\\.0\\..*"))
+    assert got == ["go_goroutines", "up"]
+    # unanchored fragment must not match ('^instance=0\.0\.0.*$' fails)
+    assert names(samples_df, LabelMatcher(RE, "instance", "0\\.0\\.0.*")) == []
+
+
+def test_label_nre_vacuous_on_missing(samples_df):
+    # F11: series lacking 'job' matches job!~"om.*"
+    got = names(samples_df, LabelMatcher(NRE, "job", "om.*"))
+    assert "http_requests_total" in got
+    assert "up" not in got
+
+
+def test_regex_metachars_in_stored_value(samples_df):
+    # stored label re=a.b*c — EQ probe is literal, so exact string only
+    assert names(samples_df, LabelMatcher(EQ, "re", "a.b*c")) == ["http_requests_total"]
+    assert names(samples_df, LabelMatcher(EQ, "re", "axbc")) == []
+
+
+def test_ignore_label_dropped_only_for_eq(samples_df):
+    # F8: EQ on remote=clickhouse is silently skipped -> no filtering
+    all_names = names(samples_df)
+    assert names(samples_df, LabelMatcher(EQ, "remote", "clickhouse")) == all_names
+    # but NEQ on the same label is still applied: no series stores it -> all match
+    assert names(samples_df, LabelMatcher(NEQ, "remote", "clickhouse")) == all_names
+    # and RE is applied too (matches nothing stored)
+    assert names(samples_df, LabelMatcher(RE, "remote", "clickhouse")) == []
+
+
+def test_matchers_are_anded(samples_df):
+    got = names(
+        samples_df,
+        LabelMatcher(EQ, "__name__", "go_goroutines"),
+        LabelMatcher(EQ, "job", "omada"),
+    )
+    assert got == ["go_goroutines"]
+
+
+def test_unsupported_type_raises():
+    m = LabelMatcher(99, "job", "x")  # type: ignore[arg-type]
+    with pytest.raises(UnsupportedMatcherError):
+        compile_matcher(m)
+
+
+def test_re2_portability_guard():
+    with pytest.raises(ValueError):
+        check_re2_portable(r"(a)\1")
+    with pytest.raises(ValueError):
+        check_re2_portable(r"foo(?=bar)")
+    assert check_re2_portable(r"go_.*|up") == r"go_.*|up"
