@@ -1,38 +1,856 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
+training-data pipeline extensions) as a (spark, sf_dir) -> DataFrame
+callable; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL for each.
+Conventions keeping the hash comparison stable across engines:
+
+- timestamps are emitted as BIGINT epoch seconds (``floor``), never raw
+  timestamps (Spark micro vs DuckDB nano precision);
+- label arrays are emitted joined with ',' (array serialization parity);
+- double sums go through per-row DECIMAL(30,6) casts (exact, order-free)
+  and per-row arithmetic is emitted raw — never ``round()``, whose half-way
+  behavior differs between Spark (shortest-repr HALF_UP) and DuckDB (exact
+  binary);
+- Spark ``size``/``count``/``row_number`` outputs are cast to long, DuckDB
+  ``len``/``sum(int)`` casts to BIGINT (type parity);
+- every query forces the UTC session time zone (epoch math determinism).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from remote_tsdb_clickhouse_spark.functions import textfuncs as tx
+from remote_tsdb_clickhouse_spark.functions.tsfuncs import label_project, per_second_rate
+from remote_tsdb_clickhouse_spark.operators import dedup, similarity
+from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
+from remote_tsdb_clickhouse_spark.plans.read_plan import (
+    ReadHints,
+    ReadQuery,
+    read_query_df,
+    read_query_grouped,
+)
+from remote_tsdb_clickhouse_spark.session import ensure_query_confs
+from remote_tsdb_clickhouse_spark.sources.events import SAMPLES_ORACLE_CTE, events_to_samples
+
+EQ, NEQ, RE, NRE = MatcherType.EQ, MatcherType.NEQ, MatcherType.RE, MatcherType.NRE
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# epoch-ms bounds used by the TSDB queries (events span 2024-01-01..01-30 UTC)
+T0 = 1704067200000  # 2024-01-01
+T5 = 1704412800000  # 2024-01-05
+T20 = 1705708800000  # 2024-01-20
+
+
+def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    return events_to_samples(spark, sf_dir)
+
+
+def _lbl(col: str = "slb") -> F.Column:
+    return F.array_join(col, ",").alias("labels_str")
+
+
+def _epoch(col: str = "t") -> F.Column:
+    return F.col(col).cast("long").alias(col)
+
+
+def _dsum(col: F.Column) -> F.Column:
+    """Order-independent exact sum of a double column: per-row DECIMAL(30,6)
+    cast -> exact decimal sum -> double.  Bit-identical to the DuckDB oracle
+    (float summation order is engine/partitioning-dependent; decimal is not).
+    """
+    return F.sum(col.cast("decimal(30,6)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# TSDB core (SURVEY §2.1-2.6 over the events-derived samples table)
+# ---------------------------------------------------------------------------
+
+
+def _flat_grouped(df: DataFrame) -> DataFrame:
+    """(metric_name, labels_str, t epoch-s, max_0) — the P1 projection made
+    hash-comparable."""
+    return df.select("metric_name", _lbl(), _epoch(), "max_0")
+
+
+def q_tsdb_read_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = ReadQuery(start_ms=T5, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    return _flat_grouped(read_query_grouped(_samples(spark, sf_dir), q))
+
+
+def q_tsdb_read_name_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = ReadQuery(
+        start_ms=T0,
+        end_ms=T20,
+        matchers=(
+            LabelMatcher(RE, "__name__", "(click|view)"),
+            LabelMatcher(NEQ, "tier", "gold"),
+        ),
+    )
+    return _flat_grouped(read_query_grouped(_samples(spark, sf_dir), q))
+
+
+def q_tsdb_read_nre(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = ReadQuery(
+        start_ms=T5,
+        end_ms=T20,
+        matchers=(
+            LabelMatcher(NRE, "__name__", "(click|view|error)"),
+            LabelMatcher(NEQ, "__name__", "signup"),
+        ),
+    )
+    return _flat_grouped(read_query_grouped(_samples(spark, sf_dir), q))
+
+
+def q_tsdb_label_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = ReadQuery(
+        start_ms=T0,
+        end_ms=T20,
+        matchers=(
+            LabelMatcher(EQ, "__name__", "error"),
+            LabelMatcher(RE, "user", "1.*"),
+            LabelMatcher(NRE, "k", "6.*"),
+        ),
+    )
+    return _flat_grouped(read_query_grouped(_samples(spark, sf_dir), q))
+
+
+def q_tsdb_downsample_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = ReadQuery(
+        start_ms=T5,
+        end_ms=T20,
+        matchers=(LabelMatcher(EQ, "__name__", "view"),),
+        hints=ReadHints(step_ms=60000),
+    )
+    return _flat_grouped(read_query_grouped(_samples(spark, sf_dir), q))
+
+
+def q_tsdb_downsample_range_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # range_ms < step_ms wins: min(60000, 10000)/2/1000 = 5 s buckets; no matchers
+    q = ReadQuery(start_ms=T5, end_ms=T20, hints=ReadHints(step_ms=60000, range_ms=10000))
+    return _flat_grouped(read_query_grouped(_samples(spark, sf_dir), q))
+
+
+def q_tsdb_series_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "signup"),))
+    assembled = read_query_df(_samples(spark, sf_dir), q)
+    first_s = F.element_at("samples", 1)
+    last_s = F.element_at("samples", -1)
+    return assembled.select(
+        "metric_name",
+        _lbl(),
+        F.size("samples").cast("long").alias("n_samples"),
+        first_s["t"].cast("long").alias("first_t"),
+        last_s["t"].cast("long").alias("last_t"),
+        first_s["v"].alias("first_v"),
+        last_s["v"].alias("last_v"),
+        F.aggregate(
+            "samples",
+            F.lit(0).cast("decimal(38,6)"),
+            lambda acc, s: acc + s["v"].cast("decimal(30,6)"),
+        ).cast("double").alias("sum_v"),
+    )
+
+
+def q_tsdb_ignore_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F8: the EQ matcher on remote=clickhouse is silently dropped
+    q = ReadQuery(
+        start_ms=T5,
+        end_ms=T20,
+        matchers=(
+            LabelMatcher(EQ, "remote", "clickhouse"),
+            LabelMatcher(EQ, "__name__", "error"),
+            LabelMatcher(EQ, "k", "42"),
+        ),
+    )
+    return _flat_grouped(read_query_grouped(_samples(spark, sf_dir), q))
+
+
+def q_tsdb_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    rated = per_second_rate(grouped)
+    return rated.select("metric_name", _lbl(), _epoch(), "rate")
+
+
+def q_tsdb_label_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X2: project the user=* label out of the labelset, value*8 (bits example)
+    s = _samples(spark, sf_dir)
+    return (
+        s.where(
+            (F.col("metric_name") == "click")
+            & (F.col("ts") >= F.timestamp_seconds(F.lit(T5 // 1000)))
+            & (F.col("ts") <= F.timestamp_seconds(F.lit(T20 // 1000)))
+        )
+        .select(
+            "metric_name",
+            F.array_join(label_project(F.col("labels"), "user"), ",").alias("labels_user_str"),
+            F.col("ts").cast("long").alias("t"),
+            (F.col("value") * 8).alias("bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic join/aggregate/window queries (TPC-H-shaped; extended capability)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    # Sums go through DECIMAL(30,6): the per-row cast is engine-agnostic and
+    # the decimal sum is exact, so the final double is bit-identical in the
+    # oracle regardless of aggregation order (float sums are not).
+    dsum = _dsum
+    cnt = F.count("*")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / cnt).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / cnt).alias("avg_price"),
+            (dsum(F.col("l_discount")) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    joined = (
+        l.where(F.col("l_shipdate") > cutoff)
+        .join(o.where(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            # parquet dates arrive as TIMESTAMP_NTZ; route via LTZ (session
+            # TZ is UTC) to get the same epoch DuckDB computes
+            F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("o_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    joined = (
+        rd("lineitem")
+        .join(
+            rd("orders").where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(rd("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            rd("customer"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(rd("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(rd("region").where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+def q_top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import Window
+
+    rev = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(_dsum(F.col("o_totalprice")).alias("total"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("total").desc(), F.col("c_custkey"))
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 5)
+        .select("c_mktsegment", "c_custkey", "total", "rnk")
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    from pyspark.sql import Window
+
+    from remote_tsdb_clickhouse_spark.sources.events import read_events
+
+    e = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    sess = e.withColumn(
+        "sess",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "sess").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.col("ts").cast("long")).alias("sess_start"),
+        F.max(F.col("ts").cast("long")).alias("sess_end"),
+        _dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_query_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.45)
+
+
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    out = similarity.bucketed_topk(emb, emb.where(F.col("vec_id") < 20), k=5, n_bits=4)
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", tx.langid_expr(F.col("text")).alias("pred_lang"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = tx.tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    sw_ratio = tx.stopword_count(toks, "en") / F.greatest(n_tokens, F.lit(1))
+    punct = tx.punct_ratio(F.col("text"))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        sw_ratio.alias("stopword_ratio"),
+        punct.alias("punct_ratio"),
+        tx.quality_score(n_tokens, sw_ratio, punct).alias("quality"),
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(tx.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        tx.token_count_bpe_ish(F.col("text")).cast("long").alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = tx.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        tx.md5_fingerprint(toks).alias("fp_md5"),
+        tx.min_shingle_fingerprint(toks, 3).alias("fp_shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_H32 = "CAST('0x' || substring(md5({x}), 1, 8) AS BIGINT)"
+
+_TOKS_CTE = """
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), '\\s+'),
+                       x -> x != '') AS toks
+    FROM documents
+)
+"""
+
+_SH_CTE = """
+sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(generate_series(1, len(toks) - 2),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               ELSE [] END) AS shingles
+    FROM toks
+)
+"""
+
+_GROUPED = """
+grouped AS (
+    SELECT metric_name, array_to_string(labels, ',') AS labels_str, ts AS tt, max(value) AS v
+    FROM samples
+    {where}
+    GROUP BY 1, 2, 3
+)
+"""
+
+
+def _tsdb_oracle(where: str, bucket_s: int | None = None) -> str:
+    """Grouped-max oracle with optional downsampling bucket."""
+    t_expr = "CAST(floor(epoch(ts)) AS BIGINT)"
+    if bucket_s is not None and bucket_s > 1:
+        t_expr = f"({t_expr} - {t_expr} % {bucket_s})"
+    return f"""
+WITH {SAMPLES_ORACLE_CTE}
+SELECT metric_name, array_to_string(labels, ',') AS labels_str,
+       {t_expr} AS t, max(value) AS max_0
+FROM samples
+{where}
+GROUP BY 1, 2, 3
+"""
+
+
+def _minhash_oracle() -> str:
+    p = dedup.MINHASH_PRIME
+    sig_cols = ",\n           ".join(
+        f"min(({a} * hv + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(dedup.MINHASH_COEFFS)
+    )
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || '_' || ".join(
+            f"CAST(mh{b * dedup.ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(dedup.ROWS_PER_BAND)
+        )
+        + " AS sig FROM sig"
+        for b in range(dedup.BANDS)
+    )
+    return f"""
+WITH {_TOKS_CTE}, {_SH_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+h AS (SELECT doc_id, {_H32.format(x='s')} % {p} AS hv FROM ex),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+ver AS (
+    SELECT doc_a, doc_b,
+           len(list_intersect(a.shingles, b.shingles)) AS i,
+           len(a.shingles) AS la, len(b.shingles) AS lb
+    FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+FROM ver
+WHERE la + lb - i > 0 AND CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
+"""
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        f"CAST(sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{j}"
+        for j in range(32)
+    )
+    packed = " + ".join(f"CASE WHEN b{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END" for j in range(32))
+    return f"""
+WITH {_TOKS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
+h AS (SELECT doc_id, {_H32.format(x='tok')} AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sims AS (SELECT doc_id, {packed} AS simhash FROM votes)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
+
+_EMB_NORM_CTE = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+"""
+
+_LANG_FILTERS = {
+    lang: "len(list_filter(toks, x -> x IN ({}))) ".format(
+        ", ".join(f"'{w}'" for w in words)
+    )
+    for lang, words in tx.STOPWORDS.items()
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full remote-read path (matchers + downsampling + series
+    assembly) over the sf0.001 events-derived samples table."""
+    ensure_query_confs(spark)
+    samples = events_to_samples(spark, SF_SMOKE)
+    q = ReadQuery(
+        start_ms=T0,
+        end_ms=T20,
+        matchers=(
+            LabelMatcher(RE, "__name__", "(purchase|click|view)"),
+            LabelMatcher(NEQ, "tier", "gold"),
+            LabelMatcher(EQ, "remote", "clickhouse"),
+        ),
+        hints=ReadHints(step_ms=60000),
+    )
+    return read_query_df(samples, q)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tsdb_read_eq": q_tsdb_read_eq,
+        "tsdb_read_name_regex": q_tsdb_read_name_regex,
+        "tsdb_read_nre": q_tsdb_read_nre,
+        "tsdb_label_regex": q_tsdb_label_regex,
+        "tsdb_downsample_30s": q_tsdb_downsample_30s,
+        "tsdb_downsample_range_clamp": q_tsdb_downsample_range_clamp,
+        "tsdb_series_assembly": q_tsdb_series_assembly,
+        "tsdb_ignore_label": q_tsdb_ignore_label,
+        "tsdb_rate": q_tsdb_rate,
+        "tsdb_label_project": q_tsdb_label_project,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "top_customers_per_segment": q_top_customers_per_segment,
+        "events_sessionize": q_events_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_lsh": q_sim_topk_lsh,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    t5 = "TIMESTAMP '2024-01-05 00:00:00'"
+    t20 = "TIMESTAMP '2024-01-20 00:00:00'"
+    t0 = "TIMESTAMP '2024-01-01 00:00:00'"
+    return {
+        "tsdb_read_eq": _tsdb_oracle(
+            f"WHERE ts >= {t5} AND ts <= {t20} AND metric_name = 'purchase'"
+        ),
+        "tsdb_read_name_regex": _tsdb_oracle(
+            f"WHERE ts >= {t0} AND ts <= {t20} "
+            "AND regexp_matches(metric_name, '^(click|view)$') "
+            "AND NOT list_contains(labels, 'tier=gold')"
+        ),
+        "tsdb_read_nre": _tsdb_oracle(
+            f"WHERE ts >= {t5} AND ts <= {t20} "
+            "AND NOT regexp_matches(metric_name, '^(click|view|error)$') "
+            "AND metric_name != 'signup'"
+        ),
+        "tsdb_label_regex": _tsdb_oracle(
+            f"WHERE ts >= {t0} AND ts <= {t20} AND metric_name = 'error' "
+            "AND len(list_filter(labels, x -> regexp_matches(x, '^user=1.*$'))) > 0 "
+            "AND len(list_filter(labels, x -> regexp_matches(x, '^k=6.*$'))) = 0"
+        ),
+        "tsdb_downsample_30s": _tsdb_oracle(
+            f"WHERE ts >= {t5} AND ts <= {t20} AND metric_name = 'view'", bucket_s=30
+        ),
+        "tsdb_downsample_range_clamp": _tsdb_oracle(
+            f"WHERE ts >= {t5} AND ts <= {t20}", bucket_s=5
+        ),
+        "tsdb_series_assembly": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= " + t0 + " AND metric_name = 'signup'")}
+SELECT metric_name, labels_str,
+       count(*) AS n_samples,
+       CAST(floor(epoch(min(tt))) AS BIGINT) AS first_t,
+       CAST(floor(epoch(max(tt))) AS BIGINT) AS last_t,
+       first(v ORDER BY tt) AS first_v,
+       last(v ORDER BY tt) AS last_v,
+       CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
+FROM grouped GROUP BY 1, 2
+""",
+        "tsdb_ignore_label": _tsdb_oracle(
+            f"WHERE ts >= {t5} AND ts <= {t20} AND metric_name = 'error' "
+            "AND list_contains(labels, 'k=42')"
+        ),
+        "tsdb_rate": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= " + t0 + " AND metric_name = 'purchase'")},
+r AS (
+    SELECT metric_name, labels_str, tt, v,
+           lag(v) OVER w AS pv, lag(tt) OVER w AS pt
+    FROM grouped
+    WINDOW w AS (PARTITION BY metric_name, labels_str ORDER BY tt)
+)
+SELECT metric_name, labels_str, CAST(floor(epoch(tt)) AS BIGINT) AS t,
+       CASE WHEN v - pv < 0 THEN NULL
+            ELSE (v - pv) / (CAST(floor(epoch(tt)) AS BIGINT) - CAST(floor(epoch(pt)) AS BIGINT))
+            END AS rate
+FROM r WHERE pv IS NOT NULL
+""",
+        "tsdb_label_project": f"""
+WITH {SAMPLES_ORACLE_CTE}
+SELECT metric_name,
+       array_to_string(list_filter(labels, x -> x LIKE 'user=%'), ',') AS labels_user_str,
+       CAST(floor(epoch(ts)) AS BIGINT) AS t,
+       value * 8 AS bits
+FROM samples
+WHERE metric_name = 'click' AND ts >= {t5} AND ts <= {t20}
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q3_shipping_priority": """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "q5_local_supplier_volume": """
+SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+        "top_customers_per_segment": """
+WITH cust_rev AS (
+    SELECT c_mktsegment, c_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY 1, 2
+)
+SELECT c_mktsegment, c_custkey, total, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY total DESC, c_custkey) AS rnk
+    FROM cust_rev
+) WHERE rnk <= 5
+""",
+        "events_sessionize": """
+WITH d AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts, value,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+    FROM d
+)
+SELECT user_id, sess, count(*) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS sess_end,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM s GROUP BY 1, 2
+""",
+        "dedup_exact": f"""
+WITH {_TOKS_CTE}
+SELECT md5(array_to_string(toks, ' ')) AS content_hash,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM toks GROUP BY 1
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_TOKS_CTE}, {_SH_CTE},
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.shingles, b.shingles)) AS i,
+           len(a.shingles) AS la, len(b.shingles) AS lb
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+FROM pairs
+WHERE la + lb - i > 0 AND CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
+""",
+        "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_simhash": _simhash_oracle(),
+        "dedup_embedding_cosine": f"""
+WITH {_EMB_NORM_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE a.nrm > 0 AND b.nrm > 0
+  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+""",
+        "sim_topk_bruteforce": f"""
+WITH {_EMB_NORM_CTE},
+q AS (SELECT * FROM n WHERE vec_id < 10),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.nrm > 0 AND c.nrm > 0
+                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+    FROM q JOIN n c ON c.vec_id != q.vec_id
+),
+r AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 10
+""",
+        "sim_topk_lsh": f"""
+WITH {_EMB_NORM_CTE},
+bkt AS (
+    SELECT vec_id, v, nrm,
+           (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+    FROM n
+),
+q AS (SELECT * FROM bkt WHERE vec_id < 20),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.nrm > 0 AND c.nrm > 0
+                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+    FROM q JOIN bkt c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+),
+r AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 5
+""",
+        "text_langid": f"""
+WITH {_TOKS_CTE},
+scores AS (
+    SELECT d.doc_id,
+           (length(d.text) - length(regexp_replace(d.text, '[^\\x00-\\x7F]', '', 'g')))
+               * 1.0 / greatest(length(d.text), 1) AS nonascii,
+           {_LANG_FILTERS['en']} AS en_n, {_LANG_FILTERS['de']} AS de_n,
+           {_LANG_FILTERS['fr']} AS fr_n, {_LANG_FILTERS['es']} AS es_n
+    FROM documents d JOIN toks USING (doc_id)
+)
+SELECT doc_id,
+       CASE WHEN nonascii > 0.3 THEN 'zh'
+            WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+            WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+            WHEN fr_n >= es_n THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM scores
+""",
+        "text_quality": f"""
+WITH {_TOKS_CTE},
+m AS (
+    SELECT d.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           {_LANG_FILTERS['en']} * 1.0 / greatest(len(toks), 1) AS sw_ratio,
+           length(regexp_replace(d.text, '[a-zA-Z0-9\\s]', '', 'g'))
+               * 1.0 / greatest(length(d.text), 1) AS punct
+    FROM documents d JOIN toks USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       sw_ratio AS stopword_ratio,
+       punct AS punct_ratio,
+       0.5 * sw_ratio + 0.3 * least(n_tokens / 100.0, 1.0) + 0.2 * (1.0 - punct) AS quality
+FROM m
+""",
+        "text_tokens": f"""
+WITH {_TOKS_CTE}
+SELECT d.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(d.text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe,
+       CAST(length(d.text) AS BIGINT) AS n_chars_raw
+FROM documents d JOIN toks USING (doc_id)
+""",
+        "text_fingerprint": f"""
+WITH {_TOKS_CTE}, {_SH_CTE},
+mins AS (
+    SELECT doc_id,
+           CASE WHEN len(shingles) = 0 THEN CAST(-1 AS BIGINT)
+                ELSE (SELECT min({_H32.format(x='s')}) FROM unnest(shingles) AS u(s))
+           END AS fp_shingle
+    FROM sh
+)
+SELECT t.doc_id, md5(array_to_string(t.toks, ' ')) AS fp_md5, m.fp_shingle
+FROM toks t JOIN mins m USING (doc_id)
+""",
+    }

@@ -1,0 +1,64 @@
+"""Extended time-series analytics (SURVEY §2.6 X1-X4).
+
+The reference has no analytic functions of its own; its README shows users
+hand-writing ClickHouse SQL for rates and label projections
+(``README.md:92-140``).  These are those capabilities as first-class Spark
+operators — built on window functions partitioned by the series key, which
+is *more* correct than ClickHouse's partition-order-dependent
+``runningDifference`` (X4 note in SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def series_window(extra_order: list[str] | None = None) -> Window:
+    """Per-series time-ordered window: partition by (metric_name, labels)."""
+    return Window.partitionBy("metric_name", "slb").orderBy("t", *(extra_order or []))
+
+
+def per_second_rate(grouped: DataFrame, *, reset_as_null: bool = True) -> DataFrame:
+    """X1/X4: per-second rate of a counter over the grouped read result.
+
+    Input: the ``read_query_grouped`` shape (metric_name, slb, t, max_0).
+    Output adds ``rate``: (v - lag(v)) / (epoch(t) - lag(epoch(t))) per
+    series; the first sample of each series is dropped (no predecessor).
+    Negative deltas (counter resets) become NULL (the ClickHouse pattern
+    X4 emits NaN; NULL is the SQL-portable equivalent and skips cleanly in
+    downstream aggregation).
+
+    Scale: one window shuffle on the series key — same partitioning as the
+    grouped aggregation that produced the input, so AQE/exchange reuse
+    avoids a second full shuffle in the combined plan.
+    """
+    w = series_window()
+    epoch = F.col("t").cast("long")
+    with_lags = grouped.select(
+        "*",
+        F.lag("max_0").over(w).alias("_pv"),
+        F.lag(epoch).over(w).alias("_pt"),
+    )
+    dv = F.col("max_0") - F.col("_pv")
+    dt = F.col("t").cast("long") - F.col("_pt")
+    rate = F.when(dv < 0, F.lit(None).cast("double")).otherwise(dv / dt)
+    return (
+        with_lags.where(F.col("_pv").isNotNull())
+        .withColumn("rate", rate)
+        .drop("_pv", "_pt")
+    )
+
+
+def label_project(labels: Column, prefix: str) -> Column:
+    """X2: ``arrayFilter(x -> x LIKE 'name=%', labels)`` — keep one label."""
+    return F.filter(labels, lambda x: x.like(f"{prefix}=%"))
+
+
+def label_value(labels: Column, name: str) -> Column:
+    """Extract a single label's value from the joined-string labelset
+    (first-``=`` split semantics, reference ``read.go:86``)."""
+    matches = F.filter(labels, lambda x: x.like(f"{name}=%"))
+    return F.when(
+        F.size(matches) > 0, F.substring(F.element_at(matches, 1), len(name) + 2, 2**30)
+    ).otherwise(F.lit(None).cast("string"))

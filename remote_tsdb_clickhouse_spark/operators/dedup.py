@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup strategies over a document corpus, all shuffle-conscious:
+
+- :func:`exact_dedup` — hash group-by on normalized content (one shuffle).
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via an inverted-index
+  self-join (shuffle on shingle, then on pair) — the exact-but-quadratic
+  baseline, used to verify the approximate methods.
+- :func:`minhash_lsh_pairs` — MinHash signatures + LSH banding: candidates
+  only from band-bucket collisions (shuffle on band key — linear in corpus
+  size), then exact-Jaccard verification of the candidate set only.  This is
+  the 100 TB path: no O(n²) stage anywhere.
+- :func:`simhash_pairs` — 32-bit SimHash + Hamming-distance pairing.
+- embedding near-dup lives in ``operators/similarity.py`` (cosine pairs).
+
+All hashing is md5-based (:func:`~...textfuncs.hash32`) so signatures are
+bit-identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from remote_tsdb_clickhouse_spark.functions.textfuncs import hash32, tokens, word_shingles
+
+#: MinHash parameters: NUM_HASHES = BANDS * ROWS_PER_BAND.
+MINHASH_PRIME = 1_000_003
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+
+#: Deterministic (a, b) coefficients for the universal hash family
+#: h_i(x) = (a_i * x + b_i) mod P.  Fixed constants (derived once from a
+#: seeded RNG) shared verbatim with the oracle SQL generator.
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (563127, 907001), (729613, 132089), (237731, 804533), (394387, 462071),
+    (921587, 246809), (616651, 549377), (103681, 387413), (846461, 729139),
+    (450971, 941461), (281731, 617093), (739187, 104717), (524287, 350377),
+    (667643, 818923), (198491, 260101), (876257, 482651), (314159, 271828),
+]
+assert len(MINHASH_COEFFS) == NUM_HASHES
+
+
+def normalized_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, tokens, shingles) base for the token-level strategies."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(text_col).alias("toks"),
+    ).withColumn("shingles", word_shingles(F.col("toks"), 3))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on the md5 of the normalized token stream.
+
+    One hash-aggregate shuffle on the 128-bit content key; the keeper is the
+    minimum id (deterministic).  Output: (content_hash, keeper_id, n_copies).
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.concat_ws(" ", tokens(text_col))).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _jaccard_verify(pairs: DataFrame, base: DataFrame) -> DataFrame:
+    """Join candidate (doc_a, doc_b) pairs back to shingle sets and compute
+    exact Jaccard.  ``base`` is small relative to the pair set is NOT
+    assumed — both joins shuffle on doc id."""
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via inverted index.
+
+    Pairs are generated only for documents sharing >= 1 shingle (explode +
+    self-join on the shingle string), never a full cross join; the shared
+    shingle join is the classic inverted-index candidate generator.  Exact
+    Jaccard then filters to >= threshold.  Quadratic only within identical
+    shingle groups — at corpus scale hot shingles should be stop-listed
+    (frequency cap), which is the standard mitigation.
+    """
+    base = normalized_docs(docs, id_col, text_col)
+    exploded = base.select("doc_id", F.explode("shingles").alias("sh"))
+    cands = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _jaccard_verify(cands, base)
+    # jaccard is an int/int division: bit-identical in any engine, no rounding
+    return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(base: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: NUM_HASHES min-hash columns.
+
+    Explode shingles once, compute all hash family members per shingle as
+    independent columns, then a single map-side-combining min aggregation —
+    one shuffle regardless of NUM_HASHES.
+    """
+    exploded = base.select("doc_id", F.explode("shingles").alias("sh")).withColumn(
+        "h", hash32(F.col("sh")) % MINHASH_PRIME
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup detection (the scale path).
+
+    Signature -> BANDS band keys (concatenated row hashes); documents
+    colliding in any band become candidates (shuffle on band key — linear);
+    candidates are verified with exact Jaccard.  With 4 bands x 4 rows the
+    S-curve crosses ~0.7, so threshold 0.8 pairs are found with high
+    probability; verification makes every *emitted* pair exact.
+    """
+    base = normalized_docs(docs, id_col, text_col)
+    sigs = minhash_signatures(base)
+    band_cols = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("sig")))
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    cands = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "sig"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _jaccard_verify(cands, base)
+    # jaccard is an int/int division: bit-identical in any engine, no rounding
+    return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_values(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per document.
+
+    Explode tokens (occurrence-weighted by construction), hash each token
+    once, then 32 conditional-sum aggregates (one per bit) in a single
+    map-side-combining shuffle; the fingerprint is re-packed from the bit
+    votes in a final projection.  No UDF, no per-bit explode.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    hashed = toks.withColumn("h", hash32(F.col("tok")))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(32)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*bit_votes)
+    packed = None
+    for j in range(32):
+        term = F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return votes.select("doc_id", packed.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Candidate generation blocks on the 4 SimHash bytes (Pigeonhole: any pair
+    within Hamming distance 8 of a 32-bit hash shares at least one exact
+    byte when distance is spread; with 4 blocks, pairs with <= 3 differing
+    *blocks* always collide) — the standard SimHash block-permutation
+    scheme, linear shuffle instead of a cross join.
+    """
+    sims = simhash_values(docs, id_col, text_col)
+    blocks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("blk"),
+                        F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(F.lit(255)).alias("bv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    cands = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), ["blk", "bv"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -18,6 +18,10 @@ def ensure_query_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # Spark rejects parquet TIMESTAMP(NANOS) outright; read as long nanos and
+    # normalize in the source adapters (sources/events.py floors ns -> us,
+    # byte-matching DuckDB's coercion).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
 

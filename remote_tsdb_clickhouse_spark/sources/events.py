@@ -35,9 +35,26 @@ samples AS (
 """
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read ``events.parquet`` with its TIMESTAMP(NANOS) column normalized.
+
+    Spark has no nanosecond timestamp type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as INT64
+    nanos, which we floor-divide to microseconds — the same truncation
+    DuckDB applies when coercing ns -> us, so both engines see identical
+    timestamps (verified empirically; DuckDB truncates, never rounds).
+    """
+    from pyspark.sql import types as T
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
 def events_to_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load ``events.parquet`` and shape it into the samples model."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events(spark, sf_dir)
     base = F.array(
         F.concat(F.lit("k="), F.regexp_extract("props", r'"k": ([0-9]+)', 1)),
         F.concat(F.lit("user="), F.col("user_id").cast("string")),
