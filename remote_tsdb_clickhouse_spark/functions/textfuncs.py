@@ -101,15 +101,22 @@ def quality_score(n_tokens: Column, stopword_ratio: Column, punct: Column) -> Co
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a token array.
 
-    ``transform(sequence(1, size-n+1), i -> concat_ws(' ', slice(toks, i, n)))``
-    — pure Catalyst, no UDF; empty array when the doc has < n tokens.
+    Built as a ``zip_with`` chain over ``n`` shifted slices rather than
+    ``transform(sequence(...), i -> slice(toks, i, n))``: with the latter,
+    Catalyst's projection collapsing inlines the (regexp-heavy) token
+    expression into every per-element ``slice`` call — O(tokens²) work per
+    row (measured 20x slower).  The zip_with form references ``toks`` a
+    constant number of times.  Empty array when the doc has < n tokens.
     """
-    upper = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(upper, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    m = F.size(toks) - (n - 1)
+    combined = F.slice(toks, 1, m)
+    for i in range(1, n):
+        combined = F.zip_with(
+            combined, F.slice(toks, i + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.array_distinct(
+        F.when(m >= 1, combined).otherwise(F.array().cast("array<string>"))
     )
-    return F.array_distinct(F.when(upper >= 1, grams).otherwise(F.array().cast("array<string>")))
 
 
 def hash32(c: Column) -> Column:

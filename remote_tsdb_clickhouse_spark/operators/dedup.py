@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from remote_tsdb_clickhouse_spark.functions.textfuncs import hash32, tokens, word_shingles
+from remote_tsdb_clickhouse_spark.util import spread
 
 #: MinHash parameters: NUM_HASHES = BANDS * ROWS_PER_BAND.
 MINHASH_PRIME = 1_000_003
@@ -44,7 +45,7 @@ assert len(MINHASH_COEFFS) == NUM_HASHES
 
 def normalized_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, tokens, shingles) base for the token-level strategies."""
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col).alias("doc_id"),
         tokens(text_col).alias("toks"),
     ).withColumn("shingles", word_shingles(F.col("toks"), 3))
@@ -57,7 +58,7 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     minimum id (deterministic).  Output: (content_hash, keeper_id, n_copies).
     """
     return (
-        docs.select(
+        spread(docs).select(
             F.col(id_col).alias("doc_id"),
             F.md5(F.concat_ws(" ", tokens(text_col))).alias("content_hash"),
         )
@@ -66,23 +67,47 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def _jaccard_verify(pairs: DataFrame, base: DataFrame) -> DataFrame:
-    """Join candidate (doc_a, doc_b) pairs back to shingle sets and compute
-    exact Jaccard.  ``base`` is small relative to the pair set is NOT
-    assumed — both joins shuffle on doc id."""
-    a = base.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = base.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+def _sizes(base: DataFrame) -> DataFrame:
+    return base.select("doc_id", F.size("shingles").alias("n_sh"))
+
+
+def _pair_jaccard(inter_counts: DataFrame, base: DataFrame) -> DataFrame:
+    """Attach shingle-set sizes to (doc_a, doc_b, inter) counts and compute
+    exact Jaccard.  Sizes are one small row per doc -> broadcast joins."""
+    sizes = _sizes(base)
+    a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("la"))
+    b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("lb"))
+    union = F.col("la") + F.col("lb") - F.col("inter")
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+        inter_counts.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
+            F.when(union > 0, F.col("inter").cast("double") / union)
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
         )
     )
+
+
+def _verify_candidates(cands: DataFrame, exploded: DataFrame, base: DataFrame) -> DataFrame:
+    """Exact Jaccard for an explicit candidate pair set.
+
+    Counts intersections by joining the candidate pairs through the inverted
+    index ((doc_a, sh) x (doc_b, sh)) instead of materializing and
+    intersecting shingle arrays per pair — rows processed are proportional
+    to the actual intersections, and everything stays in codegen'd joins.
+    """
+    ea = exploded.select(F.col("doc_id").alias("doc_a"), "sh")
+    eb = exploded.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter_counts = (
+        cands.join(ea, "doc_a")
+        .join(eb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return _pair_jaccard(inter_counts, base)
 
 
 def ngram_jaccard_pairs(
@@ -102,14 +127,16 @@ def ngram_jaccard_pairs(
     """
     base = normalized_docs(docs, id_col, text_col)
     exploded = base.select("doc_id", F.explode("shingles").alias("sh"))
-    cands = (
+    # one shuffle on the shingle, then |intersection| = count per pair —
+    # no distinct, no per-pair array materialization
+    inter_counts = (
         exploded.alias("x")
         .join(exploded.alias("y"), "sh")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
     )
-    verified = _jaccard_verify(cands, base)
+    verified = _pair_jaccard(inter_counts, base)
     # jaccard is an int/int division: bit-identical in any engine, no rounding
     return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
@@ -161,7 +188,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = _jaccard_verify(cands, base)
+    exploded = base.select("doc_id", F.explode("shingles").alias("sh"))
+    verified = _verify_candidates(cands, exploded, base)
     # jaccard is an int/int division: bit-identical in any engine, no rounding
     return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
@@ -174,7 +202,7 @@ def simhash_values(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     map-side-combining shuffle; the fingerprint is re-packed from the bit
     votes in a final projection.  No UDF, no per-bit explode.
     """
-    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    toks = spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
     hashed = toks.withColumn("h", hash32(F.col("tok")))
     bit_votes = [
         F.sum(
@@ -192,18 +220,21 @@ def simhash_values(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 def simhash_pairs(
     docs: DataFrame,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
-    Candidate generation blocks on the 4 SimHash bytes (Pigeonhole: any pair
-    within Hamming distance 8 of a 32-bit hash shares at least one exact
-    byte when distance is spread; with 4 blocks, pairs with <= 3 differing
-    *blocks* always collide) — the standard SimHash block-permutation
-    scheme, linear shuffle instead of a cross join.
+    Candidate generation blocks on the 4 SimHash bytes: by pigeonhole, any
+    pair with Hamming distance <= 3 over 32 bits leaves at least one of the
+    4 byte-blocks untouched, so blocking on exact byte values finds every
+    such pair — the standard SimHash block-permutation scheme, a linear
+    equi-join shuffle instead of a cross join.  max_hamming must stay <= 3
+    for completeness with 4 blocks (more blocks buy a larger radius).
     """
+    if max_hamming > 3:
+        raise ValueError("4-block candidate generation is complete only for max_hamming <= 3")
     sims = simhash_values(docs, id_col, text_col)
     blocks = sims.select(
         "doc_id",

@@ -35,8 +35,12 @@ from remote_tsdb_clickhouse_spark.functions.vecfuncs import (
 
 
 def _with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from remote_tsdb_clickhouse_spark.util import spread
+
     v = as_double(vec_col)
-    return emb.select(F.col(id_col).alias("vid"), v.alias("vec")).withColumn("nrm", norm(F.col("vec")))
+    return spread(emb).select(F.col(id_col).alias("vid"), v.alias("vec")).withColumn(
+        "nrm", norm(F.col("vec"))
+    )
 
 
 def brute_force_topk(

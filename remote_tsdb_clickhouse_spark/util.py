@@ -1,0 +1,22 @@
+"""Small engine utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure a DataFrame has enough partitions to use the cluster.
+
+    Small dimension-like inputs (one parquet file -> one partition) serialize
+    every downstream map stage onto a single core; explode-heavy operators
+    (shingling, pair scoring) then run 32x slower than they should.  A
+    round-robin repartition is cheap at small sizes and a no-op cost at
+    scale, where inputs already have >= parallelism partitions and this
+    branch never triggers.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
