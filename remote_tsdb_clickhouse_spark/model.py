@@ -52,3 +52,9 @@ SAMPLES_FIELDS = ["ts", "metric_name", "labels", "value"]
 #: Partition column used by the parquet samples store (date(ts)); gives
 #: partition pruning for the time-range predicates F1/F2 at 100 TB scale.
 PARTITION_COLUMN = "ts_date"
+
+#: Store schema including the partition column.  Built as a fresh copy —
+#: ``StructType.add`` mutates the receiver, never call it on SAMPLES_SCHEMA.
+PARTITIONED_SAMPLES_SCHEMA = T.StructType(
+    list(SAMPLES_SCHEMA.fields) + [T.StructField(PARTITION_COLUMN, T.DateType())]
+)

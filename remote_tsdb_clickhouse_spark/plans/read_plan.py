@@ -109,6 +109,29 @@ def read_filter(q: ReadQuery, *, ignore_label: str | None = DEFAULT_READ_IGNORE_
     return cond & compile_matchers(list(q.matchers), ignore_label=ignore_label)
 
 
+def partition_pruning_filter(samples: DataFrame, q: ReadQuery):
+    """Derived predicate on the store's date partition column.
+
+    Catalyst cannot infer ``ts_date`` bounds from a ``ts`` range filter
+    (``ts_date = date(ts)`` is our layout invariant, not something the
+    optimizer knows), so the query builder adds the equivalent partition
+    predicate explicitly — this is what turns a 100 TB full scan into a
+    scan of the queried days (``PartitionFilters`` in ``.explain``).
+    Returns ``None`` when the input has no partition column (ad-hoc
+    DataFrames, the events adapter).
+    """
+    from remote_tsdb_clickhouse_spark.model import PARTITION_COLUMN
+
+    if PARTITION_COLUMN not in samples.columns:
+        return None
+    cond = F.col(PARTITION_COLUMN) >= F.to_date(F.timestamp_seconds(F.lit(q.start_ms // 1000)))
+    if q.end_ms > 0:
+        cond = cond & (
+            F.col(PARTITION_COLUMN) <= F.to_date(F.timestamp_seconds(F.lit(q.end_ms // 1000)))
+        )
+    return cond
+
+
 def read_query_grouped(
     samples: DataFrame,
     q: ReadQuery,
@@ -121,6 +144,9 @@ def read_query_grouped(
     Columns: ``metric_name STRING, slb ARRAY<STRING>, t TIMESTAMP,
     max_0 DOUBLE`` — the reference query's exact projection (P1).
     """
+    pruning = partition_pruning_filter(samples, q)
+    if pruning is not None:
+        samples = samples.where(pruning)
     return (
         samples.where(read_filter(q, ignore_label=ignore_label))
         .select(

@@ -1,0 +1,137 @@
+"""HTTP adapter shell (SURVEY §2.1 S1, §3.3).
+
+The reference's endpoint surface (``main.go:116-153``):
+
+- ``POST /write`` — snappy+protobuf WriteRequest -> storage insert; 500 +
+  error counter on failure (Prometheus retries -> at-least-once, dedup'd at
+  read time by the max() aggregate).
+- ``POST /read``  — snappy+protobuf ReadRequest -> engine query ->
+  snappy+protobuf ReadResponse with ``Content-Type:
+  application/x-protobuf`` + ``Content-Encoding: snappy`` (main.go:66-67).
+- ``GET /metrics`` — the five self-counters, Prometheus text format.
+- anything else — 404 banner (main.go:116-120).
+
+Threaded stdlib server: handlers submit work to the shared SparkSession
+(Spark is thread-safe for job submission; scheduling fairness is Spark's).
+Kept deliberately thin and separable from the engine — the intelligence is
+in plans/, this file only moves bytes.
+"""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import DataFrame
+
+from remote_tsdb_clickhouse_spark import codec
+from remote_tsdb_clickhouse_spark.model import DEFAULT_READ_IGNORE_LABEL
+from remote_tsdb_clickhouse_spark.server.metrics import MetricsRegistry
+from remote_tsdb_clickhouse_spark.server.service import handle_read_request
+from remote_tsdb_clickhouse_spark.sources.writer import TimeseriesWriter
+
+BANNER = b"remote-tsdb-clickhouse-spark\n"
+
+
+class AdapterApp:
+    """Transport-independent request handling (unit-testable without
+    sockets)."""
+
+    def __init__(
+        self,
+        writer: TimeseriesWriter,
+        samples_provider,
+        *,
+        ignore_label: str | None = DEFAULT_READ_IGNORE_LABEL,
+        ignore_hints: bool = False,
+    ):
+        self.writer = writer
+        self.samples_provider = samples_provider  # () -> DataFrame
+        self.ignore_label = ignore_label
+        self.ignore_hints = ignore_hints
+        self.metrics = MetricsRegistry()
+
+    def handle_write(self, body: bytes) -> tuple[int, bytes]:
+        self.metrics.write_requests_total.inc()
+        try:
+            req = codec.decode_write_request(body)
+            n = self.writer.write(req)
+            self.metrics.samples_written_total.inc(n)
+            return 200, b""
+        except Exception as e:  # 500 like main.go:134-138; Prometheus retries
+            self.metrics.write_errors_total.inc()
+            return 500, str(e).encode()
+
+    def handle_read(self, body: bytes) -> tuple[int, bytes]:
+        self.metrics.read_requests_total.inc()
+        try:
+            req = codec.decode_read_request(body)
+            samples: DataFrame = self.samples_provider()
+            resp = handle_read_request(
+                samples, req, ignore_label=self.ignore_label, ignore_hints=self.ignore_hints
+            )
+            return 200, codec.encode_read_response(resp)
+        except Exception as e:
+            self.metrics.read_errors_total.inc()
+            return 500, str(e).encode()
+
+    def handle_metrics(self) -> tuple[int, bytes]:
+        return 200, self.metrics.expose().encode()
+
+
+def make_handler(app: AdapterApp):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _reply(self, status: int, body: bytes, headers: dict[str, str] | None = None):
+            self.send_response(status)
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            if self.path == "/write":
+                self._reply(*app.handle_write(body))
+            elif self.path == "/read":
+                status, payload = app.handle_read(body)
+                headers = (
+                    {"Content-Type": "application/x-protobuf", "Content-Encoding": "snappy"}
+                    if status == 200
+                    else {}
+                )
+                self._reply(status, payload, headers)
+            else:
+                self._reply(404, BANNER)
+
+        def do_GET(self):
+            if self.path == "/metrics":
+                status, payload = app.handle_metrics()
+                self._reply(status, payload, {"Content-Type": "text/plain; version=0.0.4"})
+            else:
+                self._reply(404, BANNER)
+
+    return Handler
+
+
+class AdapterServer:
+    """Lifecycle wrapper: serve on an ephemeral or fixed port in a daemon
+    thread (``serve_forever`` analog of main.go:162-164)."""
+
+    def __init__(self, app: AdapterApp, host: str = "127.0.0.1", port: int = 0):
+        self.httpd = ThreadingHTTPServer((host, port), make_handler(app))
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "AdapterServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()

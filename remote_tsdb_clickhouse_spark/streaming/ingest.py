@@ -1,0 +1,110 @@
+"""Structured Streaming ingest (SURVEY §2.8).
+
+The reference's write path is already a streaming sink in disguise: each
+HTTP request is one atomic micro-batch (``write.go:14-22,60``), failures
+surface as 500s so Prometheus retries (at-least-once), and read-time
+``max(value)`` dedup makes redelivery harmless.  The Spark-native shape:
+
+    HTTP frontends decode prompb -> append canonical-schema parquet files
+    to a staging drop-zone  ->  Structured Streaming file source  ->
+    foreachBatch -> SamplesStore.append (atomic per micro-batch)
+
+Properties preserved:
+- **at-least-once + idempotent-at-read**: redelivered staging batches insert
+  duplicate (series, ts) rows; A1's ``max(value)`` collapses them.
+- **no watermarks / late-data state**: samples carry their own event time
+  and land in their date partition wherever they fall — out-of-order and
+  late data are trivially accepted (ordering is restored at read, O1/O2).
+- **checkpointed exactly-once batch tracking** on the streaming side: the
+  file source + checkpoint dir give recovery without reprocessing.
+
+Also provided: ``rate_demo_stream`` — a self-contained synthetic ingest
+(rate source -> samples schema) used by tests and as the watermarked
+windowed-aggregation example (the *extension* beyond reference behavior:
+continuous per-series 1-minute max, the streaming analog of A2's bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from remote_tsdb_clickhouse_spark.model import SAMPLES_SCHEMA
+from remote_tsdb_clickhouse_spark.sources.samples_store import SamplesStore
+
+
+class StreamingIngest:
+    """File-drop-zone streaming ingest into a :class:`SamplesStore`."""
+
+    def __init__(self, spark: SparkSession, staging_dir: str, store: SamplesStore,
+                 checkpoint_dir: str):
+        self.spark = spark
+        self.staging_dir = staging_dir
+        self.store = store
+        self.checkpoint_dir = checkpoint_dir
+
+    def source(self) -> DataFrame:
+        return (
+            self.spark.readStream.schema(SAMPLES_SCHEMA)
+            .option("maxFilesPerTrigger", 64)
+            .parquet(self.staging_dir)
+        )
+
+    def start(self, *, available_now: bool = False, interval: str = "10 seconds") -> StreamingQuery:
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # one atomic append per micro-batch — the per-request transaction
+            # analog; batch_id is recorded in the checkpoint for recovery
+            self.store.append(batch_df)
+
+        writer = self.source().writeStream.foreachBatch(write_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=interval)
+        return writer.start()
+
+
+def windowed_max_stream(
+    samples_stream: DataFrame,
+    *,
+    window: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming extension: continuous per-series tumbling-window max.
+
+    The streaming analog of the A2 downsample bucket: event-time tumbling
+    windows with a watermark bounding late-data state.  (The reference has
+    no streaming aggregation — this is the documented extension surface,
+    SURVEY §2.8.)
+    """
+    return (
+        samples_stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            "metric_name",
+            F.array_sort("labels").alias("slb"),
+        )
+        .agg(F.max("value").alias("max_0"))
+        .select("metric_name", "slb", F.col("w.start").alias("t"), "max_0")
+    )
+
+
+def rate_demo_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic samples stream off the rate source (tests / demos)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.concat(F.lit("metric_"), (F.col("value") % 5).cast("string")).alias("metric_name"),
+            F.array(
+                F.concat(F.lit("instance="), (F.col("value") % 3).cast("string"))
+            ).alias("labels"),
+            (F.col("value") % 100).cast("double").alias("value"),
+        )
+        .withColumn("ts", F.date_trunc("second", "ts"))
+    )

@@ -1,0 +1,112 @@
+"""Protocol layer: prompb wire codec + snappy framing round-trips (S2-S4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from remote_tsdb_clickhouse_spark import codec, prompb
+from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
+from remote_tsdb_clickhouse_spark.plans.read_plan import ReadHints, ReadQuery
+
+
+def sample_write_request() -> prompb.WriteRequest:
+    return prompb.WriteRequest(
+        timeseries=[
+            prompb.TimeSeries(
+                labels=[
+                    prompb.Label("__name__", "go_goroutines"),
+                    prompb.Label("instance", "10.0.0.1:9100"),
+                    prompb.Label("job", "omada"),
+                    prompb.Label("path", "/api/v1?x=1"),
+                ],
+                samples=[
+                    prompb.Sample(35.0, 1704067200123),
+                    prompb.Sample(36.5, 1704067215456),
+                ],
+            ),
+            prompb.TimeSeries(
+                labels=[prompb.Label("__name__", "up")],
+                samples=[prompb.Sample(1.0, 1704067200000)],
+            ),
+        ]
+    )
+
+
+def test_write_request_roundtrip():
+    req = sample_write_request()
+    wire = prompb.encode_write_request(req)
+    back = prompb.decode_write_request(wire)
+    assert back == req
+
+
+def test_write_request_snappy_roundtrip():
+    req = sample_write_request()
+    body = codec.encode_write_request(req)
+    back = codec.decode_write_request(body)
+    assert back == req
+
+
+def test_read_request_roundtrip():
+    req = prompb.ReadRequest(
+        queries=[
+            ReadQuery(
+                start_ms=1704067200000,
+                end_ms=1704070800000,
+                matchers=(
+                    LabelMatcher(MatcherType.EQ, "__name__", "go_goroutines"),
+                    LabelMatcher(MatcherType.RE, "job", "om.*"),
+                    LabelMatcher(MatcherType.NRE, "instance", "10\\..*"),
+                ),
+                hints=ReadHints(step_ms=60000, range_ms=10000),
+            ),
+            ReadQuery(start_ms=0, end_ms=0, matchers=(), hints=ReadHints()),
+        ]
+    )
+    body = codec.encode_read_request(req)
+    back = codec.decode_read_request(body)
+    assert back == req
+
+
+def test_read_response_roundtrip():
+    resp = prompb.ReadResponse(
+        results=[
+            prompb.QueryResult(
+                timeseries=[
+                    prompb.TimeSeries(
+                        labels=[prompb.Label("__name__", "up"), prompb.Label("job", "x")],
+                        samples=[prompb.Sample(1.0, 1704067200000), prompb.Sample(0.0, 1704067215000)],
+                    )
+                ]
+            )
+        ]
+    )
+    wire = codec.encode_read_response(resp)
+    back = prompb.decode_read_response(codec.snappy_decompress(wire))
+    assert back == resp
+
+
+def test_read_size_cap():
+    big = b"\x00" * (codec.DECODE_READ_LIMIT + 1)
+    with pytest.raises(codec.BodyTooLargeError):
+        codec.decode_read_request(big)
+
+
+def test_negative_timestamp_roundtrip():
+    # pre-1970 ms timestamps are valid int64s on the wire
+    req = prompb.WriteRequest(
+        timeseries=[
+            prompb.TimeSeries(
+                labels=[prompb.Label("__name__", "m")],
+                samples=[prompb.Sample(1.0, -1000)],
+            )
+        ]
+    )
+    assert prompb.decode_write_request(prompb.encode_write_request(req)) == req
+
+
+def test_unknown_fields_skipped():
+    # append an unknown field (field 15, varint) — decoder must skip it
+    wire = bytearray(prompb.encode_write_request(sample_write_request()))
+    wire += bytes([15 << 3 | 0, 0x2A])
+    back = prompb.decode_write_request(bytes(wire))
+    assert len(back.timeseries) == 2

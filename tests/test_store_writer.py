@@ -1,0 +1,118 @@
+"""Samples store (S5-S8): append/read round-trip, range delete, TSV import,
+compaction, partition layout."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from remote_tsdb_clickhouse_spark import prompb
+from remote_tsdb_clickhouse_spark.sources.samples_store import SamplesStore
+from remote_tsdb_clickhouse_spark.sources.writer import TimeseriesWriter, write_request_rows
+
+
+def make_store(spark, tmp_path) -> SamplesStore:
+    return SamplesStore(spark, str(tmp_path / "samples"))
+
+
+def wr(name, labels, samples):
+    return prompb.WriteRequest(
+        timeseries=[
+            prompb.TimeSeries(
+                labels=[prompb.Label("__name__", name)]
+                + [prompb.Label(k, v) for k, v in labels],
+                samples=[prompb.Sample(v, t) for v, t in samples],
+            )
+        ]
+    )
+
+
+def test_write_request_flatten_semantics():
+    req = wr(
+        "go_goroutines",
+        [("instance", "10.0.0.1:9100"), ("job", "omada")],
+        [(35.5, 1704067200123)],  # ms with sub-second junk
+    )
+    rows = write_request_rows(req)
+    assert rows == [
+        (
+            datetime(2024, 1, 1, 0, 0, 0),  # truncated to the second
+            "go_goroutines",
+            ["instance=10.0.0.1:9100", "job=omada"],
+            35.5,
+        )
+    ]
+
+
+def test_store_roundtrip_and_partitioning(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+    n = writer.write(
+        wr("up", [("job", "a")], [(1.0, 1704067200000), (0.0, 1704153600000)])  # two days
+    )
+    assert n == 2
+    got = store.read().orderBy("ts").collect()
+    assert [r["value"] for r in got] == [1.0, 0.0]
+    # physical layout: one directory per date partition
+    dirs = sorted(p.name for p in (tmp_path / "samples").iterdir() if p.is_dir())
+    assert dirs == ["ts_date=2024-01-01", "ts_date=2024-01-02"]
+
+
+def test_range_delete(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+    base = 1704067200000
+    writer.write(wr("m", [], [(float(i), base + i * 3_600_000) for i in range(48)]))
+    assert store.read().count() == 48
+    # delete (t > 12h, t <= 24h]: the reference's reimport-day semantics
+    store.delete_time_range(datetime(2024, 1, 1, 12), datetime(2024, 1, 2, 0))
+    left = store.read().orderBy("ts").collect()
+    assert len(left) == 36
+    hours = [r["ts"].hour + (0 if r["ts"].day == 1 else 24) for r in left]
+    assert 12 in hours  # boundary start is exclusive -> survives
+    assert 13 not in hours and 24 not in hours  # end inclusive -> deleted
+    assert 25 in hours
+
+
+def test_tsv_import(spark, tmp_path):
+    tsv = tmp_path / "dump.tsv"
+    tsv.write_text(
+        "go_goroutines\tinstance=a,job=b\t1704067200123\t35.5\n"
+        "up\t\t1704067215000\t1.0\n"
+    )
+    store = make_store(spark, tmp_path)
+    assert store.import_tsv(str(tsv)) == 2
+    rows = {r["metric_name"]: r for r in store.read().collect()}
+    assert rows["go_goroutines"]["labels"] == ["instance=a", "job=b"]
+    assert rows["go_goroutines"]["ts"] == datetime(2024, 1, 1, 0, 0, 0)
+    assert rows["up"]["labels"] == []
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+    for i in range(5):  # five appends -> many small files
+        writer.write(wr("m", [("i", str(i))], [(1.0, 1704067200000 + i * 1000)]))
+    files_before = list((tmp_path / "samples").glob("ts_date=*/*.parquet"))
+    store.compact(files_per_partition=1)
+    files_after = list((tmp_path / "samples").glob("ts_date=*/*.parquet"))
+    assert len(files_after) < len(files_before)
+    assert store.read().count() == 5
+
+
+def test_read_plan_prunes_partitions(spark, tmp_path):
+    from remote_tsdb_clickhouse_spark.plans.read_plan import ReadQuery, read_query_grouped
+
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+    # two samples on different days
+    writer.write(wr("m", [], [(1.0, 1704067200000), (2.0, 1704240000000)]))
+    q = ReadQuery(start_ms=1704240000000, end_ms=1704326400000)  # day 3 only
+    df = read_query_grouped(store.read(), q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the derived ts_date predicate must appear in the partition filters
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "ts_date" in pf and "2024-01-03" in pf
+    assert [r["max_0"] for r in df.collect()] == [2.0]

@@ -1,0 +1,70 @@
+"""Structured Streaming ingest (SURVEY §2.8): drop-zone -> store, and the
+watermarked windowed-max extension."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from remote_tsdb_clickhouse_spark.model import SAMPLES_SCHEMA
+from remote_tsdb_clickhouse_spark.sources.samples_store import SamplesStore
+from remote_tsdb_clickhouse_spark.streaming.ingest import StreamingIngest, windowed_max_stream
+
+
+def _stage_batch(spark, staging_dir: str, rows):
+    spark.createDataFrame(rows, SAMPLES_SCHEMA).coalesce(1).write.mode("append").parquet(
+        staging_dir
+    )
+
+
+def test_streaming_ingest_available_now(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    store = SamplesStore(spark, str(tmp_path / "samples"))
+    ingest = StreamingIngest(spark, staging, store, str(tmp_path / "ckpt"))
+
+    _stage_batch(
+        spark,
+        staging,
+        [
+            (datetime(2024, 1, 1, 0, 0, 0), "up", ["job=a"], 1.0),
+            (datetime(2024, 1, 2, 0, 0, 15), "up", ["job=a"], 0.0),
+        ],
+    )
+    q = ingest.start(available_now=True)
+    q.awaitTermination(120)
+    assert store.read().count() == 2
+
+    # second batch: checkpoint resumes without re-ingesting the first
+    _stage_batch(spark, staging, [(datetime(2024, 1, 3, 0, 0, 0), "up", ["job=a"], 1.0)])
+    q = ingest.start(available_now=True)
+    q.awaitTermination(120)
+    assert store.read().count() == 3  # exactly-once per staged file
+
+
+def test_windowed_max_stream(spark, tmp_path):
+    staging = str(tmp_path / "staging2")
+    _stage_batch(
+        spark,
+        staging,
+        [
+            (datetime(2024, 1, 1, 0, 0, 5), "m", ["i=1"], 1.0),
+            (datetime(2024, 1, 1, 0, 0, 50), "m", ["i=1"], 3.0),
+            (datetime(2024, 1, 1, 0, 1, 10), "m", ["i=1"], 2.0),
+        ],
+    )
+    src = spark.readStream.schema(SAMPLES_SCHEMA).parquet(staging)
+    agg = windowed_max_stream(src, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wmax")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["t"]: r["max_0"] for r in spark.sql("SELECT * FROM wmax").collect()}
+    assert rows == {
+        datetime(2024, 1, 1, 0, 0, 0): 3.0,
+        datetime(2024, 1, 1, 0, 1, 0): 2.0,
+    }
