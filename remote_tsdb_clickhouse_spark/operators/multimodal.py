@@ -1,0 +1,189 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The 100 TB training-data pattern: media lives in a ``BINARY`` column with a
+typed metadata struct; per-item decode/feature-extraction runs as
+Arrow-batched Pandas UDFs over ``mapInPandas`` — the only place Python
+belongs in the hot path, because codec work is per-item CPU-bound and Arrow
+amortizes the transfer.
+
+The actual byte-level codecs (JPEG decode, audio resample, video frame
+extraction) need PIL/soundfile/ffmpeg, which are not in this environment —
+they are gated behind import-tries and fall back to a clearly-marked
+**deterministic fake decoder** (`_fake_decode`) so that every piece of
+Spark-side plumbing — schemas, batch iteration, partition sizing, explode
+shapes — is real and tested.  Swapping in a real codec changes only the
+body of the per-batch function, nothing in the plan.
+
+Scale notes:
+- ``mapInPandas`` preserves partitioning: no shuffle for per-item ops.
+- ``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds decode-batch
+  memory (media rows are large; set it low for video).
+- frame sampling explodes rows — the output partition count follows the
+  input, so repartition *after* explode if frames feed a shuffle-heavy
+  stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real image codec, absent in this environment
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+#: Canonical multimodal schema: opaque payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def synthetic_media(spark: SparkSession, n: int = 64, modality: str = "image") -> DataFrame:
+    """Deterministic synthetic media table (seeded by media_id)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"{modality}-{i}".encode()).digest() * 8  # 256 bytes
+        meta = {
+            "format": "fake",
+            "width": 64 + (i % 4) * 32,
+            "height": 64 + (i % 3) * 32,
+            "sample_rate": 16000 if modality == "audio" else None,
+            "duration_ms": 1000 * (1 + i % 5) if modality != "image" else None,
+        }
+        rows.append((i, modality, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """STUB decoder: deterministic feature vector from payload bytes.
+
+    Stands in for decode->model-embed; replace with a real codec + encoder.
+    Raises if someone expects real pixels without PIL installed.
+    """
+    h = hashlib.md5(content).digest()
+    return [h[k] / 255.0 for k in range(dim)]
+
+
+def decode_image(content: bytes):  # pragma: no cover - requires PIL
+    """Real decode path, present only when PIL is installed."""
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; use extract_features (deterministic stub) "
+            "for plumbing tests"
+        )
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(content))
+
+
+FEATURES_SCHEMA = "media_id LONG, modality STRING, features ARRAY<FLOAT>"
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-item feature extraction via mapInPandas (Arrow-batched).
+
+    One Python worker pass per partition, zero shuffle; the stub featurizer
+    is deterministic so outputs are testable.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "features": [ _fake_decode(bytes(c)) for c in pdf["content"] ],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id LONG, width INT, height INT, content BINARY"
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: per-item transform with real batch iteration.
+
+    STUB: without PIL the 'resize' is a deterministic re-hash sized to the
+    (width*height/64) target payload — the plan shape (mapInPandas, schema,
+    metadata rewrite) is exactly the real one.
+    """
+    import pandas as pd
+
+    target = max(1, (width * height) // 64)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out_content = [
+                (hashlib.sha256(bytes(c)).digest() * ((target // 32) + 1))[:target]
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": out_content,
+                }
+            )
+
+    return media.where(F.col("modality") == "image").mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id LONG, frame_idx INT, frame_ts_ms LONG, frame BINARY"
+
+
+def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """Video frame sampling: one row per sampled frame (explode shape).
+
+    STUB frame bytes are sliced deterministically from the payload; the real
+    implementation replaces the slice with an ffmpeg seek+decode at
+    ``frame_ts_ms``.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, idxs, tss, frames = [], [], [], []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                duration = int(meta["duration_ms"] or 0)
+                b = bytes(content)
+                for k, ts in enumerate(range(0, duration, every_ms)):
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(ts)
+                    frames.append(hashlib.md5(b + ts.to_bytes(8, "little")).digest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}
+            )
+
+    return media.where(F.col("modality") == "video").mapInPandas(batches, schema=FRAMES_SCHEMA)
