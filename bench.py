@@ -34,17 +34,30 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup outside the timed region
+    # Warmup outside the timed region: JIT/codegen, parquet footer reads and
+    # page-cache touch for every input table, and one Python worker spin-up
+    # (per-query timings then measure query work, not one-time machinery)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:
+            pass
+    import pandas as pd  # noqa: F401
+
+    spark.range(1000).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
 
     timings: dict[str, float] = {}
     qs = entrymod.queries()
     for name, fn in qs.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count() if df.isStreaming is False else -1
-        # count() alone can skip result projection; collect tail to be honest
-        _ = df.limit(20).collect()
+        # one full materialization: executes the complete plan and ships the
+        # result (aggregated outputs are small; flat outputs are the result)
+        n = len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

@@ -115,6 +115,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via inverted index.
 
@@ -126,36 +127,74 @@ def ngram_jaccard_pairs(
     (frequency cap), which is the standard mitigation.
     """
     base = normalized_docs(docs, id_col, text_col)
-    exploded = base.select("doc_id", F.explode("shingles").alias("sh"))
-    # one shuffle on the shingle, then |intersection| = count per pair —
-    # no distinct, no per-pair array materialization
-    inter_counts = (
-        exploded.alias("x")
-        .join(exploded.alias("y"), "sh")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    verified = _pair_jaccard(inter_counts, base)
+    # persisted: the inverted-index self-join and the size lookup would
+    # otherwise re-run tokenize+shingle once per plan branch (Spark does not
+    # CSE across self-join sides)
+    exploded = base.select("doc_id", F.explode("shingles").alias("sh")).persist()
+    if prefix_filter:
+        # AllPairs/PPJoin prefix filtering (exact): under a global shingle
+        # order (ascending document frequency, ties by value), any pair with
+        # Jaccard >= t must collide within each doc's first
+        # |s| - ceil(t*|s|) + 1 shingles — index only prefixes, verify
+        # candidates.  Wins when hot shingles make the full inverted-index
+        # join quadratic; pure overhead on corpora with low shingle document
+        # frequency (this dataset: max df 25), hence opt-in.
+        from pyspark.sql import Window
+
+        freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh"))
+        sizes = _sizes(base)
+        w = Window.partitionBy("doc_id").orderBy("df_sh", "sh")
+        prefix = (
+            exploded.join(F.broadcast(freq), "sh")
+            .join(F.broadcast(sizes), "doc_id")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
+            .select("doc_id", "sh")
+        )
+        cands = (
+            prefix.alias("x")
+            .join(prefix.alias("y"), "sh")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        verified = _verify_candidates(cands, exploded, base)
+    else:
+        # one shuffle on the shingle, |intersection| = count per pair —
+        # no distinct, no per-pair array materialization
+        inter_counts = (
+            exploded.alias("x")
+            .join(exploded.alias("y"), "sh")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        verified = _pair_jaccard(inter_counts, base)
     # jaccard is an int/int division: bit-identical in any engine, no rounding
     return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
-def minhash_signatures(base: DataFrame) -> DataFrame:
-    """Per-doc MinHash signature: NUM_HASHES min-hash columns.
+def minhash_signatures_from(exploded: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature from an exploded (doc_id, sh) frame.
 
-    Explode shingles once, compute all hash family members per shingle as
-    independent columns, then a single map-side-combining min aggregation —
-    one shuffle regardless of NUM_HASHES.
+    All hash family members are derived per shingle, then one min
+    aggregation yields all NUM_HASHES signature columns.  The repartition
+    before the groupBy materializes the md5-derived hash once into the
+    shuffle — otherwise projection collapse inlines the hash chain into
+    every agg expression (measured ~2x) — and the aggregation reuses the
+    partitioning, so there is still exactly one exchange.
     """
-    exploded = base.select("doc_id", F.explode("shingles").alias("sh")).withColumn(
-        "h", hash32(F.col("sh")) % MINHASH_PRIME
-    )
+    hashed = exploded.withColumn("h", hash32(F.col("sh")) % MINHASH_PRIME)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return hashed.repartition("doc_id").groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(base: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: NUM_HASHES min-hash columns."""
+    return minhash_signatures_from(base.select("doc_id", F.explode("shingles").alias("sh")))
 
 
 def minhash_lsh_pairs(
@@ -173,7 +212,8 @@ def minhash_lsh_pairs(
     probability; verification makes every *emitted* pair exact.
     """
     base = normalized_docs(docs, id_col, text_col)
-    sigs = minhash_signatures(base)
+    exploded = base.select("doc_id", F.explode("shingles").alias("sh")).persist()
+    sigs = minhash_signatures_from(exploded).persist()
     band_cols = []
     for b in range(BANDS):
         cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -188,7 +228,6 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    exploded = base.select("doc_id", F.explode("shingles").alias("sh"))
     verified = _verify_candidates(cands, exploded, base)
     # jaccard is an int/int division: bit-identical in any engine, no rounding
     return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
@@ -210,7 +249,9 @@ def simhash_values(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         ).alias(f"b{j}")
         for j in range(32)
     ]
-    votes = hashed.groupBy("doc_id").agg(*bit_votes)
+    # materialize h pre-shuffle (see minhash_signatures: 32 aggs would each
+    # inline the md5 chain otherwise)
+    votes = hashed.repartition("doc_id").groupBy("doc_id").agg(*bit_votes)
     packed = None
     for j in range(32):
         term = F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
