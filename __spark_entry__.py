@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 from remote_tsdb_clickhouse_spark.functions import textfuncs as tx
 from remote_tsdb_clickhouse_spark.functions.tsfuncs import label_project, per_second_rate
-from remote_tsdb_clickhouse_spark.operators import dedup, similarity
+from remote_tsdb_clickhouse_spark.operators import dedup, multimodal, similarity
+from remote_tsdb_clickhouse_spark.operators.asof import asof_join
 from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
 from remote_tsdb_clickhouse_spark.plans.read_plan import (
     ReadHints,
@@ -335,6 +336,205 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan+filter+aggregate — the predicate-pushdown showcase: every
+    filter reaches the parquet scan, no shuffle beyond the final 1-row agg."""
+    ensure_query_confs(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + conditional aggregate ratio."""
+    ensure_query_confs(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    j = l.where(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        _dsum(promo).alias("promo_revenue"),
+        _dsum(disc_price).alias("total_revenue"),
+        (F.lit(100.0) * _dsum(promo) / _dsum(disc_price)).alias("promo_pct"),
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-filter (HAVING) feeding a join back to the fact's
+    parents — the group-filter-join shape of TPC-H q18."""
+    ensure_query_confs(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 150.0)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp_ltz").cast("long").alias("o_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders having at least one returned item."""
+    ensure_query_confs(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    returned = l.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_orders_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): orders with no returned item."""
+    ensure_query_confs(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    returned = l.where(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase annotated with the user's most recent
+    prior-or-simultaneous click.  Union-and-scan shape (operators/asof.py) —
+    one shuffle, no range-join explosion; DuckDB's native ASOF JOIN is the
+    oracle twin."""
+    ensure_query_confs(spark)
+    from remote_tsdb_clickhouse_spark.sources.events import read_events
+
+    e = read_events(spark, sf_dir)
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_v"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(purchases, clicks, on=["user_id"], right_cols=["click_v"])
+    return j.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("t"),
+        "value",
+        F.col("ts_right").cast("long").alias("click_t"),
+        F.col("click_v_right").alias("click_v"),
+    )
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event type (batch twin of the
+    streaming windowed aggregation in streaming/ingest.py)."""
+    ensure_query_confs(spark)
+    from remote_tsdb_clickhouse_spark.sources.events import read_events
+
+    e = read_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum(F.col("value")).alias("sum_value"))
+        .select(
+            "event_type",
+            F.col("w.start").cast("long").alias("w_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing over documents-derived binary media (operators real,
+# codecs stubbed deterministically — SURVEY north-star extension)
+# ---------------------------------------------------------------------------
+
+
+def _doc_media(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.lit(1000) * (F.lit(1) + F.col("doc_id") % 5)).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return media
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction (mapInPandas) over binary media."""
+    ensure_query_confs(spark)
+    media = _doc_media(spark, sf_dir, "image")
+    feats = multimodal.extract_features(media)
+    cols = [
+        F.element_at("features", k + 1).cast("double").alias(f"f{k}")
+        for k in range(multimodal.FEATURE_DIM)
+    ]
+    return feats.select("media_id", "modality", *cols)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling explode shape through the real mapInPandas path
+    (frame bytes dropped: the stub codec is not SQL-expressible, the
+    schedule is)."""
+    ensure_query_confs(spark)
+    media = _doc_media(spark, sf_dir, "video")
+    frames = multimodal.sample_frames(media, every_ms=700)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_ts_ms",
+    )
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: metadata rewrite + payload regeneration per item."""
+    ensure_query_confs(spark)
+    media = _doc_media(spark, sf_dir, "image")
+    resized = multimodal.resize_images(media, 96, 64)
+    return resized.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.length("content").cast("long").alias("content_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -574,8 +774,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_delta": q6_revenue_delta,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
+        "orders_with_returns": q_orders_with_returns,
+        "orders_no_returns": q_orders_no_returns,
         "top_customers_per_segment": q_top_customers_per_segment,
         "events_sessionize": q_events_sessionize,
+        "events_asof_click": q_events_asof_click,
+        "events_window_agg": q_events_window_agg,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_resize": q_multimodal_resize,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -700,6 +910,102 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
+""",
+        "q6_revenue_delta": """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+        "q14_promo_revenue": """
+SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                     AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+       100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                             AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+""",
+        "q18_large_orders": """
+WITH big AS (
+    SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY 1
+    HAVING CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 150.0
+)
+SELECT c_custkey, c_mktsegment, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date,
+       o_totalprice, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "orders_with_returns": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+""",
+        "orders_no_returns": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+""",
+        "events_asof_click": """
+WITH clicks AS (
+    SELECT user_id, ts, max(value) AS click_v
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+    SELECT event_id, user_id, ts, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS t, p.value,
+       CAST(floor(epoch(clicks.ts)) AS BIGINT) AS click_t, clicks.click_v
+FROM p ASOF LEFT JOIN clicks
+  ON p.user_id = clicks.user_id AND p.ts >= clicks.ts
+""",
+        "events_window_agg": """
+SELECT event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS w_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+        "multimodal_features": """
+SELECT doc_id AS media_id, 'image' AS modality,
+"""
+        + ",\n".join(
+            "       CAST(CAST(CAST('0x' || substring(md5(text), {a}, 2) AS INT) / 255.0 AS FLOAT) AS DOUBLE) AS f{k}".format(
+                a=2 * k + 1, k=k
+            )
+            for k in range(8)
+        )
+        + """
+FROM documents
+""",
+        "multimodal_frame_sample": """
+SELECT doc_id AS media_id,
+       CAST(u.ts // 700 AS BIGINT) AS frame_idx,
+       CAST(u.ts AS BIGINT) AS frame_ts_ms
+FROM documents
+CROSS JOIN unnest(range(0, 1000 * (1 + doc_id % 5), 700)) AS u(ts)
+""",
+        "multimodal_resize": """
+SELECT doc_id AS media_id,
+       CAST(96 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+       CAST(96 AS BIGINT) AS content_len
+FROM documents
 """,
         "top_customers_per_segment": """
 WITH cust_rev AS (

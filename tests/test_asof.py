@@ -1,0 +1,71 @@
+"""As-of join operator: backward-inclusive semantics, tolerance, left-join
+NULLs — the union-and-scan implementation (operators/asof.py) against
+hand-computed expectations."""
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_tsdb_clickhouse_spark.operators.asof import asof_join
+
+
+def _ts(s: int):
+    return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(100), "a"), (1, _ts(205), "b"), (2, _ts(50), "c"), (3, _ts(10), "d")],
+        "k INT, ts TIMESTAMP, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(100), 1.0), (1, _ts(200), 2.0), (1, _ts(300), 3.0), (2, _ts(40), 9.0)],
+        "k INT, ts TIMESTAMP, v DOUBLE",
+    )
+    return left, right
+
+
+def test_backward_inclusive(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], right_cols=["v"])
+    got = {r.tag: r.v_right for r in out.collect()}
+    # tag a: right row at exactly ts=100 matches (inclusive)
+    # tag b: most recent <= 205 is ts=200
+    # tag c: right ts=40 <= 50
+    # tag d: key 3 has no right rows -> NULL
+    assert got == {"a": 1.0, "b": 2.0, "c": 9.0, "d": None}
+
+
+def test_matched_ts_exposed(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], right_cols=["v"])
+    got = {r.tag: r.ts_right for r in out.collect()}
+    assert got["b"] == _ts(200)
+    assert got["d"] is None
+
+
+def test_tolerance(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], right_cols=["v"], tolerance_s=5.0)
+    got = {r.tag: r.v_right for r in out.collect()}
+    # b's match (205-200=5s) is within tolerance; c's (50-40=10s) is not
+    assert got == {"a": 1.0, "b": 2.0, "c": None, "d": None}
+
+
+def test_no_row_amplification(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], right_cols=["v"])
+    assert out.count() == left.count()
+
+
+def test_single_shuffle_plan(frames):
+    """The plan must contain exactly one exchange (the keyed window) — the
+    whole point versus a range join."""
+    left, right = frames
+    out = asof_join(left, right, on=["k"], right_cols=["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
