@@ -1,0 +1,172 @@
+"""ClickHouse JDBC sink/source — the external-storage leg of the north star
+(Structured Streaming + ClickHouse JDBC).
+
+The reference writes samples over clickhouse-go's native TCP protocol into
+one MergeTree table (reference ``write.go:11-63``, DDL ``README.md:17-27``,
+pool limits ``conn.go:52,57-59``).  The Spark-native leg keeps ClickHouse as
+the external serving store while Spark owns ingest and analytics:
+
+- **DDL parity**: :func:`create_table_ddl` emits the reference's exact
+  MergeTree schema — ``DateTime`` time column, ``LowCardinality(String)``
+  name, ``Array(LowCardinality(String))`` labels, Gorilla/DoubleDelta
+  codecs, the ``set(0)`` labelset skipping index, and
+  ``ORDER BY (metric_name, labels, updated_at)``.
+- **Array mapping is the integration risk** (SURVEY §7): generic JDBC has no
+  portable ``Array(String)`` binding.  The writer therefore does not use
+  ``df.write.jdbc`` row binding for labels; it ships batches as
+  ``INSERT ... FORMAT JSONEachRow`` payloads over the HTTP interface —
+  ClickHouse's own bulk path, array-safe, and exactly what the reference's
+  bulk-import recipe does with TSV (``README.md:144-161``).
+- **Partition-parallel**: each Spark partition posts its own insert batches
+  (``foreachPartition``), so a 1000-executor cluster fans into ClickHouse
+  with bounded per-connection batch sizes — the reference's "10,000 samples
+  per send, larger batches preferred" guidance (``README.md:43-51``)
+  becomes ``batch_rows``.
+- **No ClickHouse in this environment**: everything network-touching takes
+  an injectable ``post`` callable; tests exercise DDL text, JSONEachRow
+  encoding, batching boundaries, and read-pushdown SQL without a server.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+#: Reference DDL constants (README.md:17-27)
+TABLE_REGEX = r"^[A-Za-z0-9_.]+$"
+DEFAULT_TABLE = "metrics.samples"
+
+
+def validate_table(table: str) -> str:
+    """Reference ``conn.go:14,40-42``: table names are regex-validated, never
+    interpolated from user input unchecked."""
+    import re
+
+    if not re.match(TABLE_REGEX, table):
+        raise ValueError(f"invalid table name: {table!r}")
+    return table
+
+
+def create_table_ddl(table: str = DEFAULT_TABLE) -> str:
+    """The reference's MergeTree DDL, byte-for-byte semantics
+    (``README.md:17-27``)."""
+    validate_table(table)
+    return f"""CREATE TABLE IF NOT EXISTS {table} (
+    `updated_at`  DateTime                      CODEC(DoubleDelta, LZ4),
+    `metric_name` LowCardinality(String),
+    `labels`      Array(LowCardinality(String)),
+    `value`       Float64                       CODEC(Gorilla, LZ4),
+    INDEX labelset (labels, metric_name) TYPE set(0) GRANULARITY 8192
+) ENGINE = MergeTree
+ORDER BY (metric_name, labels, updated_at)
+SETTINGS index_granularity = 8192"""
+
+
+def rows_to_jsoneachrow(rows: Iterator, batch_rows: int) -> Iterator[bytes]:
+    """Encode canonical-schema rows into JSONEachRow insert payloads of at
+    most ``batch_rows`` rows each (10k default per ``README.md:43-51``)."""
+    buf: list[str] = []
+    for r in rows:
+        ts = r["ts"]
+        buf.append(
+            json.dumps(
+                {
+                    # ClickHouse DateTime accepts 'YYYY-MM-DD hh:mm:ss';
+                    # second truncation is the reference's write semantics
+                    # (write.go:49)
+                    "updated_at": ts.strftime("%Y-%m-%d %H:%M:%S"),
+                    "metric_name": r["metric_name"],
+                    "labels": list(r["labels"]),
+                    "value": float(r["value"]),
+                },
+                separators=(",", ":"),
+            )
+        )
+        if len(buf) >= batch_rows:
+            yield ("\n".join(buf) + "\n").encode()
+            buf = []
+    if buf:
+        yield ("\n".join(buf) + "\n").encode()
+
+
+def insert_url(base_url: str, table: str) -> str:
+    from urllib.parse import quote
+
+    validate_table(table)
+    q = quote(f"INSERT INTO {table} (updated_at, metric_name, labels, value) FORMAT JSONEachRow")
+    return f"{base_url}/?query={q}"
+
+
+def default_post(url: str, payload: bytes) -> None:  # pragma: no cover - network
+    from urllib.request import Request, urlopen
+
+    req = Request(url, data=payload, headers={"Content-Type": "application/x-ndjson"})
+    with urlopen(req, timeout=30) as resp:
+        if resp.status >= 300:
+            raise RuntimeError(f"clickhouse insert failed: HTTP {resp.status}")
+
+
+class ClickHouseSink:
+    """Partition-parallel bulk writer for the canonical samples frame.
+
+    ``write(df)`` runs one ``foreachPartition`` pass: each task encodes its
+    rows into <=``batch_rows`` JSONEachRow payloads and posts them.  With
+    N partitions this is the distributed analog of the reference's prepared
+    batch insert (``write.go:25-60``), including its at-least-once contract:
+    a failed task retries whole payloads, and re-inserted duplicate rows
+    collapse at read time under ``max(value)`` (SURVEY §2.8).
+    """
+
+    def __init__(
+        self,
+        base_url: str = "http://localhost:8123",
+        table: str = DEFAULT_TABLE,
+        batch_rows: int = 10_000,
+        post: Callable[[str, bytes], None] | None = None,
+    ):
+        self.url = insert_url(base_url, table)
+        self.batch_rows = batch_rows
+        self.post = post or default_post
+
+    def write(self, df: DataFrame) -> None:
+        url, batch_rows, post = self.url, self.batch_rows, self.post
+
+        def send(rows: Iterator) -> None:
+            for payload in rows_to_jsoneachrow(rows, batch_rows):
+                post(url, payload)
+
+        df.select("ts", "metric_name", "labels", "value").foreachPartition(send)
+
+    def foreach_batch(self):
+        """Adapter for Structured Streaming: ``writeStream.foreachBatch(
+        sink.foreach_batch())`` — one sink transaction per micro-batch, the
+        streaming analog of the reference's per-request transaction."""
+
+        def fn(batch_df: DataFrame, batch_id: int) -> None:
+            self.write(batch_df)
+
+        return fn
+
+
+def read_pushdown_sql(
+    table: str,
+    where_clauses: list[str],
+    bucket_seconds: int | None = None,
+) -> str:
+    """Remote-read pushdown: when ClickHouse is the serving store, the whole
+    matcher+downsample query ships as one SQL string — the reference's exact
+    emitted shape (``read.go:57``), so ClickHouse does the heavy scan and
+    Spark (or the HTTP shell) only re-assembles series."""
+    validate_table(table)
+    t_expr = (
+        f"toStartOfInterval(updated_at, INTERVAL {int(bucket_seconds)} second)"
+        if bucket_seconds and bucket_seconds > 1
+        else "updated_at"
+    )
+    where = " AND ".join(where_clauses) if where_clauses else "1"
+    return (
+        f"SELECT metric_name, arraySort(labels) AS slb, {t_expr} AS t, max(value) AS max_0 "
+        f"FROM {table} WHERE {where} GROUP BY metric_name, slb, t ORDER BY metric_name, slb, t"
+    )
