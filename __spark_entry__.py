@@ -480,6 +480,10 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_media(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
+    # deliberately NOT spread: mapInPandas work per item is tiny here, so
+    # Python-worker fan-out costs more than it buys at bench scale (real
+    # codec workloads are CPU-bound per item and arrive many-partitioned)
+    ensure_query_confs(spark)
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -542,7 +546,12 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from remote_tsdb_clickhouse_spark.util import spread
+
+    # sf-scale documents arrive as one small parquet file = one partition;
+    # spread so per-doc expression work uses every core (at real corpus
+    # scale the input is already many-partitioned and this is a no-op)
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,8 +592,7 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select("doc_id", tx.langid_expr(F.col("text")).alias("pred_lang"))
+    return tx.langid_frame(_docs(spark, sf_dir))
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

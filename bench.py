@@ -60,6 +60,10 @@ def main() -> None:
         n = len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # NOTE: no clearCache() between queries — the dedup family persists
+        # an identical tokenize+shingle+explode subplan, and Spark's cache
+        # matches it by logical plan, so later ops legitimately reuse it
+        # (measured: clearing costs ~25s across the suite)
 
     total = round(sum(timings.values()), 3)
     print(

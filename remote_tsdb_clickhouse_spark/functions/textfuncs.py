@@ -86,6 +86,49 @@ def langid_expr(text: Column | str) -> Column:
     )
 
 
+def langid_frame(df, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)):
+    """DataFrame-level language ID: tokenize ONCE per row.
+
+    ``langid_expr`` is correct but quadratic in practice: Catalyst's
+    projection collapsing inlines the regexp-heavy ``tokens`` expression
+    into every reference in the when-cascade (~10 evaluations/row measured).
+    This version computes all four stopword counts in a single
+    ``F.aggregate`` pass over one materialized token array (tokens appears
+    exactly once in the plan), then puts an exchange between the counting
+    and the cascade so the collapse cannot re-inline it.  Only the tiny
+    (id, ratio, 4-int struct) rows cross the shuffle — not text or tokens —
+    so the barrier stays cheap at corpus scale.
+    """
+    from remote_tsdb_clickhouse_spark.util import spread
+
+    df = spread(df)  # small single-file inputs otherwise run one-core
+    langs = list(STOPWORDS)
+    cnt = F.aggregate(
+        tokens(F.col(text_col)),
+        F.struct(*[F.lit(0).alias(l) for l in langs]),
+        lambda acc, x: F.struct(
+            *[
+                (acc[l] + F.when(x.isin(*STOPWORDS[l]), 1).otherwise(0)).alias(l)
+                for l in langs
+            ]
+        ),
+    )
+    stage1 = df.select(
+        *keep,
+        nonascii_ratio(F.col(text_col)).alias("__na"),
+        cnt.alias("__cnt"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    en, de, fr, es = (F.col(f"__cnt.{l}") for l in langs)
+    cascade = (
+        F.when(F.col("__na") > 0.3, F.lit("zh"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return stage1.select(*keep, cascade.alias("pred_lang"))
+
+
 def quality_score(n_tokens: Column, stopword_ratio: Column, punct: Column) -> Column:
     """Composite quality heuristic in [0, 1].
 
