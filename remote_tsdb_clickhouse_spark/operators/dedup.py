@@ -301,17 +301,28 @@ def simhash_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.blk").alias("blk"), F.col("b.bv").alias("bv"))
+    # first-matching-block dedup: a pair colliding on several blocks (exact
+    # dups collide on all 4) is emitted only by its lowest matching block —
+    # an in-stage filter on bytes we already hold, replacing a full
+    # .distinct() shuffle of the inflated candidate set
+    def _byte(col: str, j: int) -> F.Column:
+        return F.shiftright(F.col(col), 8 * j).bitwiseAND(F.lit(255))
+
+    first_match = F.lit(True)
+    for j in range(3):
+        first_match = first_match & (
+            (F.col("blk") <= j) | (_byte("x.simhash", j) != _byte("y.simhash", j))
+        )
     cands = (
         blocks.alias("x")
         .join(blocks.alias("y"), ["blk", "bv"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .where((F.col("x.doc_id") < F.col("y.doc_id")) & first_match)
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
             F.col("x.simhash").alias("sh_a"),
             F.col("y.simhash").alias("sh_b"),
         )
-        .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (

@@ -92,6 +92,87 @@ def windowed_max_stream(
     )
 
 
+#: Output schema of :func:`stateful_rate_stream`.
+RATE_OUTPUT_SCHEMA = (
+    "metric_name STRING, labels_str STRING, t TIMESTAMP, rate DOUBLE"
+)
+#: Per-series state: timestamp + value of the last sample seen.
+RATE_STATE_SCHEMA = "last_t DOUBLE, last_v DOUBLE"
+
+
+def stateful_rate_stream(samples_stream: DataFrame, *, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful streaming operator: continuous per-series counter
+    rate with reset detection (``applyInPandasWithState``).
+
+    The batch X4 pattern (reference ``README.md:125-140``: ``if(
+    runningDifference(max_0) < 0, nan, runningDifference(...))``) needs the
+    *previous* sample of each series — trivially a ``lag`` window in batch,
+    but in a stream that previous sample may be many micro-batches old.
+    This is exactly the per-group mutable state Structured Streaming's
+    ``applyInPandasWithState`` exists for (no built-in operator expresses
+    cross-batch lag):
+
+    - group key: the series identity ``(metric_name, sorted-labels-string)``
+      — same shuffle key as every other series-keyed stage;
+    - state: ``(last_t, last_v)`` — 16 bytes per live series, bounded by
+      series cardinality, not throughput;
+    - per batch: sort the group's new samples by time, emit
+      ``(v - prev_v) / (t - prev_t)`` per step, NULL on counter reset
+      (value decreased — same convention as the batch ``per_second_rate``),
+      skip exact-duplicate timestamps; samples at or
+      before the state's ``last_t`` are late arrivals and are dropped
+      (the watermark bounds how long Spark retries ordering for us);
+    - state update: the newest ``(t, v)`` of the group.
+
+    Arrow-batched per group; Python is justified here because the operator
+    is genuinely stateful across micro-batches.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state) -> "pd.DataFrame":
+        name, labels_str = key
+        if state.exists:
+            last_t, last_v = state.get
+        else:
+            last_t, last_v = None, None
+        out_t, out_r = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                t = ts.timestamp()
+                if last_t is not None and t <= last_t:
+                    continue  # late or duplicate-timestamp sample
+                if last_t is not None:
+                    out_t.append(ts)
+                    # None -> NULL (pandas NaN maps to NULL via Arrow
+                    # anyway; match the batch per_second_rate convention)
+                    out_r.append(None if v < last_v else (v - last_v) / (t - last_t))
+                last_t, last_v = t, float(v)
+        if last_t is not None:
+            state.update((last_t, last_v))
+        yield pd.DataFrame(
+            {
+                "metric_name": [name] * len(out_t),
+                "labels_str": [labels_str] * len(out_t),
+                "t": out_t,
+                "rate": out_r,
+            }
+        )
+
+    keyed = (
+        samples_stream.withWatermark("ts", watermark)
+        .withColumn("labels_str", F.array_join(F.array_sort("labels"), ","))
+        .groupBy("metric_name", "labels_str")
+    )
+    return keyed.applyInPandasWithState(
+        update,
+        outputStructType=RATE_OUTPUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def rate_demo_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     """Synthetic samples stream off the rate source (tests / demos)."""
     return (

@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 
 from remote_tsdb_clickhouse_spark.model import SAMPLES_SCHEMA
 from remote_tsdb_clickhouse_spark.sources.samples_store import SamplesStore
-from remote_tsdb_clickhouse_spark.streaming.ingest import StreamingIngest, windowed_max_stream
+from remote_tsdb_clickhouse_spark.streaming.ingest import (
+    StreamingIngest,
+    stateful_rate_stream,
+    windowed_max_stream,
+)
 
 
 def _stage_batch(spark, staging_dir: str, rows):
@@ -68,3 +72,56 @@ def test_windowed_max_stream(spark, tmp_path):
         datetime(2024, 1, 1, 0, 0, 0): 3.0,
         datetime(2024, 1, 1, 0, 1, 0): 2.0,
     }
+
+
+def test_stateful_rate_across_restarts(spark, tmp_path):
+    """The applyInPandasWithState rate operator carries (last_t, last_v)
+    per series through the state store: a sample arriving in a later run
+    rates against the previous run's final sample."""
+    staging = str(tmp_path / "staging3")
+    ckpt = str(tmp_path / "ckpt3")
+    out_dir = str(tmp_path / "rates_out")
+
+    def run_and_fetch(_name):
+        src = spark.readStream.schema(SAMPLES_SCHEMA).parquet(staging)
+        q = (
+            stateful_rate_stream(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    _stage_batch(
+        spark,
+        staging,
+        [
+            (datetime(2024, 1, 1, 0, 0, 0), "reqs", ["job=a"], 100.0),
+            (datetime(2024, 1, 1, 0, 0, 10), "reqs", ["job=a"], 150.0),
+        ],
+    )
+    rows = run_and_fetch("rates1")
+    assert [(r.t, r.rate) for r in rows] == [(datetime(2024, 1, 1, 0, 0, 10), 5.0)]
+
+    # restart with new data: first new sample rates against carried state;
+    # the value drop is a counter reset -> NaN
+    _stage_batch(
+        spark,
+        staging,
+        [
+            (datetime(2024, 1, 1, 0, 0, 30), "reqs", ["job=a"], 250.0),
+            (datetime(2024, 1, 1, 0, 0, 40), "reqs", ["job=a"], 10.0),
+            # late sample, at/before carried last_t: dropped
+            (datetime(2024, 1, 1, 0, 0, 10), "reqs", ["job=a"], 999.0),
+        ],
+    )
+    all_rows = run_and_fetch("rates2")
+    assert len(all_rows) == 3  # run1's row + two new; the late sample emitted nothing
+    rows = {r.t: r.rate for r in all_rows}
+    assert rows[datetime(2024, 1, 1, 0, 0, 30)] == 5.0  # (250-150)/(30-10)
+    assert rows[datetime(2024, 1, 1, 0, 0, 40)] is None  # counter reset -> NULL
+    assert rows[datetime(2024, 1, 1, 0, 0, 10)] == 5.0  # run1's, not the late 999
