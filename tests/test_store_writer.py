@@ -116,3 +116,26 @@ def test_read_plan_prunes_partitions(spark, tmp_path):
     pf = plan.split("PartitionFilters")[1].split("]")[0]
     assert "ts_date" in pf and "2024-01-03" in pf
     assert [r["max_0"] for r in df.collect()] == [2.0]
+
+
+def test_read_plan_pushes_name_filter(spark, tmp_path):
+    """F3 metric-name equality must reach the parquet scan as a pushed
+    filter (the MergeTree primary-key-prefix analog: row-group stats on the
+    file-internal (metric_name, labels, ts) sort order prune by name)."""
+    from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
+    from remote_tsdb_clickhouse_spark.plans.read_plan import ReadQuery, read_query_grouped
+
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+    writer.write(wr("up", [], [(1.0, 1704067200000)]))
+    writer.write(wr("down", [], [(2.0, 1704067200000)]))
+    q = ReadQuery(
+        start_ms=1704067200000,
+        matchers=(LabelMatcher(MatcherType.EQ, "__name__", "up"),),
+    )
+    df = read_query_grouped(store.read(), q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    # (the plan string elides long filter lists; match prefixes)
+    assert "EqualTo(met" in pushed
+    assert "GreaterThanOrEqual(ts," in pushed
