@@ -96,9 +96,21 @@ def check_re2_portable(pattern: str) -> str:
     return pattern
 
 
+def _to_java_dialect(pattern: str) -> str:
+    """Translate RE2 spellings Java rejects into their Java equivalents.
+
+    RE2 (and Python) named groups are ``(?P<name>...)``; Java spells them
+    ``(?<name>...)`` and throws on the ``P``.  A valid Prometheus matcher
+    must not crash the engine, so rewrite instead of reject.  (The sequence
+    is only rewritten where it has regex meaning — an escaped ``\\(`` never
+    forms a group opener.)
+    """
+    return re.sub(r"(?<!\\)\(\?P<", "(?<", pattern)
+
+
 def _anchored(pattern: str) -> str:
     # '^' + pattern + '$' — concat-anchoring exactly as read.go:104.
-    return "^" + check_re2_portable(pattern) + "$"
+    return "^" + _to_java_dialect(check_re2_portable(pattern)) + "$"
 
 
 def joined_label(name: str, value: str) -> str:
