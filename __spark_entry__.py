@@ -473,6 +473,52 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (bit-identical to DuckDB's
+    quantile_cont — verified empirically)."""
+    ensure_query_confs(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.percentile("o_totalprice", 0.99).alias("p99"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (segment, priority) -> (segment) -> () totals."""
+    ensure_query_confs(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    return j.rollup("c_mktsegment", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_value"),
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part by observed unit price (window min over a
+    fact-dim join; q2's shape on the available schema)."""
+    ensure_query_confs(spark)
+    from pyspark.sql import Window
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    w = Window.partitionBy("l_partkey").orderBy(F.col("unit_price").asc(), F.col("l_suppkey"))
+    return (
+        l.select("l_partkey", "l_suppkey", unit)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("best_suppkey"),
+            "unit_price",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing over documents-derived binary media (operators real,
 # codecs stubbed deterministically — SURVEY north-star extension)
@@ -787,6 +833,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "orders_with_returns": q_orders_with_returns,
         "orders_no_returns": q_orders_no_returns,
+        "order_value_quantiles": q_order_value_quantiles,
+        "sales_rollup": q_sales_rollup,
+        "min_cost_supplier": q_min_cost_supplier,
         "top_customers_per_segment": q_top_customers_per_segment,
         "events_sessionize": q_events_sessionize,
         "events_asof_click": q_events_asof_click,
@@ -966,6 +1015,29 @@ FROM orders
 WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY 1
+""",
+        "order_value_quantiles": """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1
+""",
+        "sales_rollup": """
+SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+""",
+        "min_cost_supplier": """
+SELECT l_partkey AS p_partkey, l_suppkey AS best_suppkey, unit_price FROM (
+    SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price,
+           row_number() OVER (PARTITION BY l_partkey
+                              ORDER BY l_extendedprice / l_quantity ASC, l_suppkey) AS rk
+    FROM lineitem
+) WHERE rk = 1
 """,
         "events_asof_click": """
 WITH clicks AS (
