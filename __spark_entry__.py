@@ -621,6 +621,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup group assignment: connected components (iterative min-label
+    propagation) over the MinHash-LSH pair graph; oracled against a DuckDB
+    recursive-CTE transitive closure."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return dedup.connected_components(pairs)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.45)
 
@@ -847,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_groups": q_dedup_groups,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_topk_lsh": q_sim_topk_lsh,
@@ -1139,6 +1148,21 @@ WHERE la + lb - i > 0 AND CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
 """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        "dedup_groups": f"""
+WITH RECURSIVE
+lsh AS ({_minhash_oracle()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM lsh
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM lsh
+),
+reach(a, b) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+""",
         "dedup_embedding_cosine": f"""
 WITH {_EMB_NORM_CTE}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

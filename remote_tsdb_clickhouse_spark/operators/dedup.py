@@ -242,6 +242,69 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Dedup group assignment: connected components of the near-dup pair
+    graph by iterative min-label propagation.
+
+    Each iteration is one join + one min-aggregate (both hash-partitioned on
+    the node id), converging in O(component diameter) rounds — near-dup
+    clusters are dense and shallow, so 2-4 rounds in practice.  Every round
+    materializes and truncates lineage (``localCheckpoint``), the standard
+    guard against iterative-plan blowup; on a cluster the same call writes
+    to the checkpoint dir instead of executor-local storage.
+
+    Output: ``(doc_id, group_id)`` — one row per node that appears in any
+    pair, ``group_id`` = the smallest doc_id in its component (the natural
+    "keeper" under the same convention as :func:`exact_dedup`).
+    """
+    # persist the pair frame first: the bidirectional union references it
+    # twice, and without this the (possibly expensive) upstream pipeline
+    # producing the pairs would be evaluated once per direction
+    pairs = pairs.persist()
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    pairs.unpersist()
+
+    def _lbl_sum(df: DataFrame) -> object:
+        # decimal sum: overflow-safe at any id range / node count
+        return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _lbl_sum(labels)
+    for _ in range(max_iters):
+        nbr = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), F.col("lbl")
+        )
+        labels = (
+            nbr.union(labels.select("node", "lbl"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        # min-label propagation strictly decreases the label sum until the
+        # fixpoint — a join-free convergence test (one tiny aggregate over
+        # the already-checkpointed frame)
+        new_sum = _lbl_sum(labels)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("group_id"))
+
+
 def simhash_values(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash per document.
 

@@ -60,6 +60,20 @@ def test_no_row_amplification(frames):
     assert out.count() == left.count()
 
 
+def test_connected_components_chain():
+    """Min-label propagation: a diameter-3 chain converges to one group;
+    disjoint pairs stay separate (operators/dedup.py)."""
+    from remote_tsdb_clickhouse_spark.operators.dedup import connected_components
+    from remote_tsdb_clickhouse_spark.session import get_spark
+
+    spark = get_spark()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a LONG, doc_b LONG"
+    )
+    got = {(r.doc_id, r.group_id) for r in connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
 def test_single_shuffle_plan(frames):
     """The plan must contain exactly one exchange (the keyed window) — the
     whole point versus a range join."""
