@@ -633,6 +633,19 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.45)
 
 
+def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup: bucketed per-orthant GEMM (no corpus
+    broadcast/collect); the bucket restriction itself is oracled.
+
+    n_bits trades recall for bucket size: P[same orthant] per hyperplane is
+    1 - arccos(cos)/pi, so at this low 0.45 threshold 2 bits keeps recall
+    ~0.45 while quartering the candidate space; high-threshold dedup
+    (>=0.9) supports 8+ bits.  Multi-probe over flipped low-magnitude bits
+    is the standard recall knob beyond that.
+    """
+    return similarity.bucketed_cosine_pairs(_embs(spark, sf_dir), threshold=0.45, n_bits=2)
+
+
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
     out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
@@ -857,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_groups": q_dedup_groups,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_topk_lsh": q_sim_topk_lsh,
         "text_langid": q_text_langid,
@@ -1168,6 +1182,19 @@ WITH {_EMB_NORM_CTE}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
 FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE a.nrm > 0 AND b.nrm > 0
+  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+""",
+        "dedup_embedding_cosine_lsh": f"""
+WITH {_EMB_NORM_CTE},
+bkt AS (
+    SELECT vec_id, v, nrm,
+           (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) AS bucket
+    FROM n
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE a.nrm > 0 AND b.nrm > 0
   AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
 """,

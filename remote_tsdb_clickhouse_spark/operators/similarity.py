@@ -118,6 +118,48 @@ def bucketed_topk(
     )
 
 
+def bucketed_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at corpus scale: IVF/LSH-shaped.
+
+    :func:`cosine_pairs` broadcasts the whole corpus — exact, but bounded by
+    executor memory.  This variant shuffles once on the deterministic
+    sign-pattern bucket and scores **within each bucket** with one numpy
+    GEMM per group (``applyInPandas``): no global collect, no broadcast,
+    pair candidates restricted to same-orthant vectors.  Recall < 1 by
+    design (near-dups almost always share the leading-dimension orthant;
+    multi-probe over flipped low-magnitude bits is the standard recall
+    knob).  The DuckDB oracle mirrors the same bucket restriction, so the
+    approximation itself is verified, not just the arithmetic.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = _with_norm(emb, id_col, vec_col).withColumn("bucket", sign_bucket(F.col("vec"), n_bits))
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["vid"].to_numpy()
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])
+        nrm = pdf["nrm"].to_numpy()
+        ok = nrm > 0
+        unit = np.where(ok[:, None], mat / np.where(ok, nrm, 1.0)[:, None], 0.0)
+        sims = unit @ unit.T
+        ia, ib = np.where((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame(
+            {"id_a": ids[ia], "id_b": ids[ib], "cos": sims[ia, ib]}
+        )
+
+    scored = base.select("vid", "vec", "nrm", "bucket").groupBy("bucket").applyInPandas(
+        score, schema="id_a LONG, id_b LONG, cos DOUBLE"
+    )
+    return scored.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.45,
