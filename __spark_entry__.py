@@ -658,6 +658,64 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
+def q_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality-score -> keep only exact-dedup
+    keepers -> per-language corpus stats.  One chained DataFrame plan: the
+    dedup shuffle and the stats aggregation are the only exchanges."""
+    d = _docs(spark, sf_dir)
+    toks = tx.tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    sw_ratio = tx.stopword_count(toks, "en") / F.greatest(n_tokens, F.lit(1))
+    punct = tx.punct_ratio(F.col("text"))
+    scored = d.select(
+        "doc_id", "lang", tx.quality_score(n_tokens, sw_ratio, punct).alias("quality")
+    )
+    keepers = dedup.exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
+    return (
+        scored.join(keepers, "doc_id")
+        .where(F.col("quality") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (_dsum(F.col("quality")) / F.count("*")).alias("avg_quality"),
+        )
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel: signup -> first click after signup ->
+    first purchase after that click, counted per stage (single output row).
+    Three stage aggregations, each joining the previous stage's anchor time."""
+    ensure_query_confs(spark)
+    from remote_tsdb_clickhouse_spark.sources.events import read_events
+
+    e = read_events(spark, sf_dir)
+    s0 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c0 = (
+        e.where(F.col("event_type") == "click")
+        .join(s0, "user_id")
+        .where(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p0 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c0, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s0.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c0.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(p0.agg(F.count("*").alias("n_purchase_after")))
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.langid_frame(_docs(spark, sf_dir))
 
@@ -873,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_topk_lsh": q_sim_topk_lsh,
+        "text_pipeline": q_text_pipeline,
+        "events_funnel": q_events_funnel,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
@@ -1235,6 +1295,47 @@ r AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 5
+""",
+        "text_pipeline": f"""
+WITH {_TOKS_CTE},
+scored AS (
+    SELECT d.doc_id, d.lang,
+           0.5 * ({_LANG_FILTERS['en']} * 1.0 / greatest(len(toks), 1))
+         + 0.3 * least(CAST(len(toks) AS BIGINT) / 100.0, 1.0)
+         + 0.2 * (1.0 - length(regexp_replace(d.text, '[a-zA-Z0-9\\s]', '', 'g'))
+                        * 1.0 / greatest(length(d.text), 1)) AS quality
+    FROM documents d JOIN toks USING (doc_id)
+),
+keepers AS (
+    SELECT min(doc_id) AS doc_id
+    FROM toks GROUP BY md5(array_to_string(toks, ' '))
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CAST(quality AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_quality
+FROM scored JOIN keepers USING (doc_id)
+WHERE quality >= 0.5
+GROUP BY lang
+""",
+        "events_funnel": """
+WITH s0 AS (
+    SELECT user_id, min(ts) AS t_signup FROM events
+    WHERE event_type = 'signup' GROUP BY 1
+),
+c0 AS (
+    SELECT e.user_id, s0.t_signup, min(e.ts) AS t_click
+    FROM events e JOIN s0 ON e.user_id = s0.user_id
+    WHERE e.event_type = 'click' AND e.ts >= s0.t_signup
+    GROUP BY 1, 2
+),
+p0 AS (
+    SELECT e.user_id, min(e.ts) AS t_purchase
+    FROM events e JOIN c0 ON e.user_id = c0.user_id
+    WHERE e.event_type = 'purchase' AND e.ts >= c0.t_click
+    GROUP BY 1
+)
+SELECT (SELECT count(*) FROM s0) AS n_signup,
+       (SELECT count(*) FROM c0) AS n_click_after,
+       (SELECT count(*) FROM p0) AS n_purchase_after
 """,
         "text_langid": f"""
 WITH {_TOKS_CTE},
