@@ -204,6 +204,34 @@ def q_tsdb_label_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ``/api/v1/label/<name>/values`` analog: distinct values of
+    one label key across series matching a time range — explode the label
+    array, prefix-filter, distinct."""
+    s = _samples(spark, sf_dir)
+    return (
+        s.where(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(T5 // 1000)))
+            & (F.col("ts") <= F.timestamp_seconds(F.lit(T20 // 1000)))
+        )
+        .select(F.explode("labels").alias("lbl"))
+        .where(F.col("lbl").startswith("tier="))
+        # substring past the prefix, NOT split-on-'=': label values may
+        # themselves contain '=' (only the first '=' is structural)
+        .select(F.col("lbl").substr(F.lit(6), F.length("lbl")).alias("value"))
+        .distinct()
+    )
+
+
+def q_tsdb_series_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series cardinality per metric: count of distinct labelsets — the
+    reference's '16,032 unique combinations' statistic (README.md:31)."""
+    s = _samples(spark, sf_dir)
+    return s.groupBy("metric_name").agg(
+        F.count_distinct(F.array_join(F.array_sort("labels"), ",")).alias("n_series")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytic join/aggregate/window queries (TPC-H-shaped; extended capability)
 # ---------------------------------------------------------------------------
@@ -695,17 +723,24 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_signup"))
     )
+    day = 86400.0
     c0 = (
         e.where(F.col("event_type") == "click")
         .join(s0, "user_id")
-        .where(F.col("ts") >= F.col("t_signup"))
+        .where(
+            (F.col("ts") >= F.col("t_signup"))
+            & (F.col("ts").cast("double") - F.col("t_signup").cast("double") <= day)
+        )
         .groupBy("user_id", "t_signup")
         .agg(F.min("ts").alias("t_click"))
     )
     p0 = (
         e.where(F.col("event_type") == "purchase")
         .join(c0, "user_id")
-        .where(F.col("ts") >= F.col("t_click"))
+        .where(
+            (F.col("ts") >= F.col("t_click"))
+            & (F.col("ts").cast("double") - F.col("t_click").cast("double") <= day)
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
@@ -904,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_ignore_label": q_tsdb_ignore_label,
         "tsdb_rate": q_tsdb_rate,
         "tsdb_label_project": q_tsdb_label_project,
+        "tsdb_label_values": q_tsdb_label_values,
+        "tsdb_series_count": q_tsdb_series_count,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -1008,6 +1045,19 @@ SELECT metric_name,
        value * 8 AS bits
 FROM samples
 WHERE metric_name = 'click' AND ts >= {t5} AND ts <= {t20}
+""",
+        "tsdb_label_values": f"""
+WITH {SAMPLES_ORACLE_CTE},
+ex AS (
+    SELECT unnest(labels) AS lbl FROM samples
+    WHERE ts >= {{t5}} AND ts <= {{t20}}
+)
+SELECT DISTINCT substring(lbl, 6) AS value FROM ex WHERE lbl LIKE 'tier=%'
+""".format(t5="TIMESTAMP '2024-01-05 00:00:00'", t20="TIMESTAMP '2024-01-20 00:00:00'"),
+        "tsdb_series_count": f"""
+WITH {SAMPLES_ORACLE_CTE}
+SELECT metric_name, count(DISTINCT array_to_string(list_sort(labels), ',')) AS n_series
+FROM samples GROUP BY 1
 """,
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
@@ -1325,12 +1375,14 @@ c0 AS (
     SELECT e.user_id, s0.t_signup, min(e.ts) AS t_click
     FROM events e JOIN s0 ON e.user_id = s0.user_id
     WHERE e.event_type = 'click' AND e.ts >= s0.t_signup
+      AND epoch(e.ts) - epoch(s0.t_signup) <= 86400.0
     GROUP BY 1, 2
 ),
 p0 AS (
     SELECT e.user_id, min(e.ts) AS t_purchase
     FROM events e JOIN c0 ON e.user_id = c0.user_id
     WHERE e.event_type = 'purchase' AND e.ts >= c0.t_click
+      AND epoch(e.ts) - epoch(c0.t_click) <= 86400.0
     GROUP BY 1
 )
 SELECT (SELECT count(*) FROM s0) AS n_signup,
