@@ -273,7 +273,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") > cutoff)
         .join(o.where(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(c.where(F.col("c_mktsegment") == "BUILDING")),
+            # no broadcast hint: customer scales with SF (auto-broadcast
+            # picks it up at small scale; sort-merge/AQE at 100 TB)
+            c.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
     )
@@ -305,7 +307,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(rd("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(rd("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             rd("customer"),
             (F.col("o_custkey") == F.col("c_custkey"))
@@ -329,7 +331,7 @@ def q_top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     rev = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment", "c_custkey")
         .agg(_dsum(F.col("o_totalprice")).alias("total"))
     )
@@ -394,7 +396,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = l.where(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
-    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    ).join(p, F.col("l_partkey") == F.col("p_partkey"))
     return j.agg(
         _dsum(promo).alias("promo_revenue"),
         _dsum(disc_price).alias("total_revenue"),
@@ -416,7 +418,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_mktsegment",
@@ -519,7 +521,7 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    j = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     return j.rollup("c_mktsegment", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         _dsum(F.col("o_totalprice")).alias("total_value"),
