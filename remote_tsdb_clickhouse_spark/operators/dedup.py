@@ -82,14 +82,16 @@ def _sizes(base: DataFrame) -> DataFrame:
 
 def _pair_jaccard(inter_counts: DataFrame, base: DataFrame) -> DataFrame:
     """Attach shingle-set sizes to (doc_a, doc_b, inter) counts and compute
-    exact Jaccard.  Sizes are one small row per doc -> broadcast joins."""
+    exact Jaccard.  Sizes are one (id, int) row per doc — small at test SF
+    but corpus-sized at scale, so no broadcast hint: the auto-broadcast
+    threshold promotes it when it fits and AQE shuffles it when it doesn't."""
     sizes = _sizes(base)
     a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("la"))
     b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("lb"))
     union = F.col("la") + F.col("lb") - F.col("inter")
     return (
-        inter_counts.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        inter_counts.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -154,8 +156,8 @@ def ngram_jaccard_pairs(
         sizes = _sizes(base)
         w = Window.partitionBy("doc_id").orderBy("df_sh", "sh")
         prefix = (
-            exploded.join(F.broadcast(freq), "sh")
-            .join(F.broadcast(sizes), "doc_id")
+            exploded.join(freq, "sh")
+            .join(sizes, "doc_id")
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
             .select("doc_id", "sh")
