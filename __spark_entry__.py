@@ -753,6 +753,25 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10) — the
+    reproducible, engine-independent alternative to ``df.sample``: membership
+    is a pure function of the id, so re-runs, backfills, and other engines
+    agree row-for-row."""
+    d = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.langid_frame(_docs(spark, sf_dir))
 
@@ -970,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_topk_lsh": q_sim_topk_lsh,
+        "dataset_split": q_dataset_split,
         "text_pipeline": q_text_pipeline,
         "events_funnel": q_events_funnel,
         "text_langid": q_text_langid,
@@ -1347,6 +1367,16 @@ r AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 5
+""",
+        "dataset_split": """
+WITH h AS (
+    SELECT lang,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS hv
+    FROM documents
+)
+SELECT CASE WHEN hv < 80 THEN 'train' WHEN hv < 90 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM h GROUP BY 1, 2
 """,
         "text_pipeline": f"""
 WITH {_TOKS_CTE},
