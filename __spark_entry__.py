@@ -555,7 +555,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _doc_media(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
+def _doc_media(spark: SparkSession, sf_dir: str, modality: str, rate: int | None = None) -> DataFrame:
     # deliberately NOT spread: mapInPandas work per item is tiny here, so
     # Python-worker fan-out costs more than it buys at bench scale (real
     # codec workloads are CPU-bound per item and arrive many-partitioned)
@@ -569,7 +569,11 @@ def _doc_media(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
             F.lit("fake").alias("format"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("sample_rate"),
+            (
+                F.when(F.lit(modality) == "audio", F.lit(8000) + (F.col("doc_id") % 3) * 8000)
+                .otherwise(F.lit(None))
+                .cast("int")
+            ).alias("sample_rate"),
             (F.lit(1000) * (F.lit(1) + F.col("doc_id") % 5)).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )
@@ -599,6 +603,22 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         F.col("frame_idx").cast("long").alias("frame_idx"),
         "frame_ts_ms",
+    )
+
+
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample plumbing: metadata contract (orig/target rate, exact
+    resampled sample count) through the real mapInPandas path; stub payload
+    bytes dropped (not SQL-expressible), payload length is."""
+    ensure_query_confs(spark)
+    media = _doc_media(spark, sf_dir, "audio")
+    out = multimodal.resample_audio(media, target_rate=16000)
+    return out.select(
+        "media_id",
+        F.col("orig_rate").cast("long").alias("orig_rate"),
+        F.col("target_rate").cast("long").alias("target_rate"),
+        "n_samples",
+        F.length("content").cast("long").alias("payload_len"),
     )
 
 
@@ -980,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_resample": q_multimodal_resample,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1240,6 +1261,14 @@ CROSS JOIN unnest(range(0, 1000 * (1 + doc_id % 5), 700)) AS u(ts)
 SELECT doc_id AS media_id,
        CAST(96 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
        CAST(96 AS BIGINT) AS content_len
+FROM documents
+""",
+        "multimodal_resample": """
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 3) * 8000 AS BIGINT) AS orig_rate,
+       CAST(16000 AS BIGINT) AS target_rate,
+       (1000 * (1 + doc_id % 5)) * 16000 // 1000 AS n_samples,
+       greatest(1, least((1000 * (1 + doc_id % 5)) * 16000 // 1000, 4096)) AS payload_len
 FROM documents
 """,
         "top_customers_per_segment": """

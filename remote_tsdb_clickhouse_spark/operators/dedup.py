@@ -273,10 +273,14 @@ def connected_components(
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .persist()
     )
+    # initialization fused with the first propagation round: each node
+    # starts at min(self, direct neighbors) — one aggregate instead of a
+    # distinct + a full loop iteration
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("lbl"))
+        .union(edges.select(F.col("src").alias("node"), F.col("src").alias("lbl")))
+        .groupBy("node")
+        .agg(F.min("lbl").alias("lbl"))
         .localCheckpoint()
     )
     pairs.unpersist()

@@ -159,6 +159,53 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.where(F.col("modality") == "image").mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
+RESAMPLED_SCHEMA = (
+    "media_id LONG, orig_rate INT, target_rate INT, n_samples LONG, content BINARY"
+)
+
+
+def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """Audio resample plumbing: per-item rate conversion via mapInPandas.
+
+    STUB: without soundfile/librosa the payload is a deterministic re-hash
+    sized to the resampled frame count; the real implementation swaps the
+    body for a polyphase resampler.  ``n_samples`` (the resampled sample
+    count, ``duration_ms * target_rate / 1000``) is the metadata contract
+    downstream stages rely on, so it is computed for real.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, origs, ns, outs = [], [], [], []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                orig = int(meta["sample_rate"] or 0)
+                dur = int(meta["duration_ms"] or 0)
+                n = (dur * target_rate) // 1000
+                ids.append(mid)
+                origs.append(orig)
+                ns.append(n)
+                payload_len = max(1, min(n, 4096))
+                outs.append(
+                    (hashlib.sha256(bytes(content)).digest() * ((payload_len // 32) + 1))[
+                        :payload_len
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "orig_rate": origs,
+                    "target_rate": target_rate,
+                    "n_samples": ns,
+                    "content": outs,
+                }
+            )
+
+    return media.where(F.col("modality") == "audio").mapInPandas(
+        batches, schema=RESAMPLED_SCHEMA
+    )
+
+
 FRAMES_SCHEMA = "media_id LONG, frame_idx INT, frame_ts_ms LONG, frame BINARY"
 
 
