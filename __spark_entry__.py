@@ -204,6 +204,44 @@ def q_tsdb_label_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series trailing 5-point moving average over the grouped-max
+    samples (window frame over the series key — the smoothing companion to
+    X1's rate).  Decimal per-row casts keep the frame sum order-free."""
+    from pyspark.sql import Window
+
+    q = ReadQuery(start_ms=T5, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "view"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    flat = grouped.select("metric_name", _lbl(), _epoch(), "max_0")
+    w = (
+        Window.partitionBy("metric_name", "labels_str")
+        .orderBy("t")
+        .rowsBetween(-4, 0)
+    )
+    avg5 = (
+        F.sum(F.col("max_0").cast("decimal(30,6)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
+    return flat.select("metric_name", "labels_str", "t", avg5.alias("avg5"))
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week, counted
+    by distinct active week offset — the standard cohort triangle."""
+    ensure_query_confs(spark)
+    from remote_tsdb_clickhouse_spark.sources.events import read_events
+
+    e = read_events(spark, sf_dir)
+    week = (F.col("ts").cast("long") / F.lit(604800)).cast("long")
+    activity = e.select("user_id", week.alias("wk")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("wk0", (F.col("wk") - F.col("wk0")).alias("offset_wk"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def q_tsdb_label_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus ``/api/v1/label/<name>/values`` analog: distinct values of
     one label key across series matching a time range — explode the label
@@ -980,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_ignore_label": q_tsdb_ignore_label,
         "tsdb_rate": q_tsdb_rate,
         "tsdb_label_project": q_tsdb_label_project,
+        "tsdb_moving_avg": q_tsdb_moving_avg,
+        "events_retention": q_events_retention,
         "tsdb_label_values": q_tsdb_label_values,
         "tsdb_series_count": q_tsdb_series_count,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1088,6 +1128,26 @@ SELECT metric_name,
        value * 8 AS bits
 FROM samples
 WHERE metric_name = 'click' AND ts >= {t5} AND ts <= {t20}
+""",
+        "tsdb_moving_avg": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'view'")}
+SELECT metric_name, labels_str, CAST(floor(epoch(tt)) AS BIGINT) AS t,
+       CAST(sum(CAST(v AS DECIMAL(30,6))) OVER w AS DOUBLE) / count(*) OVER w AS avg5
+FROM grouped
+WINDOW w AS (PARTITION BY metric_name, labels_str ORDER BY tt
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+        "events_retention": """
+WITH activity AS (
+    SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk FROM events
+),
+cohort AS (
+    SELECT user_id, min(wk) AS wk0 FROM activity GROUP BY 1
+)
+SELECT c.wk0, a.wk - c.wk0 AS offset_wk, count(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN cohort c USING (user_id)
+GROUP BY 1, 2
 """,
         "tsdb_label_values": f"""
 WITH {SAMPLES_ORACLE_CTE},
