@@ -105,3 +105,49 @@ def test_write_error_counted(server):
     status, _ = _post(srv.port, "/write", b"not snappy at all")
     assert status == 500
     assert app.metrics.write_errors_total.value == 1
+
+
+def test_concurrent_writes_then_read(server):
+    """Prometheus runs parallel remote-write shards; the threaded server
+    submits Spark jobs from multiple handler threads.  All samples from
+    concurrent writers must land, none double-counted."""
+    import concurrent.futures
+
+    srv, app = server
+
+    def write_shard(shard: int):
+        req = prompb.WriteRequest(
+            timeseries=[
+                prompb.TimeSeries(
+                    labels=[
+                        prompb.Label("__name__", "shard_metric"),
+                        prompb.Label("shard", str(shard)),
+                    ],
+                    samples=[
+                        prompb.Sample(float(k), 1704067200000 + k * 1000)
+                        for k in range(5)
+                    ],
+                )
+            ]
+        )
+        return _post(srv.port, "/write", codec.encode_write_request(req))
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(write_shard, range(4)))
+    assert all(status == 200 for status, _ in results)
+    assert app.metrics.samples_written_total.value == 20
+
+    read_req = prompb.ReadRequest(
+        queries=[
+            ReadQuery(
+                start_ms=1704067200000,
+                matchers=(LabelMatcher(MatcherType.EQ, "__name__", "shard_metric"),),
+            )
+        ]
+    )
+    status, body = _post(srv.port, "/read", codec.encode_read_request(read_req))
+    assert status == 200
+    resp = prompb.decode_read_response(codec.snappy_decompress(body))
+    series = resp.results[0].timeseries
+    assert len(series) == 4  # one per shard
+    assert all(len(ts.samples) == 5 for ts in series)
