@@ -44,6 +44,18 @@ class SamplesStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # concurrent appends to one parquet root race on the shared
+        # `_temporary` commit-staging dir (one job's cleanup deletes the
+        # other's in-flight task files -> silently lost rows; observed under
+        # threaded HTTP writers).  Appends are serialized per store process —
+        # the reference has the same discipline (one adapter process, inserts
+        # serialized by ClickHouse server-side); multi-writer deployments go
+        # through the streaming ingest, whose micro-batches serialize anyway.
+        # A cluster-grade multi-writer store swaps this for a table format
+        # with a transactional commit protocol (Delta/Iceberg).
+        import threading
+
+        self._append_lock = threading.Lock()
 
     # -- write path ---------------------------------------------------------
 
@@ -53,14 +65,15 @@ class SamplesStore:
         Sorting within partitions gives every file the MergeTree-like
         physical order; partitionBy(date) keeps time pruning.
         """
-        (
-            df.select(*SAMPLES_FIELDS)
-            .withColumn(PARTITION_COLUMN, F.to_date("ts"))
-            .sortWithinPartitions("metric_name", "labels", "ts")
-            .write.partitionBy(PARTITION_COLUMN)
-            .mode("append")
-            .parquet(self.path)
-        )
+        with self._append_lock:
+            (
+                df.select(*SAMPLES_FIELDS)
+                .withColumn(PARTITION_COLUMN, F.to_date("ts"))
+                .sortWithinPartitions("metric_name", "labels", "ts")
+                .write.partitionBy(PARTITION_COLUMN)
+                .mode("append")
+                .parquet(self.path)
+            )
 
     # -- read path ----------------------------------------------------------
 

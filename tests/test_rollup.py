@@ -1,0 +1,83 @@
+"""Hierarchical rollups: routing picks the coarsest exact resolution, and
+rollup-served downsampled reads are bit-identical to raw-served ones."""
+
+from __future__ import annotations
+
+import pytest
+
+from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
+from remote_tsdb_clickhouse_spark.plans.read_plan import ReadHints, ReadQuery, read_query_grouped
+from remote_tsdb_clickhouse_spark.sources.events import events_to_samples
+from remote_tsdb_clickhouse_spark.sources.rollup import RollupStore
+from remote_tsdb_clickhouse_spark.sources.samples_store import SamplesStore
+
+SF = "/root/testdata/sf0.001"
+T0 = 1704067200000
+T20 = 1705708800000
+
+
+@pytest.fixture(scope="module")
+def stores(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("rollup")
+    base = SamplesStore(spark, str(tmp / "samples"))
+    base.append(events_to_samples(spark, SF))
+    rs = RollupStore(spark, base, str(tmp / "rollups"))
+    rs.build(60)
+    rs.build(3600, source_interval_s=60)  # coarse built FROM fine
+    return base, rs
+
+
+def _rows(df):
+    return sorted(
+        (r.metric_name, ",".join(r.slb), r.t, r.max_0)
+        for r in df.collect()
+    )
+
+
+def test_resolutions_listed(stores):
+    _, rs = stores
+    assert rs.resolutions() == [60, 3600]
+
+
+def test_routing(stores):
+    _, rs = stores
+    # raw query -> base (no rollup)
+    _, res = rs.route(ReadQuery(start_ms=T0))
+    assert res is None
+    # 120 s downsample -> served by the 60 s rollup
+    _, res = rs.route(ReadQuery(start_ms=T0, hints=ReadHints(step_ms=240000)))
+    assert res == 60
+    # 2 h downsample -> the 1 h rollup (coarsest exact)
+    _, res = rs.route(ReadQuery(start_ms=T0, hints=ReadHints(step_ms=4 * 3600 * 1000)))
+    assert res == 3600
+    # 90 s downsample: 60 does not divide 90 -> base
+    _, res = rs.route(ReadQuery(start_ms=T0, hints=ReadHints(step_ms=180000)))
+    assert res is None
+
+
+def test_rollup_served_results_exact(stores):
+    base, rs = stores
+    q = ReadQuery(
+        start_ms=T0,
+        end_ms=T20,
+        matchers=(LabelMatcher(MatcherType.EQ, "__name__", "view"),),
+        hints=ReadHints(step_ms=240000),  # -> 120 s buckets, served from 60 s rollup
+    )
+    served, res = rs.route(q)
+    assert res == 60
+    assert _rows(read_query_grouped(served, q)) == _rows(read_query_grouped(base.read(), q))
+
+
+def test_rollup_buckets_aligned(stores):
+    """Rollup rows sit exactly on bucket boundaries (floor-aligned epoch),
+    so any query interval that is a multiple of the resolution nests
+    losslessly.  (Row-count compression is data-dependent — this corpus has
+    one sample per series-bucket — so alignment is the invariant to hold.)"""
+    base, rs = stores
+    q = ReadQuery(start_ms=T0, end_ms=T20, hints=ReadHints(step_ms=4 * 3600 * 1000))
+    served, res = rs.route(q)
+    assert res == 3600
+    from pyspark.sql import functions as F
+
+    misaligned = served.where(F.col("ts").cast("long") % 3600 != 0).count()
+    assert misaligned == 0
