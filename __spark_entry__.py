@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from remote_tsdb_clickhouse_spark.functions import textfuncs as tx
-from remote_tsdb_clickhouse_spark.functions.tsfuncs import label_project, per_second_rate
+from remote_tsdb_clickhouse_spark.functions.tsfuncs import irate, label_project, per_second_rate
 from remote_tsdb_clickhouse_spark.operators import dedup, multimodal, similarity
 from remote_tsdb_clickhouse_spark.operators.asof import asof_join
 from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
@@ -202,6 +202,14 @@ def q_tsdb_label_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") * 8).alias("bits"),
         )
     )
+
+
+def q_tsdb_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL irate: rate of the last two samples per series, one row per
+    series."""
+    q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "click"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    return irate(grouped).select("metric_name", _lbl(), _epoch(), "irate")
 
 
 def q_tsdb_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_ignore_label": q_tsdb_ignore_label,
         "tsdb_rate": q_tsdb_rate,
         "tsdb_label_project": q_tsdb_label_project,
+        "tsdb_irate": q_tsdb_irate,
         "tsdb_moving_avg": q_tsdb_moving_avg,
         "events_retention": q_events_retention,
         "tsdb_label_values": q_tsdb_label_values,
@@ -1128,6 +1137,22 @@ SELECT metric_name,
        value * 8 AS bits
 FROM samples
 WHERE metric_name = 'click' AND ts >= {t5} AND ts <= {t20}
+""",
+        "tsdb_irate": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND metric_name = 'click'")},
+r AS (
+    SELECT metric_name, labels_str, tt, v,
+           lag(v) OVER w AS pv, lag(tt) OVER w AS pt,
+           row_number() OVER (PARTITION BY metric_name, labels_str ORDER BY tt DESC) AS rn
+    FROM grouped
+    WINDOW w AS (PARTITION BY metric_name, labels_str ORDER BY tt)
+)
+SELECT metric_name, labels_str, CAST(floor(epoch(tt)) AS BIGINT) AS t,
+       CASE WHEN v - pv < 0 THEN NULL
+            ELSE (v - pv) / (CAST(floor(epoch(tt)) AS BIGINT) - CAST(floor(epoch(pt)) AS BIGINT))
+            END AS irate
+FROM r WHERE rn = 1 AND pv IS NOT NULL
 """,
         "tsdb_moving_avg": f"""
 WITH {SAMPLES_ORACLE_CTE},

@@ -50,6 +50,35 @@ def per_second_rate(grouped: DataFrame, *, reset_as_null: bool = True) -> DataFr
     )
 
 
+def irate(grouped: DataFrame) -> DataFrame:
+    """Instant rate: the per-second rate of each series' LAST two samples
+    (PromQL ``irate`` semantics over the grouped read result) — one output
+    row per series.
+
+    Same single window shuffle as :func:`per_second_rate`; the final-row
+    filter uses an *unordered* full-partition max over the identical
+    partitioning (rather than a descending row_number, whose opposite sort
+    order would force a second sort of every partition).
+    """
+    w = series_window()
+    w_all = Window.partitionBy("metric_name", "slb")
+    epoch = F.col("t").cast("long")
+    with_lags = grouped.select(
+        "*",
+        F.lag("max_0").over(w).alias("_pv"),
+        F.lag(epoch).over(w).alias("_pt"),
+        F.max("t").over(w_all).alias("_tmax"),
+    )
+    dv = F.col("max_0") - F.col("_pv")
+    dt = F.col("t").cast("long") - F.col("_pt")
+    rate = F.when(dv < 0, F.lit(None).cast("double")).otherwise(dv / dt)
+    return (
+        with_lags.where((F.col("t") == F.col("_tmax")) & F.col("_pv").isNotNull())
+        .withColumn("irate", rate)
+        .drop("_pv", "_pt", "_tmax")
+    )
+
+
 def label_project(labels: Column, prefix: str) -> Column:
     """X2: ``arrayFilter(x -> x LIKE 'name=%', labels)`` — keep one label."""
     return F.filter(labels, lambda x: x.like(f"{prefix}=%"))
