@@ -31,7 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from remote_tsdb_clickhouse_spark.functions import textfuncs as tx
-from remote_tsdb_clickhouse_spark.functions.tsfuncs import irate, label_project, per_second_rate
+from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
+    delta,
+    increase,
+    irate,
+    label_project,
+    per_second_rate,
+    range_aggregate,
+    resets_changes,
+)
 from remote_tsdb_clickhouse_spark.operators import dedup, multimodal, similarity
 from remote_tsdb_clickhouse_spark.operators.asof import asof_join
 from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
@@ -212,6 +220,39 @@ def q_tsdb_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return irate(grouped).select("metric_name", _lbl(), _epoch(), "irate")
 
 
+def q_tsdb_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL delta: last-minus-first per series (pure groupBy max_by/min_by
+    aggregation — no window sort, map-side partials)."""
+    q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "view"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    return delta(grouped).select("metric_name", _lbl(), "delta", "range_s", "n_samples")
+
+
+def q_tsdb_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL increase: reset-aware counter growth per series."""
+    q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "click"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    return increase(grouped).select("metric_name", _lbl(), "increase")
+
+
+def q_tsdb_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL resets + changes: adjacent-drop and adjacent-change counts per
+    series."""
+    q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    return resets_changes(grouped).select("metric_name", _lbl(), "resets", "changes")
+
+
+def q_tsdb_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL *_over_time family: per-series avg/min/max/count in 1-hour
+    tumbling buckets (floor-aligned like the A2 downsampler)."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "signup"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    return range_aggregate(grouped, 3600).select(
+        "metric_name", _lbl(), "bucket_t", "avg_v", "min_v", "max_v", "n"
+    )
+
+
 def q_tsdb_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series trailing 5-point moving average over the grouped-max
     samples (window frame over the series key — the smoothing companion to
@@ -367,6 +408,208 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name").agg(
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS semi-join + priority count), adapted to this
+    schema: orders from 1996Q1 with at least one lineitem shipped more than
+    60 days after the order date.  The compound-condition left-semi join
+    never materializes the lineitem columns; partial counts aggregate
+    map-side after the join shuffle."""
+    ensure_query_confs(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year, both
+    directions.  Nation is a fixed-size dim — broadcast twice under
+    different aliases; the fact-side joins shuffle on their keys."""
+    ensure_query_confs(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    n1 = rd("nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = rd("nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        rd("lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(rd("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(rd("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(rd("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape adapted (no partsupp table): profit on widget parts by
+    supplier nation and year, with p_retailprice*quantity as the cost leg."""
+    ensure_query_confs(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    joined = (
+        rd("lineitem")
+        .join(rd("part").where(F.col("p_name").contains("widget")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(rd("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(rd("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name", F.year("l_shipdate").alias("o_year")).agg(
+        _dsum(amount).alias("sum_profit")
+    )
+
+
+def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by lost revenue from returned items in a
+    quarter."""
+    ensure_query_confs(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    joined = (
+        rd("lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .join(
+            rd("orders").where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(rd("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(rd("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of per-customer order counts (left outer join so
+    zero-order customers land in bucket 0, then a second aggregation over
+    the counts — the classic double-groupBy distribution shape)."""
+    ensure_query_confs(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    counts = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q16_supplier_part_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (no partsupp: lineitem is the part-supplier bridge):
+    distinct supplier count per (brand, type, size) for non-Brand#1 small
+    parts.  count(DISTINCT) expands map-side into the distinct-key shuffle;
+    the part filter prunes before the join."""
+    ensure_query_confs(spark)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders of
+    Brand#21 parts were not taken.  The per-part average quantity is a
+    window over the part key (one shuffle, no self-join); the threshold
+    compare uses an exact decimal-sum average so boundary rows can't flip
+    between engines."""
+    ensure_query_confs(spark)
+    from pyspark.sql import Window
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(F.col("p_brand") == "Brand#21")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_partkey")
+    joined = l.join(p, F.col("l_partkey") == F.col("p_partkey")).withColumn(
+        "_avg_qty",
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).over(w).cast("double")
+        / F.count("*").over(w),
+    )
+    return joined.where(F.col("l_quantity") < 0.2 * F.col("_avg_qty")).agg(
+        (_dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly")
+    )
+
+
+def q19_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicate combos — one
+    join, the OR filter evaluated post-join inside codegen."""
+    ensure_query_confs(spark)
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q22_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance and no
+    orders, counted per nation.  The scalar average arrives via a broadcast
+    cross join (never collected to the driver); the no-orders test is a
+    left-anti join."""
+    ensure_query_confs(spark)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double") / F.count("*")
+        ).alias("_avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
     )
 
 
@@ -1027,14 +1270,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_rate": q_tsdb_rate,
         "tsdb_label_project": q_tsdb_label_project,
         "tsdb_irate": q_tsdb_irate,
+        "tsdb_delta": q_tsdb_delta,
+        "tsdb_increase": q_tsdb_increase,
+        "tsdb_resets_changes": q_tsdb_resets_changes,
+        "tsdb_range_agg": q_tsdb_range_agg,
         "tsdb_moving_avg": q_tsdb_moving_avg,
         "events_retention": q_events_retention,
         "tsdb_label_values": q_tsdb_label_values,
         "tsdb_series_count": q_tsdb_series_count,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
+        "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_revenue_delta": q6_revenue_delta,
+        "q7_nation_trade_volume": q7_nation_trade_volume,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q10_returned_item_reporting": q10_returned_item_reporting,
+        "q13_customer_order_distribution": q13_customer_order_distribution,
+        "q16_supplier_part_cardinality": q16_supplier_part_cardinality,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_or_predicate_revenue": q19_or_predicate_revenue,
+        "q22_inactive_customer_balance": q22_inactive_customer_balance,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_orders": q18_large_orders,
         "orders_with_returns": q_orders_with_returns,
@@ -1154,6 +1410,52 @@ SELECT metric_name, labels_str, CAST(floor(epoch(tt)) AS BIGINT) AS t,
             END AS irate
 FROM r WHERE rn = 1 AND pv IS NOT NULL
 """,
+        "tsdb_delta": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND metric_name = 'view'")}
+SELECT metric_name, labels_str,
+       arg_max(v, tt) - arg_min(v, tt) AS delta,
+       CAST(floor(epoch(max(tt))) AS BIGINT) - CAST(floor(epoch(min(tt))) AS BIGINT) AS range_s,
+       count(*) AS n_samples
+FROM grouped GROUP BY 1, 2
+""",
+        "tsdb_increase": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND metric_name = 'click'")},
+r AS (
+    SELECT metric_name, labels_str, v,
+           lag(v) OVER (PARTITION BY metric_name, labels_str ORDER BY tt) AS pv
+    FROM grouped
+)
+SELECT metric_name, labels_str,
+       coalesce(CAST(sum(CAST(CASE WHEN pv IS NULL THEN NULL
+                                   WHEN v - pv < 0 THEN v
+                                   ELSE v - pv END AS DECIMAL(30,6))) AS DOUBLE),
+                0.0) AS increase
+FROM r GROUP BY 1, 2
+""",
+        "tsdb_resets_changes": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND metric_name = 'purchase'")},
+r AS (
+    SELECT metric_name, labels_str, v,
+           lag(v) OVER (PARTITION BY metric_name, labels_str ORDER BY tt) AS pv
+    FROM grouped
+)
+SELECT metric_name, labels_str,
+       coalesce(CAST(sum(CASE WHEN v < pv THEN 1 ELSE 0 END) AS BIGINT), 0) AS resets,
+       coalesce(CAST(sum(CASE WHEN v != pv THEN 1 ELSE 0 END) AS BIGINT), 0) AS changes
+FROM r GROUP BY 1, 2
+""",
+        "tsdb_range_agg": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'signup'")}
+SELECT metric_name, labels_str,
+       (CAST(floor(epoch(tt)) AS BIGINT) - CAST(floor(epoch(tt)) AS BIGINT) % 3600) AS bucket_t,
+       CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_v,
+       min(v) AS min_v, max(v) AS max_v, count(*) AS n
+FROM grouped GROUP BY 1, 2, 3
+""",
         "tsdb_moving_avg": f"""
 WITH {SAMPLES_ORACLE_CTE},
 {_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'view'")}
@@ -1228,6 +1530,102 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
+""",
+        "q4_late_shipment_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+""",
+        "q7_nation_trade_volume": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""",
+        "q9_product_type_profit": """
+SELECT n_name,
+       CAST(year(l_shipdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity
+                AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+        "q10_returned_item_reporting": """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+        "q13_customer_order_distribution": """
+WITH counts AS (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+    GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist FROM counts GROUP BY 1
+""",
+        "q16_supplier_part_cardinality": """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY 1, 2, 3
+""",
+        "q17_small_quantity_revenue": """
+WITH j AS (
+    SELECT l_extendedprice, l_quantity,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) OVER w AS DOUBLE)
+             / count(*) OVER w AS avg_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#21'
+    WINDOW w AS (PARTITION BY l_partkey)
+)
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM j WHERE l_quantity < 0.2 * avg_qty
+""",
+        "q19_or_predicate_revenue": """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+        "q22_inactive_customer_balance": """
+WITH avg_bal AS (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS a
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
 """,
         "q6_revenue_delta": """
 SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

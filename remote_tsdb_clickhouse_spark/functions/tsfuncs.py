@@ -79,6 +79,86 @@ def irate(grouped: DataFrame) -> DataFrame:
     )
 
 
+def delta(grouped: DataFrame) -> DataFrame:
+    """PromQL ``delta``: last value minus first value per series over the
+    queried range — one row per series.
+
+    Pure ``groupBy`` aggregation (``max_by``/``min_by`` on the time key):
+    no window, no per-partition sort, and partial aggregation runs map-side
+    before the exchange — at 100 TB this is one shuffle of pre-aggregated
+    per-series rows rather than a sorted window over every sample.
+    """
+    return grouped.groupBy("metric_name", "slb").agg(
+        (F.max_by("max_0", "t") - F.min_by("max_0", "t")).alias("delta"),
+        (F.max("t").cast("long") - F.min("t").cast("long")).alias("range_s"),
+        F.count("*").alias("n_samples"),
+    )
+
+
+def increase(grouped: DataFrame) -> DataFrame:
+    """PromQL ``increase``: counter growth over the range, reset-aware —
+    sum of adjacent deltas, where a drop (reset) contributes the new value
+    itself (the counter restarted from ~0).  One row per series.
+
+    One window shuffle for adjacency (lag), then a groupBy on the *same*
+    series key — Catalyst reuses the exchange, so the reaggregation is
+    shuffle-free.  The conditional delta sum goes through DECIMAL(30,6)
+    for order-independent exactness against the oracle.
+    """
+    w = series_window()
+    dv = F.col("max_0") - F.lag("max_0").over(w)
+    step = F.when(dv.isNull(), F.lit(None)).when(dv < 0, F.col("max_0")).otherwise(dv)
+    return (
+        grouped.select("metric_name", "slb", step.alias("_step"))
+        .groupBy("metric_name", "slb")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_step").cast("decimal(30,6)")).cast("double"), F.lit(0.0)
+            ).alias("increase")
+        )
+    )
+
+
+def resets_changes(grouped: DataFrame) -> DataFrame:
+    """PromQL ``resets`` + ``changes`` per series: count of adjacent value
+    drops (counter resets) and count of adjacent value changes.  Same
+    single-window-then-reuse-exchange shape as :func:`increase`.
+    """
+    w = series_window()
+    pv = F.lag("max_0").over(w)
+    return (
+        grouped.select(
+            "metric_name",
+            "slb",
+            (F.col("max_0") < pv).cast("long").alias("_reset"),
+            (F.col("max_0") != pv).cast("long").alias("_change"),
+        )
+        .groupBy("metric_name", "slb")
+        .agg(
+            F.coalesce(F.sum("_reset"), F.lit(0)).alias("resets"),
+            F.coalesce(F.sum("_change"), F.lit(0)).alias("changes"),
+        )
+    )
+
+
+def range_aggregate(grouped: DataFrame, bucket_s: int) -> DataFrame:
+    """PromQL ``*_over_time`` family over fixed buckets: per-series
+    avg/min/max/count of the grouped values in ``bucket_s``-second tumbling
+    windows.  Plain hash aggregation — floor-aligned bucket key (same
+    alignment rule as the A2 downsampler), map-side partials, one shuffle.
+    """
+    epoch = F.col("t").cast("long")
+    bucket = (epoch - epoch % bucket_s).alias("bucket_t")
+    return grouped.groupBy("metric_name", "slb", bucket).agg(
+        (F.sum(F.col("max_0").cast("decimal(30,6)")).cast("double") / F.count("*")).alias(
+            "avg_v"
+        ),
+        F.min("max_0").alias("min_v"),
+        F.max("max_0").alias("max_v"),
+        F.count("*").alias("n"),
+    )
+
+
 def label_project(labels: Column, prefix: str) -> Column:
     """X2: ``arrayFilter(x -> x LIKE 'name=%', labels)`` — keep one label."""
     return F.filter(labels, lambda x: x.like(f"{prefix}=%"))
