@@ -613,6 +613,50 @@ def q22_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q12_ship_lateness_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column): late shipments (>30 days after
+    order) per ship year, split into high/low-priority conditional counts —
+    the sum(CASE WHEN) pivot pattern, all-integer so cross-engine exact."""
+    ensure_query_confs(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue.  The global
+    max arrives by broadcast cross join against the 1-row aggregate (no
+    driver round-trip, no global window sort); revenue equality is exact
+    because both sides sum through DECIMAL(30,6)."""
+    ensure_query_confs(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 def q_top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1120,6 +1164,41 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords with TF-IDF scores: term frequency via
+    explode+groupBy, document frequency via a second aggregation on the same
+    exploded frame, corpus size by broadcast cross join.  Ranking uses only
+    integers and strings (tf desc, df asc, term asc) so the top-k cut is
+    engine-exact; the float tf-idf score rides along as output.  At corpus
+    scale both aggregations are map-side-partial hash aggs over one explode.
+    """
+    ensure_query_confs(spark)
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    terms = d.select("doc_id", F.explode(tx.tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "rk",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect; tables pre-registered as views)
 # ---------------------------------------------------------------------------
@@ -1287,6 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_type_profit": q9_product_type_profit,
         "q10_returned_item_reporting": q10_returned_item_reporting,
         "q13_customer_order_distribution": q13_customer_order_distribution,
+        "q12_ship_lateness_priority": q12_ship_lateness_priority,
+        "q15_top_supplier": q15_top_supplier,
         "q16_supplier_part_cardinality": q16_supplier_part_cardinality,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_or_predicate_revenue": q19_or_predicate_revenue,
@@ -1322,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
     }
 
 
@@ -1986,5 +2068,40 @@ mins AS (
 )
 SELECT t.doc_id, md5(array_to_string(t.toks, ' ')) AS fp_md5, m.fp_shingle
 FROM toks t JOIN mins m USING (doc_id)
+""",
+        "q12_ship_lateness_priority": """
+SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY 1
+""",
+        "q15_top_supplier": """
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+        "text_tfidf_keywords": f"""
+WITH {_TOKS_CTE},
+terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+ranked AS (
+    SELECT doc_id, term, tf, df,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tf DESC, df ASC, term ASC) AS rk,
+           tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, tf, df, rk, tfidf FROM ranked WHERE rk <= 3
 """,
     }
