@@ -1,0 +1,58 @@
+"""Plan-quality gates for the entry queries: the physical properties we
+designed for (broadcasted fixed-size dims, parquet filter pushdown, no
+accidental cartesian products) must actually appear in the executed plan —
+a correctness-of-scale test, complementing the value-level oracle parity.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q5_local_supplier_volume", "q7_nation_trade_volume", "q9_product_type_profit"],
+)
+def test_nation_joins_broadcast(spark, name):
+    # nation/region are fixed-size dims (25/5 rows at every SF): their joins
+    # must be broadcast, never a shuffle of the fact side on the dim key
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name, pushed_fragment",
+    [
+        # date filters must reach the parquet scan as pushed predicates
+        ("q6_revenue_delta", "PushedFilters: ["),
+        ("q10_returned_item_reporting", "IsNotNull(l_returnflag)"),
+        ("q4_late_shipment_priority", "GreaterThanOrEqual(o_orderdate"),
+    ],
+)
+def test_filters_pushed_to_scan(spark, name, pushed_fragment):
+    plan = _plan(spark, name)
+    assert pushed_fragment in plan, plan
+
+
+def test_scalar_subqueries_broadcast_not_collected(spark):
+    # q15/q22 bring their 1-row aggregate in via BroadcastNestedLoopJoin /
+    # BroadcastExchange — a driver .collect() would show neither
+    for name in ["q15_top_supplier", "q22_inactive_customer_balance"]:
+        plan = _plan(spark, name)
+        assert "BroadcastExchange" in plan, plan
+
+
+def test_tfidf_single_explode(spark):
+    # the tf and df aggregations must share one Generate (explode) of the
+    # token array, not re-tokenize per branch
+    plan = _plan(spark, "text_tfidf_keywords")
+    assert plan.count("Generate explode") <= 2, plan

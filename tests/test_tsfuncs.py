@@ -1,0 +1,84 @@
+"""Operator-level edge cases for the PromQL-style function family (SURVEY §5
+style: hand-built adversarial series, independent expected values).
+
+Input shape is the grouped read result (metric_name, slb, t, max_0).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
+    delta,
+    increase,
+    irate,
+    range_aggregate,
+    resets_changes,
+)
+
+
+def _ts(s: int):
+    return datetime.fromtimestamp(s, tz=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def grouped(spark):
+    # series A: counter with one reset (5 -> 2); series B: single sample;
+    # series C: constant (no changes)
+    rows = [
+        ("m", ["job=a"], _ts(10), 1.0),
+        ("m", ["job=a"], _ts(20), 5.0),
+        ("m", ["job=a"], _ts(30), 2.0),  # reset
+        ("m", ["job=a"], _ts(40), 7.0),
+        ("m", ["job=b"], _ts(10), 3.0),
+        ("m", ["job=c"], _ts(10), 4.0),
+        ("m", ["job=c"], _ts(25), 4.0),
+    ]
+    return spark.createDataFrame(rows, "metric_name string, slb array<string>, t timestamp, max_0 double")
+
+
+def _by_series(df, value_cols):
+    out = {}
+    for r in df.collect():
+        out[r["slb"][0]] = tuple(r[c] for c in value_cols)
+    return out
+
+
+def test_delta_last_minus_first(grouped):
+    got = _by_series(delta(grouped), ["delta", "range_s", "n_samples"])
+    assert got["job=a"] == (6.0, 30, 4)  # 7 - 1, ignores the interior reset
+    assert got["job=b"] == (0.0, 0, 1)
+    assert got["job=c"] == (0.0, 15, 2)
+
+
+def test_increase_reset_adds_new_value(grouped):
+    got = _by_series(increase(grouped), ["increase"])
+    # 4 (1->5) + 2 (reset: counts the post-reset value) + 5 (2->7)
+    assert got["job=a"] == (11.0,)
+    assert got["job=b"] == (0.0,)  # single sample: no adjacency, defined 0
+    assert got["job=c"] == (0.0,)
+
+
+def test_resets_and_changes(grouped):
+    got = _by_series(resets_changes(grouped), ["resets", "changes"])
+    assert got["job=a"] == (1, 3)
+    assert got["job=b"] == (0, 0)
+    assert got["job=c"] == (0, 0)  # constant: adjacency exists, no change
+
+
+def test_irate_uses_last_two_samples(grouped):
+    got = {r["slb"][0]: r["irate"] for r in irate(grouped).collect()}
+    assert got["job=a"] == pytest.approx((7.0 - 2.0) / 10)
+    assert "job=b" not in got  # single sample: no rate
+    assert got["job=c"] == pytest.approx(0.0)
+
+
+def test_range_aggregate_floor_alignment(grouped):
+    out = range_aggregate(grouped, 30).where(F.col("slb")[0] == "job=a").collect()
+    buckets = {r["bucket_t"]: (r["avg_v"], r["min_v"], r["max_v"], r["n"]) for r in out}
+    # t=10,20 -> bucket 0; t=30,40 -> bucket 30 (floor-aligned, not centered)
+    assert buckets[0] == (3.0, 1.0, 5.0, 2)
+    assert buckets[30] == (4.5, 2.0, 7.0, 2)
