@@ -36,6 +36,7 @@ from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
     increase,
     irate,
     label_project,
+    label_value,
     per_second_rate,
     range_aggregate,
     resets_changes,
@@ -316,6 +317,73 @@ def q_tsdb_series_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _samples(spark, sf_dir)
     return s.groupBy("metric_name").agg(
         F.count_distinct(F.array_join(F.array_sort("labels"), ",")).alias("n_series")
+    )
+
+
+def q_tsdb_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``sum by (tier) (...)``: collapse the series dimension, keeping
+    one label as the grouping key — per (tier, t) exact sum across all
+    series of a metric.  Missing label groups under the empty string, like
+    PromQL's absent-label behavior.  One hash aggregation; the label
+    extraction is a codegen'd higher-order filter, not a UDF."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "view"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    tier = F.coalesce(label_value(F.col("slb"), "tier"), F.lit(""))
+    return (
+        grouped.select(tier.alias("tier"), _epoch(), "max_0")
+        .groupBy("tier", "t")
+        .agg(_dsum(F.col("max_0")).alias("sum_v"))
+    )
+
+
+def q_tsdb_topk_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``topk(3, avg_over_time(...))``: the 3 series with the highest
+    mean value per metric.  The mean goes through the exact decimal route so
+    both engines rank identical doubles; ties break on the labelset string."""
+    from pyspark.sql import Window
+
+    q = ReadQuery(start_ms=T0, matchers=())
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    flat = grouped.select("metric_name", _lbl(), "max_0")
+    avg_v = (
+        F.sum(F.col("max_0").cast("decimal(30,6)")).cast("double") / F.count("*")
+    ).alias("avg_v")
+    per_series = flat.groupBy("metric_name", "labels_str").agg(avg_v)
+    w = Window.partitionBy("metric_name").orderBy(F.col("avg_v").desc(), F.col("labels_str"))
+    return (
+        per_series.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type: floor-bucket on the value
+    axis (integer bucket ids — cross-engine exact), count + exact sum per
+    bucket.  The all-integer groupBy key aggregates map-side."""
+    ensure_query_confs(spark)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = F.floor(F.col("value") / 10.0).cast("long").alias("bucket")
+    return e.groupBy("event_type", bucket).agg(
+        F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_v")
+    )
+
+
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension):
+    posexplode over the vector column, exact decimal mean per position.
+    At 100 TB this is the shuffle-light alternative to collecting vectors —
+    dimension count is fixed, so the aggregate state is bounded per key."""
+    ensure_query_confs(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    # float32 components: decimal casts of REAL round differently across
+    # engines, so quantize each component to an integer micro-unit first
+    # (float->double promotion and the 1e6 multiply are exact IEEE ops,
+    # identical everywhere), sum exactly as BIGINT, divide once at the end
+    q = F.floor(F.col("v").cast("double") * 1000000.0).cast("long")
+    return exploded.groupBy("label", "dim").agg(
+        (F.sum(q).cast("double") / F.count("*") / 1000000.0).alias("centroid_v"),
+        F.count("*").alias("n_vecs"),
     )
 
 
@@ -1354,6 +1422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_resets_changes": q_tsdb_resets_changes,
         "tsdb_range_agg": q_tsdb_range_agg,
         "tsdb_moving_avg": q_tsdb_moving_avg,
+        "tsdb_sum_by_label": q_tsdb_sum_by_label,
+        "tsdb_topk_series": q_tsdb_topk_series,
+        "events_value_histogram": q_events_value_histogram,
+        "emb_label_centroids": q_emb_label_centroids,
         "events_retention": q_events_retention,
         "tsdb_label_values": q_tsdb_label_values,
         "tsdb_series_count": q_tsdb_series_count,
@@ -2068,6 +2140,59 @@ mins AS (
 )
 SELECT t.doc_id, md5(array_to_string(t.toks, ' ')) AS fp_md5, m.fp_shingle
 FROM toks t JOIN mins m USING (doc_id)
+""",
+        "tsdb_sum_by_label": f"""
+WITH {SAMPLES_ORACLE_CTE},
+g AS (
+    SELECT metric_name, list_sort(labels) AS lbls, ts AS tt, max(value) AS v
+    FROM samples
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'view'
+    GROUP BY 1, 2, 3
+),
+x AS (
+    SELECT CASE WHEN len(list_filter(lbls, x -> x LIKE 'tier=%')) > 0
+                THEN substring(list_filter(lbls, x -> x LIKE 'tier=%')[1], 6)
+                ELSE '' END AS tier,
+           CAST(floor(epoch(tt)) AS BIGINT) AS t, v
+    FROM g
+)
+SELECT tier, t, CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
+FROM x GROUP BY 1, 2
+""",
+        "tsdb_topk_series": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'")},
+per AS (
+    SELECT metric_name, labels_str,
+           CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_v
+    FROM grouped GROUP BY 1, 2
+),
+r AS (
+    SELECT metric_name, labels_str, avg_v,
+           row_number() OVER (PARTITION BY metric_name
+                              ORDER BY avg_v DESC, labels_str) AS rk
+    FROM per
+)
+SELECT metric_name, labels_str, avg_v, rk FROM r WHERE rk <= 3
+""",
+        "events_value_histogram": """
+SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_v
+FROM events GROUP BY 1, 2
+""",
+        "emb_label_centroids": """
+WITH ex AS (
+    SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding) AS v
+    FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1000000.0 AS centroid_v,
+       count(*) AS n_vecs
+FROM ex GROUP BY 1, 2
 """,
         "q12_ship_lateness_priority": """
 SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
