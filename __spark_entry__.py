@@ -387,6 +387,52 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrape-gap detection: the largest interval between consecutive
+    samples per series (staleness/SLO monitoring).  One lag window then a
+    groupBy on the same series key (exchange reuse — single shuffle)."""
+    from pyspark.sql import Window
+
+    q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    w = Window.partitionBy("metric_name", "slb").orderBy("t")
+    gap = F.col("t").cast("long") - F.lag(F.col("t").cast("long")).over(w)
+    return (
+        grouped.select("metric_name", "slb", gap.alias("_gap"))
+        .groupBy("metric_name", "slb")
+        .agg(F.max("_gap").alias("max_gap_s"), F.count("*").alias("n_samples"))
+        .where(F.col("max_gap_s").isNotNull())
+        .select("metric_name", _lbl(), "max_gap_s", "n_samples")
+    )
+
+
+def q_tsdb_stale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staleness report: series whose newest sample is older than 24h before
+    the range end — a pure groupBy max (map-side partials, no window)."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=())
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    end_s = T20 // 1000
+    return (
+        grouped.groupBy("metric_name", "slb")
+        .agg(F.max(F.col("t").cast("long")).alias("last_t"))
+        .where(F.col("last_t") < F.lit(end_s - 86400))
+        .select("metric_name", _lbl(), "last_t", (F.lit(end_s) - F.col("last_t")).alias("stale_s"))
+    )
+
+
+def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (source, lang): doc count, exact mean length,
+    min/max length — the pre-training-mix summary table."""
+    ensure_query_confs(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col("n_chars")).cast("double") / F.count("*")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytic join/aggregate/window queries (TPC-H-shaped; extended capability)
 # ---------------------------------------------------------------------------
@@ -1426,6 +1472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_topk_series": q_tsdb_topk_series,
         "events_value_histogram": q_events_value_histogram,
         "emb_label_centroids": q_emb_label_centroids,
+        "tsdb_max_gap": q_tsdb_max_gap,
+        "tsdb_stale_series": q_tsdb_stale_series,
+        "doc_stats_by_source": q_doc_stats_by_source,
         "events_retention": q_events_retention,
         "tsdb_label_values": q_tsdb_label_values,
         "tsdb_series_count": q_tsdb_series_count,
@@ -2193,6 +2242,35 @@ SELECT label, CAST(dim AS INTEGER) AS dim,
          / count(*) / 1000000.0 AS centroid_v,
        count(*) AS n_vecs
 FROM ex GROUP BY 1, 2
+""",
+        "tsdb_max_gap": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND metric_name = 'purchase'")},
+g AS (
+    SELECT metric_name, labels_str,
+           CAST(floor(epoch(tt)) AS BIGINT)
+             - lag(CAST(floor(epoch(tt)) AS BIGINT))
+               OVER (PARTITION BY metric_name, labels_str ORDER BY tt) AS gap
+    FROM grouped
+)
+SELECT metric_name, labels_str, max(gap) AS max_gap_s, count(*) AS n_samples
+FROM g GROUP BY 1, 2
+HAVING max(gap) IS NOT NULL
+""",
+        "tsdb_stale_series": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'")}
+SELECT metric_name, labels_str,
+       max(CAST(floor(epoch(tt)) AS BIGINT)) AS last_t,
+       1705708800 - max(CAST(floor(epoch(tt)) AS BIGINT)) AS stale_s
+FROM grouped GROUP BY 1, 2
+HAVING max(CAST(floor(epoch(tt)) AS BIGINT)) < 1705708800 - 86400
+""",
+        "doc_stats_by_source": """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY 1, 2
 """,
         "q12_ship_lateness_priority": """
 SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
