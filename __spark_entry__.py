@@ -1283,8 +1283,11 @@ def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+groupBy, document frequency via a second aggregation on the same
     exploded frame, corpus size by broadcast cross join.  Ranking uses only
     integers and strings (tf desc, df asc, term asc) so the top-k cut is
-    engine-exact; the float tf-idf score rides along as output.  At corpus
-    scale both aggregations are map-side-partial hash aggs over one explode.
+    engine-exact; the tf-idf score is emitted quantized to integer
+    micro-units because ``ln`` differs by 1 ulp between JVM Math.log and
+    DuckDB libm (measured: 51/1500 rows at sf0.01 with a raw double).  At
+    corpus scale both aggregations are map-side-partial hash aggs over one
+    explode.
     """
     ensure_query_confs(spark)
     from pyspark.sql import Window
@@ -1308,7 +1311,9 @@ def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tf",
             "df",
             "rk",
-            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("tfidf"),
+            F.floor(F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1000000.0)
+            .cast("long")
+            .alias("tfidf_micro"),
         )
     )
 
@@ -2302,9 +2307,9 @@ ranked AS (
     SELECT doc_id, term, tf, df,
            row_number() OVER (PARTITION BY doc_id
                               ORDER BY tf DESC, df ASC, term ASC) AS rk,
-           tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+           CAST(floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000.0) AS BIGINT) AS tfidf_micro
     FROM tf JOIN dfreq USING (term), n
 )
-SELECT doc_id, term, tf, df, rk, tfidf FROM ranked WHERE rk <= 3
+SELECT doc_id, term, tf, df, rk, tfidf_micro FROM ranked WHERE rk <= 3
 """,
     }
