@@ -47,8 +47,11 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "null"
-        # both sides pre-round; 1e-9 quantization absorbs repr noise only
-        return f"{round(v, 9):.9f}"
+        # RAW-BIT compare (repr is the shortest round-trip form): the
+        # driver's value-hash may not round, and transcendentals differ by
+        # 1 ulp across engines — queries must quantize those themselves.
+        # -0.0 normalizes to 0.0 (equal values, different reprs).
+        return repr(v + 0.0 if v == 0.0 else v)
     if hasattr(v, "item"):  # numpy scalar
         return _norm_cell(v.item())
     return str(v)
