@@ -433,6 +433,41 @@ def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide daily activity matrix: one row per day, one count column per
+    event type — ``groupBy().pivot()`` with an explicit value list (so the
+    output schema is static and Spark skips the extra distinct-values job;
+    mandatory at scale, where the implicit scan is a full shuffle)."""
+    ensure_query_confs(spark)
+    from remote_tsdb_clickhouse_spark.sources.events import read_events
+
+    e = read_events(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ltz").cast("long").alias("day")
+    types = ["click", "view", "purchase", "signup"]
+    return (
+        e.groupBy(day)
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def q_customers_lapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers who ordered in 1996 but not in 1997
+    (EXCEPT — the reference has zero set ops; this is the extension's
+    canonical one).  Both branches prune to one column before the distinct
+    shuffle."""
+    ensure_query_confs(spark)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    def year_keys(y: int) -> DataFrame:
+        return o.where(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+    # subtract == SQL EXCEPT (set semantics: distinct is built in)
+    return year_keys(1996).subtract(year_keys(1997))
+
+
 # ---------------------------------------------------------------------------
 # Analytic join/aggregate/window queries (TPC-H-shaped; extended capability)
 # ---------------------------------------------------------------------------
@@ -1480,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_max_gap": q_tsdb_max_gap,
         "tsdb_stale_series": q_tsdb_stale_series,
         "doc_stats_by_source": q_doc_stats_by_source,
+        "events_daily_pivot": q_events_daily_pivot,
+        "customers_lapsed": q_customers_lapsed,
         "events_retention": q_events_retention,
         "tsdb_label_values": q_tsdb_label_values,
         "tsdb_series_count": q_tsdb_series_count,
@@ -2276,6 +2313,21 @@ SELECT source, lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY 1, 2
+""",
+        "events_daily_pivot": """
+SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+FROM events GROUP BY 1
+""",
+        "customers_lapsed": """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
 """,
         "q12_ship_lateness_priority": """
 SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
