@@ -614,6 +614,47 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3 suppliers' share of PROMO-part revenue sold
+    to ASIA customers, by year.  The share is a ratio of two conditional
+    decimal-exact sums computed in ONE aggregation pass (sum(CASE WHEN)) —
+    no second join or self-aggregation; the division of identical doubles
+    is IEEE-deterministic cross-engine."""
+    ensure_query_confs(spark)
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    n_cust = rd("nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    joined = (
+        rd("lineitem")
+        .join(rd("part").where(F.col("p_type") == "PROMO"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(rd("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(rd("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(rd("region").where(F.col("r_name") == "ASIA")),
+            F.col("cn_rkey") == F.col("r_regionkey"),
+        )
+        .join(rd("supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(rd("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _dsum(nation_vol).alias("nation_revenue"),
+            _dsum(vol).alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        )
+    )
+
+
 def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape adapted (no partsupp table): profit on widget parts by
     supplier nation and year, with p_retailprice*quantity as the cost leg."""
@@ -1526,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_revenue_delta": q6_revenue_delta,
         "q7_nation_trade_volume": q7_nation_trade_volume,
+        "q8_market_share": q8_market_share,
         "q9_product_type_profit": q9_product_type_profit,
         "q10_returned_item_reporting": q10_returned_item_reporting,
         "q13_customer_order_distribution": q13_customer_order_distribution,
@@ -1799,6 +1841,27 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
 GROUP BY 1, 2, 3
+""",
+        "q8_market_share": """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(CASE WHEN ns.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS nation_revenue,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+       CAST(sum(CAST(CASE WHEN ns.n_name = 'NATION_3'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region   ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+GROUP BY 1
 """,
         "q9_product_type_profit": """
 SELECT n_name,
