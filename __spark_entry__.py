@@ -1231,6 +1231,13 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN: 16 deterministic coarse centroids, nprobe=2."""
+    emb = _embs(spark, sf_dir)
+    out = similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=2)
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
 def q_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: quality-score -> keep only exact-dedup
     keepers -> per-language corpus stats.  One chained DataFrame plan: the
@@ -1601,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
         "sim_topk_lsh": q_sim_topk_lsh,
+        "sim_topk_ivf": q_sim_topk_ivf,
         "dataset_split": q_dataset_split,
         "text_pipeline": q_text_pipeline,
         "events_funnel": q_events_funnel,
@@ -2180,6 +2188,45 @@ scored AS (
            CASE WHEN q.nrm > 0 AND c.nrm > 0
                 THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
     FROM q JOIN bkt c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+),
+r AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 5
+""",
+        "sim_topk_ivf": f"""
+WITH {_EMB_NORM_CTE},
+cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+asg AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   CASE WHEN n.nrm > 0 AND cnrm > 0
+                        THEN list_dot_product(n.v, cv) / (n.nrm * cnrm) ELSE 0.0 END DESC,
+                   cent_id) AS r
+        FROM n CROSS JOIN cents
+    ) WHERE r = 1
+),
+probes AS (
+    SELECT query_id, cent_id FROM (
+        SELECT n.vec_id AS query_id, cents.cent_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   CASE WHEN n.nrm > 0 AND cnrm > 0
+                        THEN list_dot_product(n.v, cv) / (n.nrm * cnrm) ELSE 0.0 END DESC,
+                   cent_id) AS r
+        FROM n CROSS JOIN cents WHERE n.vec_id < 10
+    ) WHERE r <= 2
+),
+scored AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.nrm > 0 AND c.nrm > 0
+                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+    FROM probes p
+    JOIN n q ON q.vec_id = p.query_id
+    JOIN asg a ON a.cent_id = p.cent_id
+    JOIN n c ON c.vec_id = a.vec_id AND c.vec_id != p.query_id
 ),
 r AS (
     SELECT query_id, neighbor_id, cos,

@@ -160,6 +160,73 @@ def bucketed_cosine_pairs(
     return scored.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the corpus
+    into inverted lists; each query scores only its ``nprobe`` nearest
+    lists.
+
+    The coarse centroids here are the first ``n_centroids`` corpus vectors
+    by id — deterministic (oracle-checkable); production IVF refines them
+    with k-means iterations, which changes recall but not this operator's
+    dataflow.  Scale shape: the centroid set is tiny and **broadcast**
+    twice (corpus assignment and query probing are both narrow map stages —
+    the corpus never shuffles for assignment); candidate generation is an
+    equi-join on the list id, linear like the LSH variant.  Memory per
+    inverted list is bounded by the assignment balance, the knob being
+    ``n_centroids`` (≈ sqrt(N) at scale).
+    """
+    cents = _with_norm(emb, id_col, vec_col).where(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cent_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    def nearest_lists(side: DataFrame, out_id: str, n: int) -> DataFrame:
+        scored = side.crossJoin(F.broadcast(cents)).select(
+            F.col("vid").alias(out_id),
+            "cent_id",
+            cosine_with_norms(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")).alias(
+                "_ccos"
+            ),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("_ccos").desc(), F.col("cent_id"))
+        return scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= n)
+
+    corpus = _with_norm(emb, id_col, vec_col)
+    assignment = nearest_lists(corpus, "vid", 1).select("vid", "cent_id")
+    lists = corpus.join(assignment, "vid")
+
+    qn = _with_norm(queries, id_col, vec_col)
+    probes = nearest_lists(qn, "query_id", nprobe).select("query_id", "cent_id")
+    qside = qn.select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm")
+    ).join(probes, "query_id")
+
+    scored = (
+        lists.join(qside, "cent_id")
+        .where(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine_with_norms(F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.45,
