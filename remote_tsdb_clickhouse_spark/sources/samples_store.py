@@ -103,6 +103,14 @@ class SamplesStore:
         Partition-scoped rewrite: with dynamic partition overwrite only the
         date partitions intersecting the range are replaced (with their
         surviving rows); all other partitions are untouched files.
+
+        A partition whose rows are *all* in the range has no survivors, so
+        the dynamic overwrite never rewrites it (overwrite only touches
+        partitions present in the written data) — exactly the day-reimport
+        case (reference ``README.md:163-167``).  Those partitions are
+        removed explicitly via the Hadoop FileSystem API.  The two distinct
+        partition lists collected here are bounded by the number of calendar
+        days in the delete range — driver-safe at any corpus size.
         """
         cond = (F.col("ts") > F.lit(start_exclusive)) & (F.col("ts") <= F.lit(end_inclusive))
         affected = (
@@ -113,17 +121,30 @@ class SamplesStore:
                 & (F.col(PARTITION_COLUMN) <= F.to_date(F.lit(end_inclusive)))
             )
         )
+        affected_dates = {
+            r[0] for r in affected.select(PARTITION_COLUMN).distinct().collect()
+        }
         # localCheckpoint severs lineage from self.path so the overwrite is
         # not a read-from-target (at fleet scale: stage to a fresh dir and
         # swap, same pattern one level up)
         survivors = affected.where(~cond).localCheckpoint()
-        (
-            survivors.sortWithinPartitions("metric_name", "labels", "ts")
-            .write.partitionBy(PARTITION_COLUMN)
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(self.path)
-        )
+        survivor_dates = {
+            r[0] for r in survivors.select(PARTITION_COLUMN).distinct().collect()
+        }
+        if survivor_dates:
+            (
+                survivors.sortWithinPartitions("metric_name", "labels", "ts")
+                .write.partitionBy(PARTITION_COLUMN)
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(self.path)
+            )
+        jvm = self.spark._jvm
+        hconf = self.spark._jsc.hadoopConfiguration()
+        for d in sorted(affected_dates - survivor_dates):
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{PARTITION_COLUMN}={d.isoformat()}")
+            fs = p.getFileSystem(hconf)
+            fs.delete(p, True)
 
     def import_tsv(self, tsv_path: str) -> int:
         """S7: bulk import ``promtool tsdb dump``-shaped TSV:

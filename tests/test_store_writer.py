@@ -75,6 +75,37 @@ def test_range_delete(spark, tmp_path):
     assert 25 in hours
 
 
+def test_range_delete_full_partitions(spark, tmp_path):
+    """A delete range fully covering whole date partitions must remove them.
+
+    Zero-survivor partitions are invisible to dynamic partition overwrite
+    (nothing is written for them), so they need explicit directory removal —
+    the reference's day-reimport case (README.md:163-167): delete the day,
+    re-import it; stale rows surviving here would win at read time via the
+    max(value) dedup."""
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+    base = 1704067200000  # 2024-01-01 00:00 UTC
+    # 3 days x 24 hourly samples
+    writer.write(wr("m", [], [(float(i), base + i * 3_600_000) for i in range(72)]))
+    assert store.read().count() == 72
+    # full-day delete of 2024-01-02: (day1 24:00 exclusive..day2 24:00]
+    store.delete_time_range(datetime(2024, 1, 1, 23, 59, 59), datetime(2024, 1, 3, 0))
+    left = store.read().collect()
+    days = sorted({r["ts"].day for r in left})
+    assert days == [1, 3]
+    # day1 all 24 survive (all <= 23:00), day2's 24 deleted, day3's 00:00
+    # sample deleted (end-inclusive) -> 24 + 23
+    assert len(left) == 47
+    # the fully-covered partition directory is gone from disk
+    dirs = sorted(p.name for p in (tmp_path / "samples").iterdir() if p.is_dir())
+    assert "ts_date=2024-01-02" not in dirs
+    # reimport the day: fresh values must win (no stale max() shadows)
+    writer.write(wr("m", [], [(1000.0 + i, base + 86_400_000 + i * 3_600_000) for i in range(24)]))
+    day2 = [r["value"] for r in store.read().where(F.to_date("ts") == "2024-01-02").collect()]
+    assert sorted(day2) == [1000.0 + i for i in range(24)]
+
+
 def test_tsv_import(spark, tmp_path):
     tsv = tmp_path / "dump.tsv"
     tsv.write_text(
