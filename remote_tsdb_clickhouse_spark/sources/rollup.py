@@ -102,10 +102,30 @@ class RollupStore:
     def route(self, q: ReadQuery, *, ignore_hints: bool = False) -> tuple[DataFrame, int | None]:
         """Pick the coarsest resolution that answers ``q`` exactly.
 
-        Exactness condition: the query is downsampling with interval d, and
-        a built resolution r divides d (bucket boundaries of r nest inside
-        d's) — then max-of-rollup == max-of-raw for every output bucket.
-        Raw / non-divisible queries return the base table.
+        Resolution condition: the query is downsampling with interval d and
+        ``r`` divides d (bucket boundaries of r nest inside d's) — then
+        max-of-rollup == max-of-raw for every *fully covered* rollup bucket.
+
+        Bounds handling: rollup rows carry bucket-start timestamps covering
+        ``[b, b+r)``, so a query start inside a bucket would drop that
+        bucket's in-range samples (its row is filtered out by ``ts >=
+        start``) and an end inside a bucket would include out-of-range ones
+        (the row at ``b <= end`` aggregates past the end).  Prometheus
+        bounds are arbitrary, so instead of falling back to a full raw scan
+        the served frame is a **union**: the aligned interior
+        ``[ceil(start, r), floor(end+1, r))`` from the rollup, plus the two
+        partial edge buckets (< r seconds each, partition-pruned raw scans)
+        from the base table.  At 100 TB this keeps a year-long dashboard
+        query on the rollup even when "now" is mid-bucket — the raw edges
+        are O(r) data, not O(range).
+
+        Exactness of the union: the raw edges cover ``[start, istart)`` and
+        ``[iend, end]``, the rollup interior covers ``[istart, iend)`` —
+        disjoint regions whose union is exactly the query range, so the
+        downstream bucket-and-max over the combined rows equals the same
+        aggregate over raw rows (max composes; a d-bucket straddling an
+        edge/interior boundary takes max over its raw part and its nested
+        rollup buckets, which is the raw max of the whole d-bucket).
         """
         d = downsample_interval_seconds(q.hints, ignore_hints=ignore_hints)
         if d is None:
@@ -113,7 +133,36 @@ class RollupStore:
         fits = [r for r in self.resolutions() if d % r == 0 and r <= d]
         if not fits:
             return self.base.read(), None
-        return self.read(max(fits)), max(fits)
+        r = max(fits)
+        start_s = q.start_ms // 1000
+        end_s = q.end_ms // 1000 if q.end_ms > 0 else None
+        istart = -(-start_s // r) * r  # first fully-covered bucket start
+        iend = ((end_s + 1) // r) * r if end_s is not None else None  # exclusive
+        if iend is not None and iend <= istart:
+            return self.base.read(), None  # no fully covered bucket: raw only
+        tsl = F.col("ts").cast("long")
+
+        def _edge(lo_s: int, hi_s: int, hi_inclusive: bool) -> DataFrame:
+            # explicit date bounds so the raw edge scan prunes partitions
+            import datetime as _dt
+
+            lo_d = _dt.datetime.fromtimestamp(lo_s, _dt.timezone.utc).date()
+            hi_d = _dt.datetime.fromtimestamp(hi_s, _dt.timezone.utc).date()
+            upper = tsl <= hi_s if hi_inclusive else tsl < hi_s
+            return self.base.read().where(
+                (tsl >= lo_s)
+                & upper
+                & F.col(PARTITION_COLUMN).between(F.lit(lo_d), F.lit(hi_d))
+            )
+
+        served = self.read(r).where(tsl >= istart)
+        if iend is not None:
+            served = served.where(tsl < iend)
+        if istart > start_s:
+            served = served.unionByName(_edge(start_s, istart, hi_inclusive=False))
+        if iend is not None and iend <= end_s:
+            served = served.unionByName(_edge(iend, end_s, hi_inclusive=True))
+        return served, r
 
     def read_query_grouped(self, q: ReadQuery, **kwargs) -> DataFrame:
         """Drop-in for :func:`read_plan.read_query_grouped`, rollup-routed."""

@@ -68,6 +68,51 @@ def test_rollup_served_results_exact(stores):
     assert _rows(read_query_grouped(served, q)) == _rows(read_query_grouped(base.read(), q))
 
 
+def test_rollup_unaligned_bounds_exact(stores):
+    """Arbitrary (Prometheus-shaped) bounds: start 30 s past the minute and
+    end mid-bucket.  The served frame must still be bit-identical to raw —
+    partial edge buckets come from the base table, not from rollup rows
+    whose max covers out-of-range samples."""
+    base, rs = stores
+    for start_off_ms, end_off_ms in [(30_000, 0), (0, -30_000), (30_000, -90_000)]:
+        q = ReadQuery(
+            start_ms=T0 + start_off_ms,
+            end_ms=T20 + end_off_ms,
+            matchers=(LabelMatcher(MatcherType.EQ, "__name__", "view"),),
+            hints=ReadHints(step_ms=240000),  # -> 120 s buckets
+        )
+        served, res = rs.route(q)
+        assert res == 60  # still rollup-served, not a raw fallback
+        assert _rows(read_query_grouped(served, q)) == _rows(read_query_grouped(base.read(), q))
+
+
+def test_rollup_unaligned_hot_edge_sample(spark, tmp_path):
+    """The advisor's empirical case: a large value inside the partial first
+    bucket must be served (from raw) and the straddling rollup row's
+    out-of-range max must not leak in."""
+    from pyspark.sql import Row
+
+    from remote_tsdb_clickhouse_spark.model import SAMPLES_SCHEMA
+
+    t0 = 1704067200  # 2024-01-01 00:00:00
+    rows = [
+        Row(ts=__import__("datetime").datetime.utcfromtimestamp(t0 + off), metric_name="m",
+            labels=[], value=v)
+        for off, v in [(10, 1000.0), (40, 11.0), (70, 7.0), (130, 3.0)]
+    ]
+    base = SamplesStore(spark, str(tmp_path / "s"))
+    base.append(spark.createDataFrame(rows, SAMPLES_SCHEMA))
+    rs = RollupStore(spark, base, str(tmp_path / "r"))
+    rs.build(60)
+    # start 30 s past the minute: the [0,60) bucket is partial; its rollup
+    # max (1000.0 at +10s, out of range) must NOT be served
+    q = ReadQuery(start_ms=(t0 + 30) * 1000, hints=ReadHints(step_ms=120000))
+    got = {(r.t, r.max_0) for r in read_query_grouped(rs.route(q)[0], q).collect()}
+    want = {(r.t, r.max_0) for r in read_query_grouped(base.read(), q).collect()}
+    assert got == want
+    assert all(v != 1000.0 for _, v in got)
+
+
 def test_rollup_buckets_aligned(stores):
     """Rollup rows sit exactly on bucket boundaries (floor-aligned epoch),
     so any query interval that is a multiple of the resolution nests
