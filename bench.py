@@ -74,6 +74,16 @@ def main() -> None:
         # (measured: clearing costs ~25s across the suite)
 
     total = round(sum(timings.values()), 3)
+    # BENCH_r01 recorded "parsed": null with a truncated output tail: JVM
+    # shutdown/log noise after the JSON line can push it out of the driver's
+    # capture window.  Stop Spark BEFORE printing, emit one compact line as
+    # the final stdout bytes, flush, and hard-exit so no atexit hook or
+    # daemon thread writes afterwards.
+    try:
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -82,9 +92,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
