@@ -53,6 +53,10 @@ from remote_tsdb_clickhouse_spark.plans.read_plan import (
 from remote_tsdb_clickhouse_spark.session import ensure_query_confs
 from remote_tsdb_clickhouse_spark.sources.events import SAMPLES_ORACLE_CTE, events_to_samples
 
+from remote_tsdb_clickhouse_spark import codec, prompb
+from remote_tsdb_clickhouse_spark.server.service import handle_read_request
+from remote_tsdb_clickhouse_spark.sources.writer import write_request_df
+
 EQ, NEQ, RE, NRE = MatcherType.EQ, MatcherType.NEQ, MatcherType.RE, MatcherType.NRE
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -1520,6 +1524,93 @@ _LANG_FILTERS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Protocol layer (SURVEY §2.1 S1-S5, P3) as driver-checkable queries: the
+# prompb codec, snappy framing, flatten writer, and response assembly get
+# hard-signal CORRECTNESS rows, not just pytest coverage.  The driver-side
+# collect here is the protocol's own bounded materialization (the reference
+# also holds a full request/response in memory, capped at 32 MiB wire bytes);
+# the slice below is one metric over two days — bounded at any SF the driver
+# runs.
+# ---------------------------------------------------------------------------
+
+_PROTO_SLICE = "metric_name = 'signup' AND ts < TIMESTAMP '2024-01-03 00:00:00'"
+
+
+def _protocol_samples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events slice -> prompb WriteRequest -> snappy wire bytes -> decode ->
+    flatten writer (S2+S5): the write path the reference runs per request
+    (``codec.go:28-45``, ``write.go:11-63``), surfaced as a DataFrame."""
+    ensure_query_confs(spark)
+    sl = (
+        events_to_samples(spark, sf_dir)
+        .where((F.col("metric_name") == "signup") & (F.col("ts") < F.lit("2024-01-03 00:00:00")))
+        .select(F.col("ts").cast("long").alias("es"), "metric_name", "labels", "value")
+        .collect()
+    )
+    series: dict[tuple, prompb.TimeSeries] = {}
+    for r in sl:
+        key = (r.metric_name, tuple(r.labels))
+        ts_msg = series.get(key)
+        if ts_msg is None:
+            labels = [prompb.Label("__name__", r.metric_name)] + [
+                prompb.Label(*s.split("=", 1)) for s in r.labels
+            ]
+            ts_msg = series[key] = prompb.TimeSeries(labels=labels)
+        ts_msg.samples.append(prompb.Sample(float(r.value), r.es * 1000))
+    req = prompb.WriteRequest(timeseries=[series[k] for k in sorted(series)])
+    wire = codec.encode_write_request(req)  # snappy + proto encode
+    decoded = codec.decode_write_request(wire)  # S2: the server's decode path
+    return write_request_df(spark, decoded)  # S5: flatten to canonical rows
+
+
+def q_protocol_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side wire round-trip, then the full matcher+downsample read
+    (incl. the F8 ignore-label drop of ``remote=clickhouse``)."""
+    samples = _protocol_samples_df(spark, sf_dir)
+    q = ReadQuery(
+        start_ms=T0,
+        end_ms=T20,
+        matchers=(
+            LabelMatcher(EQ, "__name__", "signup"),
+            LabelMatcher(EQ, "remote", "clickhouse"),  # silently dropped (F8)
+        ),
+        hints=ReadHints(step_ms=120000),  # -> 60 s buckets after halving
+    )
+    return _flat_grouped(read_query_grouped(samples, q))
+
+
+def q_protocol_response_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete /read lifecycle: ReadRequest wire round-trip (S3),
+    engine query, prompb ReadResponse assembly (P3/O2), response wire
+    round-trip (S4), then re-expansion of the response series into rows."""
+    samples = _protocol_samples_df(spark, sf_dir)
+    rq = prompb.ReadRequest(
+        queries=[
+            ReadQuery(
+                start_ms=T0,
+                end_ms=T20,
+                matchers=(LabelMatcher(EQ, "__name__", "signup"),),
+                hints=ReadHints(step_ms=240000),  # -> 120 s buckets
+            )
+        ]
+    )
+    rq2 = codec.decode_read_request(codec.encode_read_request(rq))  # S3
+    resp = handle_read_request(samples, rq2)
+    resp2 = prompb.decode_read_response(
+        codec.snappy_decompress(codec.encode_read_response(resp))  # S4
+    )
+    rows = []
+    for ts_msg in resp2.results[0].timeseries:
+        name = next(lb.value for lb in ts_msg.labels if lb.name == "__name__")
+        lbls = ",".join(f"{lb.name}={lb.value}" for lb in ts_msg.labels if lb.name != "__name__")
+        for s in ts_msg.samples:
+            rows.append((name, lbls, s.timestamp // 1000, float(s.value)))
+    return spark.createDataFrame(
+        rows, "metric_name STRING, labels_str STRING, t LONG, max_0 DOUBLE"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full remote-read path (matchers + downsampling + series
     assembly) over the sf0.001 events-derived samples table."""
@@ -1539,57 +1630,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict ORDER is a driver contract: the correctness harness checks the
+    # first 50 entries per round (VERDICT r1).  Round 1 verified the TSDB
+    # core + classic analytics (all green, CORRECTNESS_r01.json); round 2
+    # front-loads what r1's run never reached — the protocol layer and the
+    # LLM-pipeline families — followed by the TSDB core, with the r1-green
+    # classic-SQL block last.
     return {
-        "tsdb_read_eq": q_tsdb_read_eq,
-        "tsdb_read_name_regex": q_tsdb_read_name_regex,
-        "tsdb_read_nre": q_tsdb_read_nre,
-        "tsdb_label_regex": q_tsdb_label_regex,
-        "tsdb_downsample_30s": q_tsdb_downsample_30s,
-        "tsdb_downsample_range_clamp": q_tsdb_downsample_range_clamp,
-        "tsdb_series_assembly": q_tsdb_series_assembly,
-        "tsdb_ignore_label": q_tsdb_ignore_label,
-        "tsdb_rate": q_tsdb_rate,
-        "tsdb_label_project": q_tsdb_label_project,
-        "tsdb_irate": q_tsdb_irate,
-        "tsdb_delta": q_tsdb_delta,
-        "tsdb_increase": q_tsdb_increase,
-        "tsdb_resets_changes": q_tsdb_resets_changes,
-        "tsdb_range_agg": q_tsdb_range_agg,
-        "tsdb_moving_avg": q_tsdb_moving_avg,
-        "tsdb_sum_by_label": q_tsdb_sum_by_label,
-        "tsdb_topk_series": q_tsdb_topk_series,
-        "events_value_histogram": q_events_value_histogram,
-        "emb_label_centroids": q_emb_label_centroids,
-        "tsdb_max_gap": q_tsdb_max_gap,
-        "tsdb_stale_series": q_tsdb_stale_series,
-        "doc_stats_by_source": q_doc_stats_by_source,
-        "events_daily_pivot": q_events_daily_pivot,
-        "customers_lapsed": q_customers_lapsed,
-        "events_retention": q_events_retention,
-        "tsdb_label_values": q_tsdb_label_values,
-        "tsdb_series_count": q_tsdb_series_count,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q4_late_shipment_priority": q4_late_shipment_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_revenue_delta": q6_revenue_delta,
-        "q7_nation_trade_volume": q7_nation_trade_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_type_profit": q9_product_type_profit,
-        "q10_returned_item_reporting": q10_returned_item_reporting,
-        "q13_customer_order_distribution": q13_customer_order_distribution,
-        "q12_ship_lateness_priority": q12_ship_lateness_priority,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_part_cardinality": q16_supplier_part_cardinality,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_or_predicate_revenue": q19_or_predicate_revenue,
-        "q22_inactive_customer_balance": q22_inactive_customer_balance,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q18_large_orders": q18_large_orders,
-        "orders_with_returns": q_orders_with_returns,
-        "orders_no_returns": q_orders_no_returns,
-        "order_value_quantiles": q_order_value_quantiles,
-        "sales_rollup": q_sales_rollup,
+        # protocol layer (new): codec + writer + response assembly
+        "protocol_roundtrip_read": q_protocol_roundtrip_read,
+        "protocol_response_assembly": q_protocol_response_assembly,
+        # LLM-pipeline + extended operators (unverified in r1: were past 50)
         "min_cost_supplier": q_min_cost_supplier,
         "top_customers_per_segment": q_top_customers_per_segment,
         "events_sessionize": q_events_sessionize,
@@ -1617,6 +1668,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "text_tfidf_keywords": q_text_tfidf_keywords,
+        # TSDB core (r1-green; re-verified within the 50-entry window)
+        "tsdb_read_eq": q_tsdb_read_eq,
+        "tsdb_read_name_regex": q_tsdb_read_name_regex,
+        "tsdb_read_nre": q_tsdb_read_nre,
+        "tsdb_label_regex": q_tsdb_label_regex,
+        "tsdb_downsample_30s": q_tsdb_downsample_30s,
+        "tsdb_downsample_range_clamp": q_tsdb_downsample_range_clamp,
+        "tsdb_series_assembly": q_tsdb_series_assembly,
+        "tsdb_ignore_label": q_tsdb_ignore_label,
+        "tsdb_rate": q_tsdb_rate,
+        "tsdb_label_project": q_tsdb_label_project,
+        "tsdb_irate": q_tsdb_irate,
+        "tsdb_delta": q_tsdb_delta,
+        "tsdb_increase": q_tsdb_increase,
+        "tsdb_resets_changes": q_tsdb_resets_changes,
+        "tsdb_range_agg": q_tsdb_range_agg,
+        "tsdb_moving_avg": q_tsdb_moving_avg,
+        "tsdb_sum_by_label": q_tsdb_sum_by_label,
+        "tsdb_topk_series": q_tsdb_topk_series,
+        "tsdb_max_gap": q_tsdb_max_gap,
+        "tsdb_stale_series": q_tsdb_stale_series,
+        "tsdb_label_values": q_tsdb_label_values,
+        # --- driver 50-entry window ends here (position 51+) ---
+        "tsdb_series_count": q_tsdb_series_count,
+        "events_value_histogram": q_events_value_histogram,
+        "emb_label_centroids": q_emb_label_centroids,
+        "doc_stats_by_source": q_doc_stats_by_source,
+        "events_daily_pivot": q_events_daily_pivot,
+        "customers_lapsed": q_customers_lapsed,
+        "events_retention": q_events_retention,
+        # classic-SQL block (r1-green, stable code paths)
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_late_shipment_priority": q4_late_shipment_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_delta": q6_revenue_delta,
+        "q7_nation_trade_volume": q7_nation_trade_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_type_profit": q9_product_type_profit,
+        "q10_returned_item_reporting": q10_returned_item_reporting,
+        "q13_customer_order_distribution": q13_customer_order_distribution,
+        "q12_ship_lateness_priority": q12_ship_lateness_priority,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_part_cardinality": q16_supplier_part_cardinality,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_or_predicate_revenue": q19_or_predicate_revenue,
+        "q22_inactive_customer_balance": q22_inactive_customer_balance,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
+        "orders_with_returns": q_orders_with_returns,
+        "orders_no_returns": q_orders_no_returns,
+        "order_value_quantiles": q_order_value_quantiles,
+        "sales_rollup": q_sales_rollup,
     }
 
 
@@ -1625,6 +1729,14 @@ def oracle_sql() -> dict[str, str]:
     t20 = "TIMESTAMP '2024-01-20 00:00:00'"
     t0 = "TIMESTAMP '2024-01-01 00:00:00'"
     return {
+        # protocol round-trips: the wire codecs are bijective, so the oracle
+        # is the same grouped-max over the identical events slice
+        "protocol_roundtrip_read": _tsdb_oracle(
+            f"WHERE ts >= {t0} AND ts <= {t20} AND {_PROTO_SLICE}", bucket_s=60
+        ),
+        "protocol_response_assembly": _tsdb_oracle(
+            f"WHERE ts >= {t0} AND ts <= {t20} AND {_PROTO_SLICE}", bucket_s=120
+        ),
         "tsdb_read_eq": _tsdb_oracle(
             f"WHERE ts >= {t5} AND ts <= {t20} AND metric_name = 'purchase'"
         ),
@@ -2198,7 +2310,7 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 5
 """,
         "sim_topk_ivf": f"""
 WITH {_EMB_NORM_CTE},
-cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
 asg AS (
     SELECT vec_id, cent_id FROM (
         SELECT n.vec_id, cents.cent_id,
