@@ -121,22 +121,49 @@ def _verify_candidates(cands: DataFrame, exploded: DataFrame, base: DataFrame) -
     return _pair_jaccard(inter_counts, base)
 
 
+def _hot_shingles_exist(exploded: DataFrame, df_cap: int) -> bool:
+    """True if any shingle's document frequency exceeds ``df_cap``.
+
+    One map-side-combinable aggregate over the (persisted) inverted index —
+    the probe that decides whether the plain inverted-index self-join is
+    safe.  A shingle with df=d contributes d^2/2 join rows; df_cap bounds
+    the worst hot-key blowup the fast path is allowed to risk.
+    """
+    row = (
+        exploded.groupBy("sh")
+        .agg(F.count("*").alias("df_sh"))
+        .agg(F.max("df_sh").alias("m"))
+        .first()
+    )
+    return (row["m"] or 0) > df_cap
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    prefix_filter: bool = False,
+    prefix_filter: bool | None = None,
     hash_keys: bool = True,
+    df_cap: int = 256,
 ) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via inverted index.
 
     Pairs are generated only for documents sharing >= 1 shingle (explode +
     self-join on the shingle key), never a full cross join; the shared
     shingle join is the classic inverted-index candidate generator.  Exact
-    Jaccard then filters to >= threshold.  Quadratic only within identical
-    shingle groups — at corpus scale hot shingles should be stop-listed
-    (frequency cap), which is the standard mitigation.
+    Jaccard then filters to >= threshold.  The plain self-join is quadratic
+    within identical shingle groups, so a **stop-shingle guard** routes
+    around it: with ``prefix_filter=None`` (default) a one-aggregate probe
+    checks whether any shingle's document frequency exceeds ``df_cap``; if
+    so, candidate generation switches to the AllPairs prefix-filter path,
+    which is *exact* (any pair with J >= t must collide inside the
+    df-ascending prefixes) and immune to hot shingles — a stop shingle
+    appearing in every document lands at the very end of the frequency
+    order and falls out of nearly every prefix.  Simply *dropping* hot
+    shingles would not be exact: a corpus of near-identical documents makes
+    every shingle hot, and those documents' pairs must still be emitted.
+    Pass ``prefix_filter=True/False`` to force a path (skips the probe).
 
     ``hash_keys`` (default on) joins on ``xxhash64(shingle)`` instead of the
     3-gram string: fixed 8-byte shuffle keys instead of ~20-30-byte strings,
@@ -157,6 +184,8 @@ def ngram_jaccard_pairs(
     exploded = base.select("doc_id", F.explode("shingles").alias("sh")).persist()
     if hash_keys:
         exploded = exploded.select("doc_id", F.xxhash64("sh").alias("sh"))
+    if prefix_filter is None:
+        prefix_filter = _hot_shingles_exist(exploded, df_cap)
     if prefix_filter:
         # AllPairs/PPJoin prefix filtering (exact): under a global shingle
         # order (ascending document frequency, ties by value), any pair with

@@ -173,8 +173,10 @@ def ivf_topk(
     into inverted lists; each query scores only its ``nprobe`` nearest
     lists.
 
-    The coarse centroids here are the first ``n_centroids`` corpus vectors
-    by id — deterministic (oracle-checkable); production IVF refines them
+    The coarse centroids are the ``n_centroids`` smallest-id corpus vectors
+    — deterministic (oracle-checkable) and id-layout-independent (no dense
+    0..n assumption; selection is a distributed top-n, planned as
+    TakeOrderedAndProject — no global sort).  Production IVF refines them
     with k-means iterations, which changes recall but not this operator's
     dataflow.  Scale shape: the centroid set is tiny and **broadcast**
     twice (corpus assignment and query probing are both narrow map stages —
@@ -183,10 +185,15 @@ def ivf_topk(
     inverted list is bounded by the assignment balance, the knob being
     ``n_centroids`` (≈ sqrt(N) at scale).
     """
-    cents = _with_norm(emb, id_col, vec_col).where(F.col("vid") < n_centroids).select(
-        F.col("vid").alias("cent_id"),
-        F.col("vec").alias("cvec"),
-        F.col("nrm").alias("cnrm"),
+    cents = (
+        _with_norm(emb, id_col, vec_col)
+        .orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.col("vid").alias("cent_id"),
+            F.col("vec").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
     )
 
     def nearest_lists(side: DataFrame, out_id: str, n: int) -> DataFrame:
@@ -232,6 +239,7 @@ def cosine_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Embedding near-dup pairs: all (a < b) with cosine >= threshold.
 
@@ -241,18 +249,30 @@ def cosine_pairs(
     brute-force-at-scale shape (compute is O(n²d) either way; GEMM makes the
     constant tiny and the corpus never shuffles).  This is the one hot path
     where a Pandas UDF beats Catalyst folds: per-element interpreted HOF
-    evaluation loses to SIMD by ~10x at 64 dims.  At larger n, compose the
-    ``sign_bucket`` quantizer into a pre-join (as in :func:`bucketed_topk`)
-    to restrict blocks to candidate buckets.
+    evaluation loses to SIMD by ~10x at 64 dims.
+
+    **Size-guarded**: this exact variant collects the corpus matrix to the
+    driver (bounded: 1M x 64 f64 = 512 MB), which is a deliberate
+    exception to the no-collect rule — so it refuses corpora beyond
+    ``max_rows`` instead of silently OOM-ing the driver at scale.  The
+    raise names :func:`bucketed_cosine_pairs` (per-orthant GEMM, no
+    collect/broadcast) as the 100 TB path; falling back automatically is
+    NOT done because the bucketed variant's recall < 1 — silently changing
+    the answer set is worse than failing loudly.
     """
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
-    # corpus matrix collected once and broadcast: valid while the corpus
-    # fits executor memory (1M x 64 f64 = 512 MB); beyond that, the
-    # bucketed/quantized path is the intended operator
     base = _with_norm(emb, id_col, vec_col).select("vid", "vec")
+    n_rows = base.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs materializes the corpus driver-side; {n_rows} rows "
+            f"exceeds max_rows={max_rows}. Use bucketed_cosine_pairs (no "
+            "collect, linear shuffle) for large corpora, or raise max_rows "
+            "explicitly if the driver can hold the matrix."
+        )
     pdf = base.toPandas()
     ids = pdf["vid"].to_numpy()
     mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])

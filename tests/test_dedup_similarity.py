@@ -1,0 +1,84 @@
+"""Dedup / similarity operator guards: hot-shingle auto-routing in
+ngram_jaccard_pairs, the cosine_pairs driver-collect size guard, and IVF
+centroid selection without the dense-id assumption (VERDICT r1 items 2/3/7)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_tsdb_clickhouse_spark.operators import dedup, similarity
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+
+
+@pytest.fixture(scope="module")
+def hot_corpus(spark):
+    # every document opens with the same 6-word phrase -> its word-3-grams
+    # are stop shingles with df == n_docs (the adversarial hot-key case for
+    # the inverted-index self-join); two exact duplicates are planted
+    stop = "lorem ipsum dolor sit amet consectetur"
+    texts = [f"{stop} unique content number {i} about topic {i * 7} end" for i in range(20)]
+    texts.append(texts[0])
+    texts.append(texts[5])
+    return _docs(spark, texts)
+
+
+def test_hot_shingle_probe(spark, hot_corpus):
+    base = dedup.normalized_docs(hot_corpus)
+    exploded = base.select("doc_id", F.explode("shingles").alias("sh"))
+    assert dedup._hot_shingles_exist(exploded, df_cap=8)
+    assert not dedup._hot_shingles_exist(exploded, df_cap=64)
+
+
+def test_ngram_hot_shingle_auto_route_exact(spark, hot_corpus):
+    """With a stop shingle in every doc, the default (auto) path must trip
+    the df probe, route to the prefix filter, and still emit exactly the
+    pairs the plain inverted-index path emits."""
+
+    def pairs(**kw):
+        df = dedup.ngram_jaccard_pairs(hot_corpus, threshold=0.8, **kw)
+        return sorted(tuple(r) for r in df.collect())
+
+    auto = pairs(df_cap=4)  # probe trips -> prefix path
+    inverted = pairs(prefix_filter=False)
+    forced_prefix = pairs(prefix_filter=True)
+    assert auto == forced_prefix == inverted
+    found = {(a, b) for a, b, _ in auto}
+    assert {(0, 20), (5, 21)} <= found  # the planted duplicates
+
+
+def test_cosine_pairs_size_guard(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 0.5]) for i in range(50)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="bucketed_cosine_pairs"):
+        similarity.cosine_pairs(emb, max_rows=10)
+    out = similarity.cosine_pairs(emb, threshold=0.999, max_rows=100)
+    assert out.count() > 0  # identical (i % 7) vectors pair up
+
+
+def test_ivf_topk_sparse_ids(spark):
+    """Centroid selection must not assume ids 0..n: with ids starting at
+    1000 the old ``vid < n_centroids`` filter selected an empty centroid
+    set (every query/corpus row then had no inverted list)."""
+    ids = [1000 + 10 * i for i in range(40)]
+    emb = spark.createDataFrame(
+        [
+            (vid, [math.cos(i / 7.0), math.sin(i / 7.0), 1.0, 0.5])
+            for i, vid in enumerate(ids)
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = emb.where(F.col("vec_id") <= 1020)
+    out = similarity.ivf_topk(emb, queries, k=3, n_centroids=4, nprobe=2).collect()
+    assert {r.query_id for r in out} == {1000, 1010, 1020}
+    assert all(1 <= r.rank <= 3 for r in out)
+    assert all(r.neighbor_id != r.query_id for r in out)
