@@ -71,6 +71,11 @@ class AdapterApp:
                 samples, req, ignore_label=self.ignore_label, ignore_hints=self.ignore_hints
             )
             return 200, codec.encode_read_response(resp)
+        except ConnectionError:
+            # context.Canceled parity (main.go:147-152): a client that went
+            # away mid-query is not a read error — swallowed, not counted.
+            # 499 = client-closed-request; the socket is gone anyway.
+            return 499, b""
         except Exception as e:
             self.metrics.read_errors_total.inc()
             return 500, str(e).encode()
@@ -85,12 +90,17 @@ def make_handler(app: AdapterApp):
             pass
 
         def _reply(self, status: int, body: bytes, headers: dict[str, str] | None = None):
-            self.send_response(status)
-            for k, v in (headers or {}).items():
-                self.send_header(k, v)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            try:
+                self.send_response(status)
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except ConnectionError:
+                # client hung up while we were writing — nothing to do and
+                # not an error (context.Canceled parity, main.go:147-152)
+                pass
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))

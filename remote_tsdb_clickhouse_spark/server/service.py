@@ -55,7 +55,10 @@ def handle_read_request(
     for q in req.queries:
         result = prompb.QueryResult()
         df = read_query_df(samples, q, ignore_label=ignore_label, ignore_hints=ignore_hints)
-        rows = df.orderBy("metric_name", "slb").collect()
+        # toLocalIterator streams partition-at-a-time instead of buffering
+        # the whole result twice driver-side (the prompb objects are the
+        # one unavoidable materialization; the reference holds the same)
+        rows = df.orderBy("metric_name", "slb").toLocalIterator()
         result.timeseries = [row_to_timeseries(r) for r in rows]
         resp.results.append(result)
     return resp

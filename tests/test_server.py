@@ -107,6 +107,34 @@ def test_write_error_counted(server):
     assert app.metrics.write_errors_total.value == 1
 
 
+def test_canceled_read_not_counted_as_error(spark, tmp_path):
+    """context.Canceled parity (main.go:147-152): a client that disconnects
+    mid-query is swallowed — no read-error increment, no 500."""
+    from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
+    from remote_tsdb_clickhouse_spark.plans.read_plan import ReadQuery
+
+    def gone_provider():
+        raise ConnectionResetError("client went away")
+
+    store = SamplesStore(spark, str(tmp_path / "samples"))
+    app = AdapterApp(TimeseriesWriter(store), gone_provider)
+    rr = prompb.ReadRequest(
+        queries=[ReadQuery(start_ms=0, matchers=(LabelMatcher(MatcherType.EQ, "__name__", "x"),))]
+    )
+    status, body = app.handle_read(codec.encode_read_request(rr))
+    assert status == 499
+    assert app.metrics.read_requests_total.value == 1
+    assert app.metrics.read_errors_total.value == 0
+    # a genuine failure still counts
+    def broken_provider():
+        raise RuntimeError("boom")
+
+    app2 = AdapterApp(TimeseriesWriter(store), broken_provider)
+    status, _ = app2.handle_read(codec.encode_read_request(rr))
+    assert status == 500
+    assert app2.metrics.read_errors_total.value == 1
+
+
 def test_concurrent_writes_then_read(server):
     """Prometheus runs parallel remote-write shards; the threaded server
     submits Spark jobs from multiple handler threads.  All samples from
