@@ -107,11 +107,17 @@ def _skip(buf: bytes, pos: int, wire_type: int) -> int:
         _, pos = _read_varint(buf, pos)
         return pos
     if wire_type == _WT_FIXED64:
+        if pos + 8 > len(buf):
+            raise ValueError("truncated message")
         return pos + 8
     if wire_type == _WT_LEN:
         n, pos = _read_varint(buf, pos)
+        if pos + n > len(buf):
+            raise ValueError("truncated message")
         return pos + n
     if wire_type == _WT_FIXED32:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated message")
         return pos + 4
     raise ValueError(f"unsupported wire type {wire_type}")
 
@@ -131,6 +137,10 @@ def _fields(buf: bytes):
             yield field_no, wt, v
         elif wt == _WT_LEN:
             n, pos = _read_varint(buf, pos)
+            if pos + n > len(buf):
+                # a short slice would decode silently as valid-but-wrong
+                # data; match the 'truncated varint' strictness instead
+                raise ValueError("truncated message")
             yield field_no, wt, bytes(buf[pos : pos + n])
             pos += n
         else:

@@ -110,3 +110,38 @@ def test_unknown_fields_skipped():
     wire += bytes([15 << 3 | 0, 0x2A])
     back = prompb.decode_write_request(bytes(wire))
     assert len(back.timeseries) == 2
+
+
+def test_truncated_length_delimited_raises():
+    """A chopped length-delimited field must raise, not decode a short slice
+    as valid-but-wrong data."""
+    import pytest
+
+    from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
+    from remote_tsdb_clickhouse_spark.plans.read_plan import ReadQuery
+
+    wr = prompb.WriteRequest(
+        timeseries=[
+            prompb.TimeSeries(
+                labels=[prompb.Label("__name__", "abcdefghij")],
+                samples=[prompb.Sample(1.5, 1704067200000)],
+            )
+        ]
+    )
+    full = prompb.encode_write_request(wr)
+    for cut in range(1, 8):
+        with pytest.raises(ValueError, match="truncated"):
+            prompb.decode_write_request(full[:-cut])
+    rr = prompb.ReadRequest(
+        queries=[
+            ReadQuery(
+                start_ms=1,
+                end_ms=2,
+                matchers=(LabelMatcher(MatcherType.RE, "__name__", "abcdef.*"),),
+            )
+        ]
+    )
+    full = prompb.encode_read_request(rr)
+    for cut in range(1, 8):
+        with pytest.raises(ValueError, match="truncated"):
+            prompb.decode_read_request(full[:-cut])
