@@ -51,16 +51,24 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 
 
 def salt(df: DataFrame, key_cols: Sequence[str], n_salts: int = 16) -> DataFrame:
-    """Append a deterministic salt column spreading each key over
-    ``n_salts`` sub-keys.
+    """Append a salt column spreading each key's rows over ``n_salts``
+    sub-keys.
 
-    Deterministic (hash of the whole row's key + a per-row uniquifier is
-    NOT used — the salt must only decorrelate rows *within* a key, so a
-    monotonically assigned id is fine and reproducible enough; we use
-    ``spark_partition_id`` + a row hash, both engine-stable).
+    The salt is derived from the **non-key** columns (plus
+    ``spark_partition_id`` as a tiebreaker when rows are identical or every
+    column is a key column), so rows of one hot key decorrelate by their
+    payload rather than incidentally.  Run-to-run determinism is NOT
+    guaranteed: ``spark_partition_id`` depends on the input partitioning —
+    the contract is only that each key's rows spread ~uniformly, which is
+    all two-phase aggregation needs (the final combine restores exact
+    semantics regardless of which sub-key a row landed in).
     """
+    keys = set(key_cols)
+    non_key = [F.col(c) for c in df.columns if c not in keys]
     spread_expr = F.pmod(
-        F.hash(*[F.col(c) for c in df.columns]) + F.spark_partition_id(), F.lit(n_salts)
+        F.hash(*non_key, F.spark_partition_id()) if non_key
+        else F.hash(F.spark_partition_id()),
+        F.lit(n_salts),
     )
     return df.withColumn("__salt", spread_expr)
 
