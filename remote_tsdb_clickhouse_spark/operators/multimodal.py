@@ -90,11 +90,11 @@ def _fake_decode(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def decode_image(content: bytes):  # pragma: no cover - requires PIL
-    """Real decode path, present only when PIL is installed."""
+    """General image decode, present only when PIL is installed."""
     if not HAVE_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; use extract_features (deterministic stub) "
-            "for plumbing tests"
+            "general image decode requires PIL; BMP payloads decode for real "
+            "via decode_bmp, other formats use extract_features' deterministic stub"
         )
     import io
 
@@ -103,16 +103,75 @@ def decode_image(content: bytes):  # pragma: no cover - requires PIL
     return Image.open(io.BytesIO(content))
 
 
+def decode_bmp(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """REAL codec: pure-Python uncompressed 24/32-bit BMP decode.
+
+    No third-party dependency, so the real-decode path through the Arrow
+    batch plumbing is exercised even in this environment (PIL absent).
+    Returns ``(width, height, pixels)`` with pixels row-major top-to-bottom
+    as (r, g, b) tuples.  BMP rows are stored bottom-up, 4-byte aligned,
+    BGR(A) ordered — all handled here.
+    """
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = int.from_bytes(content[10:14], "little")
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    height_raw = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    height = abs(height_raw)
+    top_down = height_raw < 0
+    nbytes = bpp // 8
+    stride = ((width * nbytes) + 3) & ~3
+    if pixel_off + stride * height > len(content):
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for r in range(height):
+        src_row = r if top_down else height - 1 - r
+        base = pixel_off + src_row * stride
+        row = []
+        for c in range(width):
+            px = base + c * nbytes
+            b, g, rr = content[px], content[px + 1], content[px + 2]
+            row.append((rr, g, b))
+        rows.append(row)
+    return width, height, [px for row in rows for px in row]
+
+
+def _bmp_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real feature vector from decoded BMP pixels: dims + channel means."""
+    width, height, pixels = decode_bmp(content)
+    n = max(1, len(pixels))
+    mean_r = sum(p[0] for p in pixels) / (255.0 * n)
+    mean_g = sum(p[1] for p in pixels) / (255.0 * n)
+    mean_b = sum(p[2] for p in pixels) / (255.0 * n)
+    lum = 0.2126 * mean_r + 0.7152 * mean_g + 0.0722 * mean_b
+    feats = [width / 4096.0, height / 4096.0, mean_r, mean_g, mean_b, lum]
+    return (feats + [0.0] * dim)[:dim]
+
+
 FEATURES_SCHEMA = "media_id LONG, modality STRING, features ARRAY<FLOAT>"
 
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Per-item feature extraction via mapInPandas (Arrow-batched).
 
-    One Python worker pass per partition, zero shuffle; the stub featurizer
-    is deterministic so outputs are testable.
+    One Python worker pass per partition, zero shuffle.  Dispatch is by
+    payload format: BMP content decodes **for real** (``decode_bmp``, pure
+    Python) into dimension + channel-mean features; every other format uses
+    the deterministic stub featurizer, so outputs stay testable either way.
     """
     import pandas as pd
+
+    def _featurize(content: bytes) -> list[float]:
+        if content[:2] == b"BM":
+            try:
+                return _bmp_features(content)
+            except ValueError:
+                pass  # BMP magic but unsupported variant -> stub
+        return _fake_decode(content)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -120,7 +179,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "features": [ _fake_decode(bytes(c)) for c in pdf["content"] ],
+                    "features": [_featurize(bytes(c)) for c in pdf["content"]],
                 }
             )
 

@@ -45,3 +45,63 @@ def test_decode_image_gated():
     if not mm.HAVE_PIL:
         with pytest.raises(NotImplementedError):
             mm.decode_image(b"xx")
+
+
+def _make_bmp(width, height, pixel_rows):
+    """Hand-assemble an uncompressed 24-bit BMP (golden input, no PIL)."""
+    import struct
+
+    stride = ((width * 3) + 3) & ~3
+    pixel_data = bytearray()
+    for row in reversed(pixel_rows):  # BMP stores rows bottom-up
+        for r, g, b in row:
+            pixel_data += bytes([b, g, r])  # BGR order
+        pixel_data += b"\x00" * (stride - width * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    return bytes(header + pixel_data)
+
+
+GOLDEN_ROWS = [
+    [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+    [(255, 255, 255), (0, 0, 0), (128, 64, 32)],
+]
+
+
+def test_decode_bmp_golden():
+    """Real-codec contract: exact pixel round-trip through the pure-Python
+    BMP decoder (row padding, bottom-up order, BGR->RGB all exercised)."""
+    bmp = _make_bmp(3, 2, GOLDEN_ROWS)
+    width, height, pixels = mm.decode_bmp(bmp)
+    assert (width, height) == (3, 2)
+    assert pixels == [px for row in GOLDEN_ROWS for px in row]
+
+
+def test_decode_bmp_rejects_garbage():
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"BM" + b"\x00" * 100)
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"nope")
+
+
+def test_extract_features_real_bmp_path(spark):
+    """A BMP payload must flow through the REAL decoder inside the Arrow
+    batch plumbing: features are the actual channel means, not the stub
+    hash."""
+    bmp = _make_bmp(3, 2, GOLDEN_ROWS)
+    meta = {"format": "bmp", "width": 3, "height": 2, "sample_rate": None, "duration_ms": None}
+    df = spark.createDataFrame([(0, "image", bytearray(bmp), meta)], mm.MEDIA_SCHEMA)
+    feats = mm.extract_features(df).collect()[0]["features"]
+    exp_r = (255 + 0 + 0 + 255 + 0 + 128) / (255.0 * 6)
+    exp_g = (0 + 255 + 0 + 255 + 0 + 64) / (255.0 * 6)
+    exp_b = (0 + 0 + 255 + 255 + 0 + 32) / (255.0 * 6)
+    assert abs(feats[0] - 3 / 4096.0) < 1e-6 and abs(feats[1] - 2 / 4096.0) < 1e-6
+    assert abs(feats[2] - exp_r) < 1e-6
+    assert abs(feats[3] - exp_g) < 1e-6
+    assert abs(feats[4] - exp_b) < 1e-6
+    # and a non-BMP payload still takes the deterministic stub
+    stub = mm._fake_decode(b"not an image")
+    assert len(stub) == mm.FEATURE_DIM
