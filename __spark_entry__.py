@@ -1365,6 +1365,72 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal: fraction of duplicate word-3-grams
+    per document (1 - distinct/total) — the standard boilerplate/spam
+    detector in LLM data cleaning (high ratio = templated or degenerate
+    text).  Pure Catalyst: token + shingle HOFs, no shuffle at all (the
+    ratio is per-row); int/int division is bit-exact cross-engine."""
+    # normalized_docs materializes toks behind an exchange before the
+    # shingle HOF (the projection-collapse trap measured in textfuncs) and
+    # is plan-identical to the dedup family's base, so its materialization
+    # is shared when both run in one session
+    base = dedup.normalized_docs(_docs(spark, sf_dir))
+    n_total = F.greatest(F.size("toks") - F.lit(2), F.lit(0)).cast("long")
+    n_distinct = F.size("shingles").cast("long")
+    rep = F.when(
+        n_total > 0, F.lit(1.0) - n_distinct.cast("double") / n_total.cast("double")
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        n_total.alias("n_shingles"),
+        n_distinct.alias("n_distinct"),
+        rep.alias("rep_ratio"),
+    )
+
+
+def q_dataset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a reproducible 10% per-language
+    sample via the same md5 membership hash as ``dataset_split`` —
+    ``df.sample`` is partitioning-dependent, this is a pure function of the
+    id.  One conditional aggregate per stratum (no second scan)."""
+    d = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return (
+        d.select("lang", h.alias("hv"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("hv") < 10, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        )
+    )
+
+
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign documents (in stable doc_id order,
+    per language) to 4096-token training bins by cumulative token count —
+    the sequence-packing pass of an LLM pre-training pipeline.  The running
+    sum is windowed **per language**, so strata pack in parallel; at 100 TB
+    the partition key becomes (lang, shard) — packing is order-defined
+    within a shard by construction, never a global sort."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(tx.tokens(F.col("text"))).cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    binned = (
+        d.select("lang", "doc_id", n_tok.alias("n_tokens"))
+        .withColumn("bin", F.floor((cum - F.col("n_tokens")) / F.lit(4096.0)).cast("long"))
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
 def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 keywords with TF-IDF scores: term frequency via
     explode+groupBy, document frequency via a second aggregation on the same
@@ -1536,11 +1602,19 @@ _LANG_FILTERS = {
 
 _PROTO_SLICE = "metric_name = 'signup' AND ts < TIMESTAMP '2024-01-03 00:00:00'"
 
+#: both protocol queries start from the same wire round-trip; build it once
+#: per (session, sf_dir) — the cache holds one small local-relation frame
+_PROTO_CACHE: dict[tuple[int, str], DataFrame] = {}
+
 
 def _protocol_samples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events slice -> prompb WriteRequest -> snappy wire bytes -> decode ->
     flatten writer (S2+S5): the write path the reference runs per request
     (``codec.go:28-45``, ``write.go:11-63``), surfaced as a DataFrame."""
+    key = (id(spark), sf_dir)
+    cached = _PROTO_CACHE.get(key)
+    if cached is not None:
+        return cached
     ensure_query_confs(spark)
     sl = (
         events_to_samples(spark, sf_dir)
@@ -1561,7 +1635,9 @@ def _protocol_samples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     req = prompb.WriteRequest(timeseries=[series[k] for k in sorted(series)])
     wire = codec.encode_write_request(req)  # snappy + proto encode
     decoded = codec.decode_write_request(wire)  # S2: the server's decode path
-    return write_request_df(spark, decoded)  # S5: flatten to canonical rows
+    df = write_request_df(spark, decoded)  # S5: flatten to canonical rows
+    _PROTO_CACHE[key] = df
+    return df
 
 
 def q_protocol_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1668,6 +1744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "text_tfidf_keywords": q_text_tfidf_keywords,
+        "text_repetition": q_text_repetition,
+        "dataset_sample": q_dataset_sample,
+        "doc_packing": q_doc_packing,
         # TSDB core (r1-green; re-verified within the 50-entry window)
         "tsdb_read_eq": q_tsdb_read_eq,
         "tsdb_read_name_regex": q_tsdb_read_name_regex,
@@ -1687,10 +1766,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_moving_avg": q_tsdb_moving_avg,
         "tsdb_sum_by_label": q_tsdb_sum_by_label,
         "tsdb_topk_series": q_tsdb_topk_series,
+        # --- driver 50-entry window ends here (position 51+) ---
         "tsdb_max_gap": q_tsdb_max_gap,
         "tsdb_stale_series": q_tsdb_stale_series,
         "tsdb_label_values": q_tsdb_label_values,
-        # --- driver 50-entry window ends here (position 51+) ---
         "tsdb_series_count": q_tsdb_series_count,
         "events_value_histogram": q_events_value_histogram,
         "emb_label_centroids": q_emb_label_centroids,
@@ -2453,6 +2532,44 @@ mins AS (
 )
 SELECT t.doc_id, md5(array_to_string(t.toks, ' ')) AS fp_md5, m.fp_shingle
 FROM toks t JOIN mins m USING (doc_id)
+""",
+        "text_repetition": f"""
+WITH {_TOKS_CTE}, {_SH_CTE}
+SELECT t.doc_id,
+       CAST(greatest(len(t.toks) - 2, 0) AS BIGINT) AS n_shingles,
+       CAST(len(s.shingles) AS BIGINT) AS n_distinct,
+       CASE WHEN len(t.toks) > 2
+            THEN 1.0 - CAST(len(s.shingles) AS DOUBLE) / CAST(len(t.toks) - 2 AS DOUBLE)
+            ELSE 0.0 END AS rep_ratio
+FROM toks t JOIN sh s USING (doc_id)
+""",
+        "dataset_sample": """
+WITH h AS (
+    SELECT lang,
+           CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS hv
+    FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN hv < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM h GROUP BY 1
+""",
+        "doc_packing": f"""
+WITH {_TOKS_CTE},
+n AS (
+    SELECT d.doc_id, d.lang, CAST(len(t.toks) AS BIGINT) AS n_tokens
+    FROM documents d JOIN toks t USING (doc_id)
+),
+c AS (
+    SELECT lang, doc_id, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+    FROM n
+),
+b AS (
+    SELECT lang, CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS bin, n_tokens
+    FROM c
+)
+SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM b GROUP BY 1, 2
 """,
         "tsdb_sum_by_label": f"""
 WITH {SAMPLES_ORACLE_CTE},
