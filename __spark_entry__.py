@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 from collections.abc import Callable
 
 REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
@@ -1431,6 +1432,56 @@ def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_stateful_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard oracle signal for the custom stateful streaming operator: a real
+    Structured Streaming run (file source -> ``applyInPandasWithState`` ->
+    memory sink, availableNow trigger) whose emitted rates must equal the
+    batch lag-window SQL — cross-batch state is only correct if it
+    reproduces exactly what ``lag()`` computes over the ordered history.
+
+    The staging input is pre-aggregated to one row per (series, second)
+    (A1 semantics) so the stream sees no duplicate timestamps and the
+    result is engine-deterministic."""
+    import uuid
+
+    from remote_tsdb_clickhouse_spark.model import SAMPLES_SCHEMA
+    from remote_tsdb_clickhouse_spark.streaming.ingest import stateful_rate_stream
+
+    ensure_query_confs(spark)
+    staging = f"{tempfile.mkdtemp(prefix='graft_stream_')}"
+    # the per-event k=<rand> label would make nearly every sample its own
+    # series (no history, no rates); project it away so the series identity
+    # is (metric, user[, tier]) — X2-style label projection — then group to
+    # one row per (series, second) like A1
+    keep = F.array_sort(F.filter("labels", lambda x: ~x.startswith("k=")))
+    grouped = (
+        events_to_samples(spark, sf_dir)
+        .where((F.col("metric_name") == "purchase") & (F.col("ts") < F.lit("2024-01-10 00:00:00")))
+        .groupBy("metric_name", keep.alias("labels"), "ts")
+        .agg(F.max("value").alias("value"))
+        .select("ts", "metric_name", "labels", "value")
+    )
+    grouped.coalesce(1).write.mode("overwrite").parquet(f"{staging}/in")
+    stream = spark.readStream.schema(SAMPLES_SCHEMA).parquet(f"{staging}/in")
+    qname = f"rates_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_rate_stream(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", f"{staging}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(qname).select(
+        "metric_name",
+        "labels_str",
+        F.col("t").cast("long").alias("t"),
+        "rate",
+    )
+
+
 def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 keywords with TF-IDF scores: term frequency via
     explode+groupBy, document frequency via a second aggregation on the same
@@ -1747,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "dataset_sample": q_dataset_sample,
         "doc_packing": q_doc_packing,
+        "streaming_stateful_rate": q_streaming_stateful_rate,
         # TSDB core (r1-green; re-verified within the 50-entry window)
         "tsdb_read_eq": q_tsdb_read_eq,
         "tsdb_read_name_regex": q_tsdb_read_name_regex,
@@ -1765,8 +1817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_range_agg": q_tsdb_range_agg,
         "tsdb_moving_avg": q_tsdb_moving_avg,
         "tsdb_sum_by_label": q_tsdb_sum_by_label,
-        "tsdb_topk_series": q_tsdb_topk_series,
         # --- driver 50-entry window ends here (position 51+) ---
+        "tsdb_topk_series": q_tsdb_topk_series,
         "tsdb_max_gap": q_tsdb_max_gap,
         "tsdb_stale_series": q_tsdb_stale_series,
         "tsdb_label_values": q_tsdb_label_values,
@@ -2570,6 +2622,30 @@ b AS (
 )
 SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
 FROM b GROUP BY 1, 2
+""",
+        # the streaming stateful-rate result must equal the batch lag window
+        # over the same (series, second)-grouped history — state == lag
+        "streaming_stateful_rate": f"""
+WITH {SAMPLES_ORACLE_CTE},
+grouped AS (
+    SELECT metric_name,
+           array_to_string(list_sort(list_filter(labels, x -> NOT (x LIKE 'k=%'))), ',') AS labels_str,
+           ts AS tt, max(value) AS v
+    FROM samples
+    WHERE metric_name = 'purchase' AND ts < TIMESTAMP '2024-01-10 00:00:00'
+    GROUP BY 1, 2, 3
+),
+r AS (
+    SELECT metric_name, labels_str, tt, v,
+           lag(v) OVER w AS pv, lag(tt) OVER w AS pt
+    FROM grouped
+    WINDOW w AS (PARTITION BY metric_name, labels_str ORDER BY tt)
+)
+SELECT metric_name, labels_str, CAST(floor(epoch(tt)) AS BIGINT) AS t,
+       CASE WHEN v - pv < 0 THEN NULL
+            ELSE (v - pv) / (CAST(floor(epoch(tt)) AS BIGINT) - CAST(floor(epoch(pt)) AS BIGINT))
+            END AS rate
+FROM r WHERE pv IS NOT NULL
 """,
         "tsdb_sum_by_label": f"""
 WITH {SAMPLES_ORACLE_CTE},

@@ -56,3 +56,26 @@ def test_tfidf_single_explode(spark):
     # token array, not re-tokenize per branch
     plan = _plan(spark, "text_tfidf_keywords")
     assert plan.count("Generate explode") <= 2, plan
+
+
+def test_doc_packing_no_global_sort(spark):
+    # packing windows per language stratum: the plan must hash-partition on
+    # lang, never collapse to a single-partition global sort
+    plan = _plan(spark, "doc_packing")
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(lang" in plan, plan
+
+
+def test_ivf_centroids_distributed_topn(spark):
+    # centroid selection (n smallest ids) must plan as a distributed
+    # TakeOrderedAndProject, not a global sort of the corpus
+    plan = _plan(spark, "sim_topk_ivf")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_text_repetition_shares_dedup_base(spark):
+    # repetition ratio derives from normalized_docs: one exchange (the
+    # tokenize barrier), zero joins/aggregations
+    plan = _plan(spark, "text_repetition")
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
