@@ -51,11 +51,19 @@ def normalized_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     plain column attribute.  Without the barrier, projection collapsing
     inlines the regexp-heavy token expression into the per-element lambdas
     (measured 3.3x slower at sf0.1).  Only (id, toks) rows cross the wire.
+
+    The partition count is EXPLICIT: ``repartition("doc_id")`` without a
+    count lets AQE coalesce the small pre-explode shuffle (a few thousand
+    (id, toks) rows) down to ONE partition, serializing the expensive
+    shingle+explode stage onto a single core (measured 5.6s -> 0.7s at
+    sf0.1 for the exploded index).  Pre-shuffle row size is a terrible
+    proxy for post-explode work; pin the fan-out.
     """
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
         spread(docs)
         .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
-        .repartition("doc_id")
+        .repartition(par, "doc_id")
         .withColumn("shingles", word_shingles(F.col("toks"), 3))
     )
 
@@ -244,7 +252,8 @@ def minhash_signatures_from(exploded: DataFrame) -> DataFrame:
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return hashed.repartition("doc_id").groupBy("doc_id").agg(*aggs)
+    par = exploded.sparkSession.sparkContext.defaultParallelism
+    return hashed.repartition(par, "doc_id").groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(base: DataFrame) -> DataFrame:
@@ -372,8 +381,10 @@ def simhash_values(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         for j in range(32)
     ]
     # materialize h pre-shuffle (see minhash_signatures: 32 aggs would each
-    # inline the md5 chain otherwise)
-    votes = hashed.repartition("doc_id").groupBy("doc_id").agg(*bit_votes)
+    # inline the md5 chain otherwise); explicit count so AQE can't coalesce
+    # the pre-agg shuffle to one core (see normalized_docs)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    votes = hashed.repartition(par, "doc_id").groupBy("doc_id").agg(*bit_votes)
     packed = None
     for j in range(32):
         term = F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
