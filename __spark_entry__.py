@@ -1199,6 +1199,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs with id >= 400 arrive as a 'new batch' and
+    are matched against the signature index of the id < 400 corpus —
+    continuous-ingestion dedup where the corpus exists only as its MinHash
+    signature table."""
+    d = _docs(spark, sf_dir)
+    index = dedup.minhash_signatures(
+        dedup.normalized_docs(d.where(F.col("doc_id") < 400))
+    )
+    return dedup.incremental_minhash_pairs(
+        d.where(F.col("doc_id") >= 400), index, min_est_jaccard=0.5
+    )
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup group assignment: connected components (iterative min-label
     propagation) over the MinHash-LSH pair graph; oracled against a DuckDB
@@ -1618,6 +1632,45 @@ WHERE la + lb - i > 0 AND CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
 """
 
 
+def _incremental_oracle() -> str:
+    p = dedup.MINHASH_PRIME
+    sig_cols = ",\n           ".join(
+        f"min(({a} * hv + {b}) % {p}) AS mh{i}" for i, (a, b) in enumerate(dedup.MINHASH_COEFFS)
+    )
+
+    def bands(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT doc_id, {b} AS band, "
+            + " || '_' || ".join(
+                f"CAST(mh{b * dedup.ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(dedup.ROWS_PER_BAND)
+            )
+            + f" AS sig FROM {src}"
+            for b in range(dedup.BANDS)
+        )
+
+    est = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(dedup.NUM_HASHES)
+    )
+    return f"""
+WITH {_TOKS_CTE}, {_SH_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+h AS (SELECT doc_id, {_H32.format(x='s')} % {p} AS hv FROM ex),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+sn AS (SELECT * FROM sig WHERE doc_id >= 400),
+si AS (SELECT * FROM sig WHERE doc_id < 400),
+bn AS ({bands('sn')}),
+bi AS ({bands('si')}),
+cand AS (
+    SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS index_id
+    FROM bn x JOIN bi y ON x.band = y.band AND x.sig = y.sig
+)
+SELECT c.new_id, c.index_id, CAST({est} AS DOUBLE) / {float(dedup.NUM_HASHES)} AS est_jaccard
+FROM cand c JOIN sn a ON a.doc_id = c.new_id JOIN si b ON b.doc_id = c.index_id
+WHERE CAST({est} AS DOUBLE) / {float(dedup.NUM_HASHES)} >= 0.5
+"""
+
+
 def _simhash_oracle() -> str:
     votes = ",\n           ".join(
         f"CAST(sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{j}"
@@ -1791,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_groups": q_dedup_groups,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "sim_topk_bruteforce": q_sim_topk_bruteforce,
@@ -1825,8 +1879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_resets_changes": q_tsdb_resets_changes,
         "tsdb_range_agg": q_tsdb_range_agg,
         "tsdb_moving_avg": q_tsdb_moving_avg,
-        "tsdb_sum_by_label": q_tsdb_sum_by_label,
         # --- driver 50-entry window ends here (position 51+) ---
+        "tsdb_sum_by_label": q_tsdb_sum_by_label,
         "tsdb_topk_series": q_tsdb_topk_series,
         "tsdb_max_gap": q_tsdb_max_gap,
         "tsdb_stale_series": q_tsdb_stale_series,
@@ -2374,6 +2428,7 @@ WHERE la + lb - i > 0 AND CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
 """,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(),
+        "dedup_incremental": _incremental_oracle(),
         "dedup_groups": f"""
 WITH RECURSIVE
 lsh AS ({_minhash_oracle()}),

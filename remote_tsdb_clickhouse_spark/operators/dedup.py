@@ -297,6 +297,69 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    index_sigs: DataFrame,
+    min_est_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental dedup: match an incoming batch against an EXISTING corpus
+    signature index without touching corpus text.
+
+    The production shape for continuous ingestion at 100 TB: the corpus is
+    represented only by its (tiny, persistable) MinHash signature table
+    (:func:`minhash_signatures` output — 16 ints per document); each new
+    batch computes its own signatures, candidates come from LSH band-key
+    collisions against the index (linear equi-join, the batch side is small
+    and broadcastable), and similarity is the **signature estimate**
+    (matching-hash fraction — unbiased estimator of Jaccard) because the
+    corpus shingle sets are long gone.  Exact verification, when needed,
+    re-reads only the matched corpus documents.
+
+    Output: ``(new_id, index_id, est_jaccard)`` with estimate >=
+    ``min_est_jaccard``; est_jaccard = k/NUM_HASHES is an exact int/int
+    division (oracle-stable).
+    """
+    sigs_new = minhash_signatures(normalized_docs(new_docs, id_col, text_col))
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        band_cols = []
+        for b in range(BANDS):
+            cols = [F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            band_cols.append(
+                F.struct(F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("sig"))
+            )
+        return sigs.select(
+            F.col("doc_id").alias(out_id),
+            F.explode(F.array(*band_cols)).alias("bk"),
+        ).select(out_id, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+    cands = (
+        banded(sigs_new, "new_id")
+        .join(banded(index_sigs, "index_id"), ["band", "sig"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    a = sigs_new.select(
+        F.col("doc_id").alias("new_id"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)]
+    )
+    b = index_sigs.select(
+        F.col("doc_id").alias("index_id"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(NUM_HASHES)
+    )
+    est = matches.cast("double") / F.lit(float(NUM_HASHES))
+    return (
+        cands.join(a, "new_id")
+        .join(b, "index_id")
+        .select("new_id", "index_id", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",

@@ -82,3 +82,18 @@ def test_ivf_topk_sparse_ids(spark):
     assert {r.query_id for r in out} == {1000, 1010, 1020}
     assert all(1 <= r.rank <= 3 for r in out)
     assert all(r.neighbor_id != r.query_id for r in out)
+
+
+def test_incremental_minhash_pairs(spark, hot_corpus):
+    """New-batch docs must match their corpus originals through the
+    signature index alone (no corpus text), with estimate 1.0 for exact
+    copies."""
+    from pyspark.sql import functions as F2
+
+    corpus = hot_corpus.where(F2.col("doc_id") < 20)
+    new = hot_corpus.where(F2.col("doc_id") >= 20)  # copies of docs 0 and 5
+    index = dedup.minhash_signatures(dedup.normalized_docs(corpus))
+    out = dedup.incremental_minhash_pairs(new, index, min_est_jaccard=0.9)
+    got = {(r.new_id, r.index_id, r.est_jaccard) for r in out.collect()}
+    assert (20, 0, 1.0) in got
+    assert (21, 5, 1.0) in got
