@@ -1203,13 +1203,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: docs with id >= 400 arrive as a 'new batch' and
     are matched against the signature index of the id < 400 corpus —
     continuous-ingestion dedup where the corpus exists only as its MinHash
-    signature table."""
-    d = _docs(spark, sf_dir)
-    index = dedup.minhash_signatures(
-        dedup.normalized_docs(d.where(F.col("doc_id") < 400))
-    )
-    return dedup.incremental_minhash_pairs(
-        d.where(F.col("doc_id") >= 400), index, min_est_jaccard=0.5
+    signature table.
+
+    Signatures are computed in ONE full-corpus tokenize->shingle->minhash
+    pass and split by id afterwards (per-doc signatures are independent, so
+    pre- vs post-split is identical) — the exploded-shingle and signature
+    frames here are plan-identical to the ones the LSH/groups queries
+    persist, so the whole dedup family shares one materialization instead of
+    this query rebuilding two disjoint filtered pipelines (r2: 7.65 s)."""
+    base = dedup.normalized_docs(_docs(spark, sf_dir))
+    exploded = base.select("doc_id", F.explode("shingles").alias("sh")).persist()
+    sigs = dedup.minhash_signatures_from(exploded).persist()
+    return dedup.incremental_minhash_pairs_sigs(
+        sigs.where(F.col("doc_id") >= 400),
+        sigs.where(F.col("doc_id") < 400),
+        min_est_jaccard=0.5,
     )
 
 
@@ -1494,7 +1502,11 @@ def q_streaming_stateful_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):
+            # reading the memory sink mid-batch would silently return
+            # partial rates; fail loudly instead
+            q.stop()
+            raise TimeoutError("stateful rate stream did not finish within 180s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname).select(
@@ -1735,15 +1747,19 @@ def _protocol_samples_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("ts").cast("long").alias("es"), "metric_name", "labels", "value")
         .collect()
     )
+    # the protocol collect is bounded by construction (one metric x two
+    # days); assert it so a fixture change can't silently grow it into a
+    # driver-side sink
+    assert len(sl) <= 50_000, f"protocol slice unexpectedly large: {len(sl)} rows"
     series: dict[tuple, prompb.TimeSeries] = {}
     for r in sl:
-        key = (r.metric_name, tuple(r.labels))
-        ts_msg = series.get(key)
+        skey = (r.metric_name, tuple(r.labels))  # do NOT shadow the cache key
+        ts_msg = series.get(skey)
         if ts_msg is None:
             labels = [prompb.Label("__name__", r.metric_name)] + [
                 prompb.Label(*s.split("=", 1)) for s in r.labels
             ]
-            ts_msg = series[key] = prompb.TimeSeries(labels=labels)
+            ts_msg = series[skey] = prompb.TimeSeries(labels=labels)
         ts_msg.samples.append(prompb.Sample(float(r.value), r.es * 1000))
     req = prompb.WriteRequest(timeseries=[series[k] for k in sorted(series)])
     wire = codec.encode_write_request(req)  # snappy + proto encode
@@ -1820,66 +1836,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is a driver contract: the correctness harness checks the
-    # first 50 entries per round (VERDICT r1).  Round 1 verified the TSDB
-    # core + classic analytics (all green, CORRECTNESS_r01.json); round 2
-    # front-loads what r1's run never reached — the protocol layer and the
-    # LLM-pipeline families — followed by the TSDB core, with the r1-green
-    # classic-SQL block last.
+    # first 50 entries per round (VERDICT r1).  Rotation history: r1 verified
+    # TSDB core + classic analytics; r2 verified protocol + LLM-pipeline
+    # families + TSDB core.  Round 3 front-loads the 34 queries whose last
+    # driver row came from round-1 code (tsdb-extended + classic-SQL blocks —
+    # they sit on shared infrastructure round 2 touched), then fills the
+    # window with the queries round 3 itself modified (dedup rewiring,
+    # protocol cache, streaming timeout, multimodal decode, spread probe).
     return {
-        # protocol layer (new): codec + writer + response assembly
-        "protocol_roundtrip_read": q_protocol_roundtrip_read,
-        "protocol_response_assembly": q_protocol_response_assembly,
-        # LLM-pipeline + extended operators (unverified in r1: were past 50)
-        "min_cost_supplier": q_min_cost_supplier,
-        "top_customers_per_segment": q_top_customers_per_segment,
-        "events_sessionize": q_events_sessionize,
-        "events_asof_click": q_events_asof_click,
-        "events_window_agg": q_events_window_agg,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_resample": q_multimodal_resample,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_groups": q_dedup_groups,
-        "dedup_incremental": q_dedup_incremental,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
-        "sim_topk_lsh": q_sim_topk_lsh,
-        "sim_topk_ivf": q_sim_topk_ivf,
-        "dataset_split": q_dataset_split,
-        "text_pipeline": q_text_pipeline,
-        "events_funnel": q_events_funnel,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "text_tfidf_keywords": q_text_tfidf_keywords,
-        "text_repetition": q_text_repetition,
-        "dataset_sample": q_dataset_sample,
-        "doc_packing": q_doc_packing,
-        "streaming_stateful_rate": q_streaming_stateful_rate,
-        # TSDB core (r1-green; re-verified within the 50-entry window)
-        "tsdb_read_eq": q_tsdb_read_eq,
-        "tsdb_read_name_regex": q_tsdb_read_name_regex,
-        "tsdb_read_nre": q_tsdb_read_nre,
-        "tsdb_label_regex": q_tsdb_label_regex,
-        "tsdb_downsample_30s": q_tsdb_downsample_30s,
-        "tsdb_downsample_range_clamp": q_tsdb_downsample_range_clamp,
-        "tsdb_series_assembly": q_tsdb_series_assembly,
-        "tsdb_ignore_label": q_tsdb_ignore_label,
-        "tsdb_rate": q_tsdb_rate,
-        "tsdb_label_project": q_tsdb_label_project,
-        "tsdb_irate": q_tsdb_irate,
-        "tsdb_delta": q_tsdb_delta,
-        "tsdb_increase": q_tsdb_increase,
-        "tsdb_resets_changes": q_tsdb_resets_changes,
-        "tsdb_range_agg": q_tsdb_range_agg,
-        "tsdb_moving_avg": q_tsdb_moving_avg,
-        # --- driver 50-entry window ends here (position 51+) ---
+        # tsdb-extended block (last driver-verified against r1 code)
         "tsdb_sum_by_label": q_tsdb_sum_by_label,
         "tsdb_topk_series": q_tsdb_topk_series,
         "tsdb_max_gap": q_tsdb_max_gap,
@@ -1892,7 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily_pivot": q_events_daily_pivot,
         "customers_lapsed": q_customers_lapsed,
         "events_retention": q_events_retention,
-        # classic-SQL block (r1-green, stable code paths)
+        # classic-SQL block (last driver-verified against r1 code)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q4_late_shipment_priority": q4_late_shipment_priority,
@@ -1915,6 +1880,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_no_returns": q_orders_no_returns,
         "order_value_quantiles": q_order_value_quantiles,
         "sales_rollup": q_sales_rollup,
+        # --- queries touched by round-3 changes: refresh their rows ---
+        "protocol_roundtrip_read": q_protocol_roundtrip_read,
+        "protocol_response_assembly": q_protocol_response_assembly,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_groups": q_dedup_groups,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+        "dataset_split": q_dataset_split,
+        "streaming_stateful_rate": q_streaming_stateful_rate,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_resample": q_multimodal_resample,
+        # --- driver 50-entry window ends here (position 51+); every entry
+        # below has a green r2 row produced by code r3 did not modify ---
+        "min_cost_supplier": q_min_cost_supplier,
+        "top_customers_per_segment": q_top_customers_per_segment,
+        "events_sessionize": q_events_sessionize,
+        "events_asof_click": q_events_asof_click,
+        "events_window_agg": q_events_window_agg,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "sim_topk_lsh": q_sim_topk_lsh,
+        "sim_topk_ivf": q_sim_topk_ivf,
+        "text_pipeline": q_text_pipeline,
+        "events_funnel": q_events_funnel,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
+        "text_repetition": q_text_repetition,
+        "dataset_sample": q_dataset_sample,
+        "doc_packing": q_doc_packing,
+        "tsdb_read_eq": q_tsdb_read_eq,
+        "tsdb_read_name_regex": q_tsdb_read_name_regex,
+        "tsdb_read_nre": q_tsdb_read_nre,
+        "tsdb_label_regex": q_tsdb_label_regex,
+        "tsdb_downsample_30s": q_tsdb_downsample_30s,
+        "tsdb_downsample_range_clamp": q_tsdb_downsample_range_clamp,
+        "tsdb_series_assembly": q_tsdb_series_assembly,
+        "tsdb_ignore_label": q_tsdb_ignore_label,
+        "tsdb_rate": q_tsdb_rate,
+        "tsdb_label_project": q_tsdb_label_project,
+        "tsdb_irate": q_tsdb_irate,
+        "tsdb_delta": q_tsdb_delta,
+        "tsdb_increase": q_tsdb_increase,
+        "tsdb_resets_changes": q_tsdb_resets_changes,
+        "tsdb_range_agg": q_tsdb_range_agg,
+        "tsdb_moving_avg": q_tsdb_moving_avg,
     }
 
 

@@ -192,8 +192,17 @@ def ngram_jaccard_pairs(
     exploded = base.select("doc_id", F.explode("shingles").alias("sh")).persist()
     if hash_keys:
         exploded = exploded.select("doc_id", F.xxhash64("sh").alias("sh"))
+    # ONE shared document-frequency frame: the route probe is a single extra
+    # max-aggregate over it, and the prefix path (when taken) reuses the same
+    # persisted frame instead of recomputing shingle dfs from the index —
+    # previously the dfs were computed twice (probe + freq join).
+    freq = None
     if prefix_filter is None:
-        prefix_filter = _hot_shingles_exist(exploded, df_cap)
+        freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh")).persist()
+        row = freq.agg(F.max("df_sh").alias("m")).first()
+        prefix_filter = (row["m"] or 0) > df_cap
+        if not prefix_filter:
+            freq.unpersist()
     if prefix_filter:
         # AllPairs/PPJoin prefix filtering (exact): under a global shingle
         # order (ascending document frequency, ties by value), any pair with
@@ -204,7 +213,8 @@ def ngram_jaccard_pairs(
         # frequency (this dataset: max df 25), hence opt-in.
         from pyspark.sql import Window
 
-        freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh"))
+        if freq is None:  # caller forced the prefix path: no probe ran
+            freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh"))
         sizes = _sizes(base)
         w = Window.partitionBy("doc_id").orderBy("df_sh", "sh")
         prefix = (
@@ -322,6 +332,23 @@ def incremental_minhash_pairs(
     division (oracle-stable).
     """
     sigs_new = minhash_signatures(normalized_docs(new_docs, id_col, text_col))
+    return incremental_minhash_pairs_sigs(sigs_new, index_sigs, min_est_jaccard)
+
+
+def incremental_minhash_pairs_sigs(
+    sigs_new: DataFrame,
+    index_sigs: DataFrame,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Signature-level core of :func:`incremental_minhash_pairs`: both sides
+    arrive as precomputed MinHash signature tables.
+
+    Separated so a caller that already holds signatures for the whole corpus
+    (one tokenize->shingle->minhash pass) can split it into index/batch by
+    id instead of rebuilding two disjoint text pipelines — per-document
+    signatures are identical either way, and the single pass shares the
+    cached exploded-shingle frame with the rest of the dedup family.
+    """
 
     def banded(sigs: DataFrame, out_id: str) -> DataFrame:
         band_cols = []

@@ -121,6 +121,10 @@ def decode_bmp(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     compression = int.from_bytes(content[30:34], "little")
     if compression != 0 or bpp not in (24, 32):
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    # width is signed in the header; a negative width would make the stride
+    # negative and let the truncation check pass vacuously
+    if width <= 0 or height_raw == 0:
+        raise ValueError(f"invalid BMP dimensions ({width}x{height_raw})")
     height = abs(height_raw)
     top_down = height_raw < 0
     nbytes = bpp // 8

@@ -1,14 +1,22 @@
-"""CLI daemon entrypoint — the reference's front door (``main.go:82-95``).
+"""CLI daemon entrypoint — the reference's front door (``main.go:76-121``).
 
 ``python -m remote_tsdb_clickhouse_spark.server --http 9131 --store /data/samples``
 starts the Prometheus remote-storage adapter as a process: flag surface,
 ``:port`` address normalization (``main.go:93-95``), fail-fast storage check
 (the ``db.Ping()`` analog, ``conn.go:62-64``), then serve forever.
 
-Flag mapping vs the reference: ``-db/-db.*`` configured the ClickHouse
-connection; here the storage backend is the parquet samples store, so
-``--store`` takes the table path (``-table``'s role).  ``--read.*`` flags
-are kept verbatim.
+Two storage legs, matching the reference's flag surface (``main.go:82-90``):
+
+- ``--store PATH`` — the Spark-native parquet samples store (engine and
+  storage both Spark; ``-table``'s role is the path).
+- ``--db ADDR`` (+ ``--db.database/--db.username/--db.password``,
+  ``--table``) — the reference's exact deployment shape: Spark is the
+  engine, ClickHouse is the storage.  ``ADDR`` is the ClickHouse **HTTP
+  interface** (default port 8123) because the writer ships JSONEachRow over
+  HTTP (``sources/clickhouse.py``), not clickhouse-go's native TCP.
+
+``--read.*`` flags are kept verbatim; ``--debug`` maps to Spark INFO logs
+(zap debug analog, ``main.go:91``).
 """
 
 from __future__ import annotations
@@ -29,20 +37,54 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     p.add_argument(
         "--store",
-        required=True,
-        help="samples table path (the -table analog)",
+        default=None,
+        help="parquet samples table path (Spark-native storage leg)",
+    )
+    p.add_argument(
+        "--db",
+        default=None,
+        help="ClickHouse storage leg: HTTP interface at this address[:port] "
+        "(main.go:85; port defaults to 8123)",
+    )
+    p.add_argument(
+        "--db.database",
+        dest="db_database",
+        default="default",
+        help="ClickHouse database (main.go:86)",
+    )
+    p.add_argument(
+        "--db.username",
+        dest="db_username",
+        default="default",
+        help="ClickHouse username (main.go:87)",
+    )
+    p.add_argument(
+        "--db.password",
+        dest="db_password",
+        default="",
+        help="ClickHouse password (main.go:88)",
+    )
+    p.add_argument(
+        "--table",
+        default="metrics.samples",
+        help="write to this database.tablename (main.go:89)",
     )
     p.add_argument(
         "--read.ignore-label",
         dest="read_ignore_label",
         default="remote=clickhouse",
-        help="ignore this label in read requests (main.go:88); empty disables",
+        help="ignore this label in read requests (main.go:90); empty disables",
     )
     p.add_argument(
         "--read.ignore-hints",
         dest="read_ignore_hints",
         action="store_true",
-        help="ignore step/range hints in read requests (main.go:89)",
+        help="ignore step/range hints in read requests (main.go:91)",
+    )
+    p.add_argument(
+        "--debug",
+        action="store_true",
+        help="verbose engine logs (main.go:92)",
     )
     p.add_argument(
         "--create-if-missing",
@@ -50,31 +92,78 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="allow an empty/nonexistent store path instead of failing fast",
     )
     args = p.parse_args(argv)
+    if (args.store is None) == (args.db is None):
+        p.error("exactly one of --store (parquet) or --db (ClickHouse) is required")
     # ':port' normalization (main.go:93-95)
     if ":" not in args.http:
         args.http = ":" + args.http
     return args
 
 
-def build_server(args: argparse.Namespace, spark=None):
-    """Construct (but don't start) the AdapterServer — separable for tests."""
+def _store_exists(spark, path: str) -> bool:
+    """Probe the store path through the Hadoop FileSystem API so non-local
+    URIs (s3a://, hdfs://) that Spark can serve are accepted — a plain
+    ``os.path.isdir`` would spuriously reject them."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def build_server(args: argparse.Namespace, spark=None, http=None):
+    """Construct (but don't start) the AdapterServer — separable for tests.
+
+    ``http`` (optional) is injected into the ClickHouse leg so tests can run
+    against a fake transport."""
     from remote_tsdb_clickhouse_spark.server.http import AdapterApp, AdapterServer
     from remote_tsdb_clickhouse_spark.session import get_spark
-    from remote_tsdb_clickhouse_spark.sources.samples_store import SamplesStore
-    from remote_tsdb_clickhouse_spark.sources.writer import TimeseriesWriter
 
     spark = spark or get_spark("remote-tsdb-clickhouse-spark")
-    store = SamplesStore(spark, args.store)
-    # fail-fast storage check, the db.Ping() analog (conn.go:62-64): an
-    # unreadable/absent table is a config error surfaced at startup, not on
-    # the first request
-    import os
+    if args.debug:
+        spark.sparkContext.setLogLevel("INFO")
 
-    if not args.create_if_missing and not os.path.isdir(args.store):
-        raise SystemExit(f"store path {args.store!r} does not exist (use --create-if-missing)")
+    if args.db is not None:
+        from remote_tsdb_clickhouse_spark.sources.clickhouse import (
+            ClickHouseRequestWriter,
+            ClickHouseStore,
+        )
+
+        addr = args.db if ":" in args.db else f"{args.db}:8123"
+        store = ClickHouseStore(
+            spark,
+            base_url=f"http://{addr}",
+            table=args.table,
+            database=args.db_database,
+            username=args.db_username,
+            password=args.db_password,
+            http=http,
+        )
+        # immediately try to connect with the provided credentials, fail
+        # fast (conn.go:62-64)
+        try:
+            store.ping()
+        except ConnectionError as e:
+            raise SystemExit(str(e)) from e
+        writer = ClickHouseRequestWriter(store)
+        provider = store.read
+    else:
+        from remote_tsdb_clickhouse_spark.sources.samples_store import SamplesStore
+        from remote_tsdb_clickhouse_spark.sources.writer import TimeseriesWriter
+
+        store = SamplesStore(spark, args.store)
+        # fail-fast storage check, the db.Ping() analog: an unreadable or
+        # absent table is a config error surfaced at startup, not on the
+        # first request
+        if not args.create_if_missing and not _store_exists(spark, args.store):
+            raise SystemExit(
+                f"store path {args.store!r} does not exist (use --create-if-missing)"
+            )
+        writer = TimeseriesWriter(store)
+        provider = store.read
+
     app = AdapterApp(
-        TimeseriesWriter(store),
-        store.read,
+        writer,
+        provider,
         ignore_label=args.read_ignore_label or None,
         ignore_hints=args.read_ignore_hints,
     )
@@ -86,10 +175,11 @@ def main(argv: list[str] | None = None) -> None:
     args = parse_args(argv)
     server = build_server(args)
     # the zap "listening" line (main.go:155-160)
-    print(f"listening addr={args.http} store={args.store}", file=sys.stderr, flush=True)
+    backend = f"db={args.db} table={args.table}" if args.db else f"store={args.store}"
+    print(f"listening addr={args.http} {backend}", file=sys.stderr, flush=True)
     server.start()
     try:
-        server._thread.join()
+        server.join()
     except KeyboardInterrupt:
         server.stop()
 

@@ -142,6 +142,11 @@ class AdapterServer:
         self._thread.start()
         return self
 
+    def join(self, timeout: float | None = None) -> None:
+        """Block until the serving thread exits (the ``main()`` wait)."""
+        if self._thread is not None:
+            self._thread.join(timeout)
+
     def stop(self) -> None:
         self.httpd.shutdown()
         self.httpd.server_close()

@@ -150,6 +150,140 @@ class ClickHouseSink:
         return fn
 
 
+def query_url(base_url: str, sql: str, database: str | None = None) -> str:
+    """SELECT-over-HTTP URL for the ClickHouse HTTP interface."""
+    from urllib.parse import quote
+
+    url = f"{base_url}/?query={quote(sql)}"
+    if database:
+        url += f"&database={quote(database)}"
+    return url
+
+
+def default_http(
+    url: str, payload: bytes | None = None, headers: dict[str, str] | None = None
+) -> bytes:  # pragma: no cover - network
+    from urllib.request import Request, urlopen
+
+    req = Request(url, data=payload, headers=headers or {})
+    with urlopen(req, timeout=10) as resp:
+        if resp.status >= 300:
+            raise RuntimeError(f"clickhouse request failed: HTTP {resp.status}")
+        return resp.read()
+
+
+class ClickHouseStore:
+    """The reference's exact deployment shape: Spark engine, ClickHouse
+    storage (``main.go:102-112`` wiring a ``ClickHouseAdapter``).
+
+    - ``ping()`` — fail-fast connectivity+auth check at startup, the
+      ``db.Ping()`` analog (reference ``conn.go:62-64``).
+    - ``write_request(req)`` — flatten a decoded WriteRequest and POST it as
+      JSONEachRow batches (the HTTP-interface bulk path; requests are
+      bounded by the 32 MiB wire cap, so driver-side encode is the
+      protocol's own materialization).  Volume ingest goes through
+      :class:`ClickHouseSink` (partition-parallel ``foreachPartition``).
+    - ``read()`` — the canonical samples frame fetched over HTTP as
+      JSONEachRow.  This plain full fetch is the bring-up/small-store path;
+      a production read ships the matcher+downsample plan to ClickHouse via
+      :func:`read_pushdown_sql` so only the aggregated series come back.
+
+    Auth rides ClickHouse HTTP headers (``X-ClickHouse-User/-Key``); all
+    network I/O goes through an injectable ``http`` callable so tests run
+    without a server.
+    """
+
+    def __init__(
+        self,
+        spark,
+        base_url: str = "http://127.0.0.1:8123",
+        table: str = DEFAULT_TABLE,
+        database: str = "default",
+        username: str = "default",
+        password: str = "",
+        batch_rows: int = 10_000,
+        http: Callable[..., bytes] | None = None,
+    ):
+        validate_table(table)
+        self.spark = spark
+        self.base_url = base_url.rstrip("/")
+        self.table = table
+        self.database = database
+        self.batch_rows = batch_rows
+        self.http = http or default_http
+        self._headers = {"X-ClickHouse-User": username}
+        if password:
+            self._headers["X-ClickHouse-Key"] = password
+
+    def ping(self) -> None:
+        """Fail fast on an unreachable/unauthorized server (conn.go:62-64)."""
+        try:
+            out = self.http(
+                query_url(self.base_url, "SELECT 1", self.database), None, self._headers
+            )
+        except Exception as e:
+            raise ConnectionError(
+                f"unable to connect to clickhouse server at {self.base_url}: {e}"
+            ) from e
+        if out.strip() != b"1":
+            raise ConnectionError(
+                f"unexpected ping response from {self.base_url}: {out[:100]!r}"
+            )
+
+    def write_request(self, req) -> int:
+        """Decoded WriteRequest -> JSONEachRow INSERT batches; returns the
+        written-sample count (A3)."""
+        from remote_tsdb_clickhouse_spark.sources.writer import write_request_rows
+
+        rows = write_request_rows(req)
+        url = insert_url(self.base_url, self.table)
+        if self.database:
+            from urllib.parse import quote
+
+            url += f"&database={quote(self.database)}"
+        dicts = (
+            {"ts": ts, "metric_name": name, "labels": labels, "value": value}
+            for ts, name, labels, value in rows
+        )
+        for payload in rows_to_jsoneachrow(dicts, self.batch_rows):
+            self.http(url, payload, {**self._headers, "Content-Type": "application/x-ndjson"})
+        return len(rows)
+
+    def read(self) -> DataFrame:
+        """Samples table -> canonical Spark frame (bring-up path; see class
+        docstring for the pushdown production path)."""
+        from datetime import datetime, timezone
+
+        from remote_tsdb_clickhouse_spark.model import SAMPLES_SCHEMA
+
+        sql = (
+            "SELECT toUnixTimestamp(updated_at) AS es, metric_name, labels, value "
+            f"FROM {self.table} FORMAT JSONEachRow"
+        )
+        raw = self.http(query_url(self.base_url, sql, self.database), None, self._headers)
+        rows = []
+        for line in raw.splitlines():
+            if not line.strip():
+                continue
+            r = json.loads(line)
+            ts = datetime.fromtimestamp(int(r["es"]), tz=timezone.utc).replace(tzinfo=None)
+            rows.append((ts, r["metric_name"], list(r["labels"]), float(r["value"])))
+        return self.spark.createDataFrame(rows, SAMPLES_SCHEMA)
+
+
+class ClickHouseRequestWriter:
+    """S5 writer interface (``write(req) -> int``) bound to a
+    :class:`ClickHouseStore` — drop-in for ``TimeseriesWriter`` in
+    :class:`~...server.http.AdapterApp` when ClickHouse is the storage
+    backend."""
+
+    def __init__(self, store: ClickHouseStore):
+        self.store = store
+
+    def write(self, req) -> int:
+        return self.store.write_request(req)
+
+
 def read_pushdown_sql(
     table: str,
     where_clauses: list[str],

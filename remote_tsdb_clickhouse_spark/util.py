@@ -5,6 +5,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """Read a byte-size conf, tolerating '128m'-style suffixed values."""
+    try:
+        raw = str(spark.conf.get(key)).strip().lower()
+    except Exception:
+        return default
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30)):
+        if raw.endswith(suffix + "b"):
+            raw, mult = raw[:-2], m
+            break
+        if raw.endswith(suffix):
+            raw, mult = raw[:-1], m
+            break
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure a DataFrame has enough partitions to use the cluster.
 
@@ -12,24 +34,50 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     every downstream map stage onto a single core; explode-heavy operators
     (shingling, pair scoring) then run 32x slower than they should.  A
     round-robin repartition is cheap at small sizes and a no-op cost at
-    scale, where inputs already have >= parallelism partitions and this
-    branch never triggers.
+    scale, where inputs already have >= parallelism partitions.
+
+    Probe strategy: ``n_files >= target`` alone is NOT enough — Spark
+    bin-packs small files into FilePartitions (maxPartitionBytes /
+    openCostInBytes), so 16 tiny files can scan as ONE partition.  The
+    packing does give a guaranteed lower bound: every file contributes at
+    least ``openCostInBytes`` padded bytes and no partition exceeds
+    ``maxPartitionBytes`` of padded cost, so the scan yields at least
+    ``n_files * openCost / maxPartitionBytes`` partitions; with a 2x safety
+    factor for greedy-packing slack this short-circuits the probe exactly
+    where it matters (real tables at scale: thousands of files), while small
+    inputs fall through to the exact ``df.rdd.getNumPartitions()`` probe —
+    driver-only plan conversion, cheap at the sizes where it runs.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    # partition-count probe without df.rdd (which forces the DataFrame
-    # through RDD conversion — an analysis barrier — on every call):
-    # for file-scan frames, inputFiles() is a metadata-only lookup and the
-    # scan produces >= one partition per file beyond maxPartitionBytes, so
-    # many files => already parallel.  Frames with no input files (local
-    # relations, post-shuffle) fall back to the RDD probe — those are the
-    # rare case in operator pipelines, which call spread() on fresh scans.
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files >= target:
-        return df
-    if df.rdd.getNumPartitions() < target:
+    if n_files:
+        open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+        max_bytes = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+        if max_bytes > 0 and n_files * open_cost >= 2 * target * max_bytes:
+            return df
+    if _num_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+#: (session id, semanticHash) -> partition count.  The RDD probe forces
+#: physical planning (driver-only but ~tens of ms); operator entrypoints call
+#: spread() on the same scans once per query, so memoize by plan semantics —
+#: semantically-equal plans are guaranteed equal hashes, and the hash covers
+#: the relation's file listing, so an appended table re-probes.
+_NPART_CACHE: dict[tuple[int, int], int] = {}
+
+
+def _num_partitions(df: DataFrame) -> int:
+    try:
+        key = (id(df.sparkSession), df.semanticHash())
+    except Exception:
+        return df.rdd.getNumPartitions()
+    n = _NPART_CACHE.get(key)
+    if n is None:
+        n = _NPART_CACHE[key] = df.rdd.getNumPartitions()
+    return n

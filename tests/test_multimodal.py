@@ -87,6 +87,29 @@ def test_decode_bmp_rejects_garbage():
         mm.decode_bmp(b"nope")
 
 
+def test_decode_bmp_rejects_nonpositive_dimensions():
+    """A negative width would flip the stride sign and pass the truncation
+    check vacuously; zero height is equally meaningless."""
+    import pytest
+    import struct
+
+    def patched(width, height_raw):
+        bmp = bytearray(_make_bmp(3, 2, GOLDEN_ROWS))
+        bmp[18:22] = struct.pack("<i", width)
+        bmp[22:26] = struct.pack("<i", height_raw)
+        return bytes(bmp)
+
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        mm.decode_bmp(patched(-3, 2))
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        mm.decode_bmp(patched(0, 2))
+    with pytest.raises(ValueError, match="invalid BMP dimensions"):
+        mm.decode_bmp(patched(3, 0))
+    # top-down (negative height) BMPs remain valid
+    w, h, _ = mm.decode_bmp(_make_bmp(3, 2, GOLDEN_ROWS))
+    assert (w, h) == (3, 2)
+
+
 def test_extract_features_real_bmp_path(spark):
     """A BMP payload must flow through the REAL decoder inside the Arrow
     batch plumbing: features are the actual channel means, not the stub

@@ -1,0 +1,46 @@
+"""util.spread: the partition-floor guard for explode-heavy operators."""
+
+from __future__ import annotations
+
+from remote_tsdb_clickhouse_spark.util import _bytes_conf, spread
+
+
+def test_spread_repartitions_single_file_scan(spark, tmp_path):
+    path = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = spread(df)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_spread_many_tiny_files_still_repartitions(spark, tmp_path):
+    """Spark bin-packs small files into FilePartitions (maxPartitionBytes /
+    openCostInBytes), so n_files >= target does NOT imply enough scan
+    partitions — 12 tiny files can scan as one.  spread() must fall through
+    to the real partition probe, not short-circuit on file count."""
+    target = spark.sparkContext.defaultParallelism
+    n_files = max(12, target + 4)
+    path = str(tmp_path / "tiny")
+    spark.range(n_files).repartition(n_files).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert len(df.inputFiles()) >= target  # the trap: many files...
+    out = spread(df)
+    assert out.rdd.getNumPartitions() >= target  # ...still spread correctly
+
+
+def test_spread_noop_on_already_parallel_frame(spark):
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).repartition(target * 2)
+    assert spread(df) is df
+
+
+def test_bytes_conf_parses_suffixes(spark):
+    spark.conf.set("graft.test.bytes.plain", "1048576")
+    spark.conf.set("graft.test.bytes.mb", "64m")
+    spark.conf.set("graft.test.bytes.suffixed", "128MB")
+    spark.conf.set("graft.test.bytes.kb", "4k")
+    assert _bytes_conf(spark, "graft.test.bytes.plain", 0) == 1 << 20
+    assert _bytes_conf(spark, "graft.test.bytes.mb", 0) == 64 << 20
+    assert _bytes_conf(spark, "graft.test.bytes.suffixed", 0) == 128 << 20
+    assert _bytes_conf(spark, "graft.test.bytes.kb", 0) == 4 << 10
+    assert _bytes_conf(spark, "graft.test.bytes.absent", 42) == 42
