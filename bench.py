@@ -81,6 +81,31 @@ def main() -> None:
         events_to_samples(spark, sf_dir).count()
     except Exception:
         pass
+    # The tsdb read-plan operator pattern (matcher filter -> time bucket ->
+    # groupBy collect_list -> array_sort assembly) JIT-compiles on first use
+    # — measured ~2x on whichever tsdb query runs first.  Warm the MACHINERY
+    # on a 3-row synthetic samples frame (same plan shape, not the real
+    # data, so the timed region still measures all real work).
+    try:
+        from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
+        from remote_tsdb_clickhouse_spark.plans.read_plan import (
+            ReadQuery,
+            read_query_grouped,
+        )
+
+        tiny = spark.sql(
+            "SELECT timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS ts, "
+            "'m' AS metric_name, array('a=1') AS labels, CAST(id AS DOUBLE) AS value "
+            "FROM range(3)"
+        )
+        wq = ReadQuery(
+            start_ms=0,
+            end_ms=2_000_000_000_000,
+            matchers=(LabelMatcher(MatcherType.EQ, "__name__", "m"),),
+        )
+        read_query_grouped(tiny, wq).collect()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
     qs = entrymod.queries()

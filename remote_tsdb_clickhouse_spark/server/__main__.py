@@ -146,6 +146,18 @@ def build_server(args: argparse.Namespace, spark=None, http=None):
             raise SystemExit(str(e)) from e
         writer = ClickHouseRequestWriter(store)
         provider = store.read
+        from remote_tsdb_clickhouse_spark.sources.clickhouse import pushdown_read_request
+
+        # the reference's serving loop: /read ships matcher+downsample SQL
+        # to ClickHouse and run-length assembles the ordered rows
+        # (read.go:15-101); Spark keeps ingest/analytics
+        def read_handler(req):
+            return pushdown_read_request(
+                store,
+                req,
+                ignore_label=args.read_ignore_label or None,
+                ignore_hints=args.read_ignore_hints,
+            )
     else:
         from remote_tsdb_clickhouse_spark.sources.samples_store import SamplesStore
         from remote_tsdb_clickhouse_spark.sources.writer import TimeseriesWriter
@@ -160,12 +172,14 @@ def build_server(args: argparse.Namespace, spark=None, http=None):
             )
         writer = TimeseriesWriter(store)
         provider = store.read
+        read_handler = None
 
     app = AdapterApp(
         writer,
         provider,
         ignore_label=args.read_ignore_label or None,
         ignore_hints=args.read_ignore_hints,
+        read_request_handler=read_handler,
     )
     host, _, port = args.http.rpartition(":")
     return AdapterServer(app, host=host or "0.0.0.0", port=int(port))

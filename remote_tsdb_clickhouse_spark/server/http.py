@@ -44,11 +44,17 @@ class AdapterApp:
         *,
         ignore_label: str | None = DEFAULT_READ_IGNORE_LABEL,
         ignore_hints: bool = False,
+        read_request_handler=None,
     ):
         self.writer = writer
         self.samples_provider = samples_provider  # () -> DataFrame
         self.ignore_label = ignore_label
         self.ignore_hints = ignore_hints
+        # optional (req) -> ReadResponse override: the ClickHouse-storage leg
+        # pushes the whole matcher+downsample query to the store
+        # (sources/clickhouse.py pushdown_read_request, read.go:15-101)
+        # instead of planning it on the samples frame
+        self.read_request_handler = read_request_handler
         self.metrics = MetricsRegistry()
 
     def handle_write(self, body: bytes) -> tuple[int, bytes]:
@@ -66,10 +72,13 @@ class AdapterApp:
         self.metrics.read_requests_total.inc()
         try:
             req = codec.decode_read_request(body)
-            samples: DataFrame = self.samples_provider()
-            resp = handle_read_request(
-                samples, req, ignore_label=self.ignore_label, ignore_hints=self.ignore_hints
-            )
+            if self.read_request_handler is not None:
+                resp = self.read_request_handler(req)
+            else:
+                samples: DataFrame = self.samples_provider()
+                resp = handle_read_request(
+                    samples, req, ignore_label=self.ignore_label, ignore_hints=self.ignore_hints
+                )
             return 200, codec.encode_read_response(resp)
         except ConnectionError:
             # context.Canceled parity (main.go:147-152): a client that went

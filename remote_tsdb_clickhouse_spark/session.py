@@ -18,6 +18,23 @@ def ensure_query_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # InferFiltersFromGenerate synthesizes `size(arr)>0 AND isnotnull(arr)`
+    # above every explode, and predicate pushdown then drags that filter
+    # through exchanges down to the scan — re-inlining the full array
+    # expression (tokenize+shingle HOF chains here) into an interpreted
+    # filter that recomputes it per row BEFORE the stage that computes it
+    # for real (measured: the exploded shingle index builds 3.5x slower).
+    # Every generator input in this engine is an array computed in the same
+    # stage as its explode, so the inferred filter can never prune work —
+    # excluding the rule changes plans, never results.
+    _EXCLUDE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    try:
+        existing = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    except Exception:
+        existing = ""
+    if _EXCLUDE not in existing:
+        merged = f"{existing},{_EXCLUDE}" if existing else _EXCLUDE
+        spark.conf.set("spark.sql.optimizer.excludedRules", merged)
     # Spark rejects parquet TIMESTAMP(NANOS) outright; read as long nanos and
     # normalize in the source adapters (sources/events.py floors ns -> us,
     # byte-matching DuckDB's coercion).

@@ -304,3 +304,133 @@ def read_pushdown_sql(
         f"SELECT metric_name, arraySort(labels) AS slb, {t_expr} AS t, max(value) AS max_0 "
         f"FROM {table} WHERE {where} GROUP BY metric_name, slb, t ORDER BY metric_name, slb, t"
     )
+
+
+def ch_string_literal(s: str) -> str:
+    """ClickHouse single-quoted string literal (backslash escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def matcher_where_clauses(matchers, ignore_label: str | None = None) -> list[str]:
+    """prompb matchers -> ClickHouse WHERE clauses — ``read.go:103-139``
+    verbatim, with literals inlined (the HTTP interface has no bind
+    parameters; ``ch_string_literal`` escapes them).
+
+    Mirrored quirks: label matchers compare the CONCATENATED ``name=value``
+    string (``read.go:120``), regexes are concat-anchored ``^...$``
+    (``read.go:104``), the routing label is skipped on the EQ branch only
+    (``read.go:123-125``), and an unknown matcher type is an error (F12,
+    ``read.go:116-117,133-134``).
+    """
+    from remote_tsdb_clickhouse_spark.plans.matchers import MatcherType
+
+    clauses: list[str] = []
+    for m in matchers:
+        if m.name == "__name__":
+            v = ch_string_literal(m.value)
+            if m.type == MatcherType.EQ:
+                clauses.append(f"metric_name={v}")
+            elif m.type == MatcherType.NEQ:
+                clauses.append(f"metric_name!={v}")
+            elif m.type == MatcherType.RE:
+                clauses.append(f"match(metric_name, {ch_string_literal('^' + m.value + '$')})")
+            elif m.type == MatcherType.NRE:
+                clauses.append(
+                    f"NOT match(metric_name, {ch_string_literal('^' + m.value + '$')})"
+                )
+            else:
+                raise ValueError(f"unsupported LabelMatcher_Type {m.type}")
+        else:
+            label = f"{m.name}={m.value}"
+            lv = ch_string_literal(label)
+            if m.type == MatcherType.EQ:
+                if ignore_label is not None and label == ignore_label:
+                    continue
+                clauses.append(f"has(labels, {lv})")
+            elif m.type == MatcherType.NEQ:
+                clauses.append(f"NOT has(labels, {lv})")
+            elif m.type == MatcherType.RE:
+                clauses.append(
+                    f"arrayExists(x -> match(x, {ch_string_literal('^' + label + '$')}), labels)"
+                )
+            elif m.type == MatcherType.NRE:
+                clauses.append(
+                    f"NOT arrayExists(x -> match(x, {ch_string_literal('^' + label + '$')}), labels)"
+                )
+            else:
+                raise ValueError(f"unsupported LabelMatcher_Type {m.type}")
+    return clauses
+
+
+def read_query_sql(
+    q,
+    table: str = DEFAULT_TABLE,
+    *,
+    ignore_label: str | None = None,
+    ignore_hints: bool = False,
+) -> str:
+    """One ``prompb.Query`` -> the reference's complete emitted SQL
+    (``read.go:22-57``): epoch-floored time bounds on the aliased ``t``
+    (so a downsample bucket is what the bound applies to), matcher clauses,
+    and the halved/floored hint interval via the shared A2 policy."""
+    from remote_tsdb_clickhouse_spark.plans.read_plan import downsample_interval_seconds
+
+    clauses = [f"t >= {q.start_ms // 1000}"]
+    if q.end_ms > 0:
+        clauses.append(f"t <= {q.end_ms // 1000}")
+    clauses.extend(matcher_where_clauses(q.matchers, ignore_label))
+    interval_s = downsample_interval_seconds(q.hints, ignore_hints=ignore_hints)
+    return read_pushdown_sql(table, clauses, interval_s)
+
+
+def pushdown_read_request(
+    store: ClickHouseStore,
+    req,
+    *,
+    ignore_label: str | None = None,
+    ignore_hints: bool = False,
+):
+    """Serve a full ``prompb.ReadRequest`` by shipping each query to
+    ClickHouse and run-length assembling the ordered rows into TimeSeries —
+    the reference's serving loop (``read.go:15-101``), for the deployment
+    where ClickHouse is both storage and scan engine.  The Spark plan path
+    (:func:`~...server.service.handle_read_request`) remains the engine
+    route; this is byte-parity for the external-storage leg.
+    """
+    from datetime import datetime, timezone
+
+    from remote_tsdb_clickhouse_spark import prompb
+
+    resp = prompb.ReadResponse()
+    for q in req.queries:
+        result = prompb.QueryResult()
+        sql = read_query_sql(
+            q, store.table, ignore_label=ignore_label, ignore_hints=ignore_hints
+        )
+        raw = store.http(
+            query_url(store.base_url, sql + " FORMAT JSONEachRow", store.database),
+            None,
+            store._headers,
+        )
+        last_key = None
+        ts_msg = None
+        for line in raw.splitlines():
+            if not line.strip():
+                continue
+            r = json.loads(line)
+            key = (r["metric_name"], tuple(r["slb"]))
+            if ts_msg is None or key != last_key:
+                last_key = key
+                labels = [prompb.Label("__name__", r["metric_name"])] + [
+                    prompb.Label(*s.split("=", 1)) for s in r["slb"]
+                ]
+                ts_msg = prompb.TimeSeries(labels=labels)
+                result.timeseries.append(ts_msg)
+            # ClickHouse DateTime over JSONEachRow: "YYYY-MM-DD hh:mm:ss"
+            # in the server zone (UTC here, matching the reference deploy)
+            t = datetime.strptime(r["t"], "%Y-%m-%d %H:%M:%S").replace(tzinfo=timezone.utc)
+            ts_msg.samples.append(
+                prompb.Sample(float(r["max_0"]), int(t.timestamp() * 1000))
+            )
+        resp.results.append(result)
+    return resp

@@ -118,6 +118,7 @@ class FakeClickHouse:
 
         self.json = json
         self.rows: list[dict] = []
+        self.selects: list[str] = []
         self.seen_headers: list[dict] = []
 
     def __call__(self, url, payload=None, headers=None):
@@ -132,6 +133,22 @@ class FakeClickHouse:
                 if line.strip():
                     self.rows.append(self.json.loads(line))
             return b""
+        if q.startswith("SELECT metric_name, arraySort"):
+            # the pushdown serving query (read.go:57): echo the stored rows
+            # in its output shape; the test asserts on the SQL itself
+            self.selects.append(q)
+            out = [
+                self.json.dumps(
+                    {
+                        "metric_name": r["metric_name"],
+                        "slb": sorted(r["labels"]),
+                        "t": r["updated_at"],
+                        "max_0": r["value"],
+                    }
+                )
+                for r in self.rows
+            ]
+            return ("\n".join(out) + "\n").encode()
         if q.startswith("SELECT toUnixTimestamp"):
             from datetime import datetime, timezone
 
@@ -241,5 +258,11 @@ def test_cli_server_clickhouse_write_read_roundtrip(spark):
         assert len(series) == 1
         assert ("job", "cli-ch") in [(lb.name, lb.value) for lb in series[0].labels]
         assert series[0].samples[0].value == 2.5
+        # /read was served by PUSHDOWN: the matcher+time clauses shipped to
+        # ClickHouse as SQL (read.go:22-57), not planned Spark-side
+        [sql] = fake.selects
+        assert "metric_name='up'" in sql
+        assert "t >= 1704067200" in sql
+        assert "t <= 1704070800" in sql
     finally:
         srv.stop()
