@@ -42,7 +42,7 @@ from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
     range_aggregate,
     resets_changes,
 )
-from remote_tsdb_clickhouse_spark.operators import dedup, multimodal, similarity
+from remote_tsdb_clickhouse_spark.operators import decontaminate, dedup, multimodal, similarity
 from remote_tsdb_clickhouse_spark.operators.asof import asof_join
 from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
 from remote_tsdb_clickhouse_spark.plans.read_plan import (
@@ -1438,6 +1438,76 @@ def q_dataset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 §B / PaLM §7 hygiene pass): docs
+    sharing any verbatim word 13-gram with the held-out benchmark split
+    (every 50th doc) are flagged with their overlap counts.  Linear
+    shingle-hash equi-join; the benchmark side auto-broadcasts when small
+    (operators/decontaminate.py)."""
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    return decontaminate.ngram_contamination(train, bench, n=13)
+
+
+def q_dataset_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization step after dedup: keep one doc per exact-content
+    group (min doc_id keeper), report per-language kept/dropped counts and
+    the surviving char volume — the pipeline stage that actually shrinks
+    the corpus.  Keeper selection is one hash-agg on the content md5; the
+    keep-filter is an equi-join on doc_id (no broadcast assumption: the
+    keeper set is corpus-sized at scale)."""
+    d = _docs(spark, sf_dir)
+    keyed = d.select(
+        "doc_id", "lang", F.length("text").alias("n_chars"),
+        F.md5(F.concat_ws(" ", tx.tokens(F.col("text")))).alias("content_hash"),
+    )
+    keepers = keyed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    kept = keyed.join(keepers, ["content_hash", "doc_id"])
+    return (
+        keyed.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+        )
+        .join(
+            kept.groupBy("lang").agg(
+                F.count("*").alias("n_kept"),
+                F.sum("n_chars").alias("kept_chars"),
+            ),
+            "lang",
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "kept_chars",
+        )
+    )
+
+
+def q_dataset_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution: power-of-2 token-count buckets per
+    language — the standard pre-training diagnostic for picking context
+    length and packing strategy.  The bucket edge is an integer CASE
+    ladder (no log2: floating transcendentals differ across engines);
+    all-integer group keys aggregate map-side."""
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(tx.tokens(F.col("text"))).cast("long")
+    bucket = F.when(n_tok < 16, F.lit(16))
+    for edge in (32, 64, 128, 256, 512):
+        bucket = bucket.when(n_tok < edge, F.lit(edge))
+    bucket = bucket.otherwise(F.lit(1024)).cast("long")
+    return (
+        d.select("lang", n_tok.alias("n_tokens"), bucket.alias("len_bucket"))
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: assign documents (in stable doc_id order,
     per language) to 4096-token training bins by cumulative token count —
@@ -1869,7 +1939,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_revenue_delta": q6_revenue_delta,
         "q7_nation_trade_volume": q7_nation_trade_volume,
         "q8_market_share": q8_market_share,
         "q9_product_type_profit": q9_product_type_profit,
@@ -1924,6 +1993,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "dataset_sample": q_dataset_sample,
         "doc_packing": q_doc_packing,
+        "q6_revenue_delta": q6_revenue_delta,
+        # new in r3 — no driver row yet; front-load these in the r4 rotation
+        "text_decontaminate": q_text_decontaminate,
+        "dataset_dedup_apply": q_dataset_dedup_apply,
+        "dataset_length_histogram": q_dataset_length_histogram,
         "tsdb_read_eq": q_tsdb_read_eq,
         "tsdb_read_name_regex": q_tsdb_read_name_regex,
         "tsdb_read_nre": q_tsdb_read_nre,
@@ -2683,6 +2757,56 @@ SELECT t.doc_id,
             THEN 1.0 - CAST(len(s.shingles) AS DOUBLE) / CAST(len(t.toks) - 2 AS DOUBLE)
             ELSE 0.0 END AS rep_ratio
 FROM toks t JOIN sh s USING (doc_id)
+""",
+        "text_decontaminate": f"""
+WITH {_TOKS_CTE},
+ng AS (
+    SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 13
+        THEN list_transform(generate_series(1, len(toks) - 12),
+                            i -> array_to_string(toks[i:i+12], ' '))
+        ELSE [] END) AS ngs
+    FROM toks
+),
+ex AS (SELECT doc_id, unnest(ngs) AS ngram FROM ng)
+SELECT t.doc_id,
+       CAST(count(DISTINCT t.ngram) AS BIGINT) AS n_shared_ngrams,
+       CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_benchmark_docs
+FROM ex t JOIN ex b ON t.ngram = b.ngram AND b.doc_id % 50 = 0
+WHERE t.doc_id % 50 != 0
+GROUP BY 1
+""",
+        "dataset_dedup_apply": f"""
+WITH {_TOKS_CTE},
+keyed AS (
+    SELECT d.doc_id, d.lang, length(d.text) AS n_chars,
+           md5(array_to_string(t.toks, ' ')) AS content_hash
+    FROM documents d JOIN toks t USING (doc_id)
+),
+keep AS (SELECT content_hash, min(doc_id) AS doc_id FROM keyed GROUP BY 1),
+kept AS (SELECT k.* FROM keyed k JOIN keep USING (content_hash, doc_id)),
+tot AS (SELECT lang, count(*) AS n_docs FROM keyed GROUP BY 1),
+kk AS (SELECT lang, count(*) AS n_kept,
+              CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       FROM kept GROUP BY 1)
+SELECT tot.lang, tot.n_docs, kk.n_kept,
+       tot.n_docs - kk.n_kept AS n_dropped, kk.kept_chars
+FROM tot JOIN kk USING (lang)
+""",
+        "dataset_length_histogram": f"""
+WITH {_TOKS_CTE}
+SELECT d.lang,
+       CAST(CASE WHEN len(t.toks) < 16 THEN 16
+                 WHEN len(t.toks) < 32 THEN 32
+                 WHEN len(t.toks) < 64 THEN 64
+                 WHEN len(t.toks) < 128 THEN 128
+                 WHEN len(t.toks) < 256 THEN 256
+                 WHEN len(t.toks) < 512 THEN 512
+                 ELSE 1024 END AS BIGINT) AS len_bucket,
+       count(*) AS n_docs,
+       CAST(sum(len(t.toks)) AS BIGINT) AS sum_tokens,
+       CAST(max(len(t.toks)) AS BIGINT) AS max_tokens
+FROM documents d JOIN toks t USING (doc_id)
+GROUP BY 1, 2
 """,
         "dataset_sample": """
 WITH h AS (
