@@ -129,23 +129,6 @@ def _verify_candidates(cands: DataFrame, exploded: DataFrame, base: DataFrame) -
     return _pair_jaccard(inter_counts, base)
 
 
-def _hot_shingles_exist(exploded: DataFrame, df_cap: int) -> bool:
-    """True if any shingle's document frequency exceeds ``df_cap``.
-
-    One map-side-combinable aggregate over the (persisted) inverted index —
-    the probe that decides whether the plain inverted-index self-join is
-    safe.  A shingle with df=d contributes d^2/2 join rows; df_cap bounds
-    the worst hot-key blowup the fast path is allowed to risk.
-    """
-    row = (
-        exploded.groupBy("sh")
-        .agg(F.count("*").alias("df_sh"))
-        .agg(F.max("df_sh").alias("m"))
-        .first()
-    )
-    return (row["m"] or 0) > df_cap
-
-
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -203,6 +186,11 @@ def ngram_jaccard_pairs(
         prefix_filter = (row["m"] or 0) > df_cap
         if not prefix_filter:
             freq.unpersist()
+        # On the prefix path freq stays persisted: it feeds the prefix join
+        # lazily (unpersisting here would force a recompute at execution
+        # time).  Reclaim is the caller's family-boundary clearCache — the
+        # frame is one (shingle, count) row per distinct shingle, far
+        # smaller than the persisted index it derives from.
     if prefix_filter:
         # AllPairs/PPJoin prefix filtering (exact): under a global shingle
         # order (ascending document frequency, ties by value), any pair with

@@ -145,7 +145,8 @@ def build_server(args: argparse.Namespace, spark=None, http=None):
         except ConnectionError as e:
             raise SystemExit(str(e)) from e
         writer = ClickHouseRequestWriter(store)
-        provider = store.read
+        # executor-side range-split scan, not the driver-side bring-up fetch
+        provider = store.read_parallel
         from remote_tsdb_clickhouse_spark.sources.clickhouse import pushdown_read_request
 
         # the reference's serving loop: /read ships matcher+downsample SQL

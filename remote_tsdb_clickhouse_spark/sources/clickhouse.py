@@ -215,6 +215,20 @@ class ClickHouseStore:
         if password:
             self._headers["X-ClickHouse-Key"] = password
 
+    def _http(self, url: str, payload: bytes | None = None, headers=None) -> bytes:
+        """Transport call with socket errors re-raised as RuntimeError.
+
+        The HTTP shell maps ConnectionError to 499 client-closed-request
+        (main.go:147-152 context.Canceled parity); a ConnectionResetError
+        from the *backend* transport must not ride that branch — storage
+        failures are 500s with the error counter bumped, like the
+        reference's storage-error path (main.go:147-152 else-branch).
+        """
+        try:
+            return self.http(url, payload, headers)
+        except ConnectionError as e:
+            raise RuntimeError(f"clickhouse transport error: {e}") from e
+
     def ping(self) -> None:
         """Fail fast on an unreachable/unauthorized server (conn.go:62-64)."""
         try:
@@ -246,12 +260,18 @@ class ClickHouseStore:
             for ts, name, labels, value in rows
         )
         for payload in rows_to_jsoneachrow(dicts, self.batch_rows):
-            self.http(url, payload, {**self._headers, "Content-Type": "application/x-ndjson"})
+            self._http(url, payload, {**self._headers, "Content-Type": "application/x-ndjson"})
         return len(rows)
 
     def read(self) -> DataFrame:
-        """Samples table -> canonical Spark frame (bring-up path; see class
-        docstring for the pushdown production path)."""
+        """Samples table -> canonical Spark frame in ONE driver-side fetch.
+
+        Bring-up/small-store path only: the whole table rides a single HTTP
+        response through the driver.  :meth:`read_parallel` is the S6 analog
+        at any real table size (executor-side range-split fetch), and
+        :func:`read_pushdown_sql` the production ``/read`` route (the scan
+        never leaves ClickHouse, reference ``read.go:57``).
+        """
         from datetime import datetime, timezone
 
         from remote_tsdb_clickhouse_spark.model import SAMPLES_SCHEMA
@@ -260,7 +280,7 @@ class ClickHouseStore:
             "SELECT toUnixTimestamp(updated_at) AS es, metric_name, labels, value "
             f"FROM {self.table} FORMAT JSONEachRow"
         )
-        raw = self.http(query_url(self.base_url, sql, self.database), None, self._headers)
+        raw = self._http(query_url(self.base_url, sql, self.database), None, self._headers)
         rows = []
         for line in raw.splitlines():
             if not line.strip():
@@ -269,6 +289,88 @@ class ClickHouseStore:
             ts = datetime.fromtimestamp(int(r["es"]), tz=timezone.utc).replace(tzinfo=None)
             rows.append((ts, r["metric_name"], list(r["labels"]), float(r["value"])))
         return self.spark.createDataFrame(rows, SAMPLES_SCHEMA)
+
+    def read_parallel(self, num_splits: int = 32) -> DataFrame:
+        """Partition-parallel samples scan — the honest S6 analog for the
+        ClickHouse-storage leg (the reference's scan is ClickHouse-internal,
+        ``read.go:57``; this is the raw-frame equivalent for Spark-side
+        analytics over an external store).
+
+        One driver-side metadata query fetches the table's ``updated_at``
+        bounds; the span is cut into ``num_splits`` disjoint half-open
+        ranges, and each range is fetched EXECUTOR-side (``mapInPandas``
+        over one range-row per task) through the same injectable transport.
+        On a cluster this fans the scan across executors with no driver
+        materialization; the per-task response is one range, not the table.
+
+        ``num_splits`` sizes to executor count x a small factor; ranges are
+        equal-width in time, so a hot ingest burst can skew a split — the
+        standard fix (split again on ``cityHash64(metric_name) % k``) layers
+        on the same WHERE mechanism if time alone is too coarse.
+        """
+        import math
+
+        from remote_tsdb_clickhouse_spark.model import SAMPLES_SCHEMA
+
+        meta_sql = (
+            "SELECT toUnixTimestamp(min(updated_at)) AS mn, "
+            "toUnixTimestamp(max(updated_at)) AS mx, count() AS n "
+            f"FROM {self.table} FORMAT JSONEachRow"
+        )
+        raw = self._http(query_url(self.base_url, meta_sql, self.database), None, self._headers)
+        meta = json.loads(raw.splitlines()[0])
+        if not int(meta["n"]):
+            return self.spark.createDataFrame([], SAMPLES_SCHEMA)
+        mn, mx = int(meta["mn"]), int(meta["mx"]) + 1  # half-open [mn, mx)
+        num_splits = max(1, min(int(num_splits), mx - mn))
+        step = math.ceil((mx - mn) / num_splits)
+        bounds = [
+            (lo, min(lo + step, mx))
+            for lo in range(mn, mx, step)
+        ]
+        base_url, table, database = self.base_url, self.table, self.database
+        headers, http = dict(self._headers), self.http
+
+        def fetch(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                    sql = (
+                        "SELECT toUnixTimestamp(updated_at) AS es, metric_name, "
+                        f"labels, value FROM {table} "
+                        f"WHERE updated_at >= toDateTime({int(lo)}) "
+                        f"AND updated_at < toDateTime({int(hi)}) FORMAT JSONEachRow"
+                    )
+                    try:
+                        raw = http(query_url(base_url, sql, database), None, headers)
+                    except ConnectionError as e:  # same 500-path contract as _http
+                        raise RuntimeError(f"clickhouse transport error: {e}") from e
+                    es, names, labels, values = [], [], [], []
+                    for line in raw.splitlines():
+                        if not line.strip():
+                            continue
+                        r = json.loads(line)
+                        es.append(int(r["es"]))
+                        names.append(r["metric_name"])
+                        labels.append(list(r["labels"]))
+                        values.append(float(r["value"]))
+                    yield pd.DataFrame(
+                        {
+                            # naive UTC — session tz is pinned UTC (session.py)
+                            "ts": pd.to_datetime(es, unit="s"),
+                            "metric_name": names,
+                            "labels": labels,
+                            "value": values,
+                        }
+                    )
+
+        ranges = self.spark.createDataFrame(bounds, "lo LONG, hi LONG")
+        # one range-row per task: each executor slot runs exactly one fetch
+        # at a time, so concurrency == min(num_splits, total cores)
+        return ranges.repartition(len(bounds), "lo").mapInPandas(
+            fetch, schema=SAMPLES_SCHEMA
+        )
 
 
 class ClickHouseRequestWriter:
@@ -407,8 +509,18 @@ def pushdown_read_request(
         sql = read_query_sql(
             q, store.table, ignore_label=ignore_label, ignore_hints=ignore_hints
         )
-        raw = store.http(
-            query_url(store.base_url, sql + " FORMAT JSONEachRow", store.database),
+        # session_timezone pins the DateTime JSON rendering to UTC whatever
+        # the server's zone is (the strptime below would otherwise shift
+        # every timestamp on a non-UTC deploy).  Appended OUTSIDE
+        # read_query_sql so the emitted query text keeps byte-parity with
+        # read.go:57.  Needs ClickHouse >= 23.6; on older servers drop the
+        # setting and run the server in UTC like the reference deploy.
+        raw = store._http(
+            query_url(
+                store.base_url,
+                sql + " SETTINGS session_timezone='UTC' FORMAT JSONEachRow",
+                store.database,
+            ),
             None,
             store._headers,
         )

@@ -36,19 +36,27 @@ samples AS (
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read ``events.parquet`` with its TIMESTAMP(NANOS) column normalized.
+    """Read ``events.parquet`` with its ``ts`` column normalized to the
+    session-zone TIMESTAMP type, whatever the parquet writer emitted.
 
-    Spark has no nanosecond timestamp type; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as INT64
-    nanos, which we floor-divide to microseconds — the same truncation
-    DuckDB applies when coercing ns -> us, so both engines see identical
-    timestamps (verified empirically; DuckDB truncates, never rounds).
+    - TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong`` the
+      column arrives as INT64 nanos, floor-divided to microseconds — the
+      same truncation DuckDB applies coercing ns -> us (DuckDB truncates,
+      never rounds; verified empirically).
+    - ``timestamp[us]`` with ``isAdjustedToUTC=false`` arrives as
+      TIMESTAMP_NTZ, which Spark refuses to cast to epoch longs
+      (``CAST_WITHOUT_SUGGESTION``); cast to TIMESTAMP interprets the naive
+      value in the session zone — pinned UTC (session.py), so the wall-clock
+      values are unchanged and epoch math works downstream.
     """
     from pyspark.sql import types as T
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(ev.schema["ts"].dataType, T.LongType):
+    dt = ev.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 

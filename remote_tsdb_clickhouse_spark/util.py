@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame
 
 
@@ -64,20 +66,26 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
-#: (session id, semanticHash) -> partition count.  The RDD probe forces
+#: session -> {semanticHash: partition count}.  The RDD probe forces
 #: physical planning (driver-only but ~tens of ms); operator entrypoints call
 #: spread() on the same scans once per query, so memoize by plan semantics —
 #: semantically-equal plans are guaranteed equal hashes, and the hash covers
-#: the relation's file listing, so an appended table re-probes.
-_NPART_CACHE: dict[tuple[int, int], int] = {}
+#: the relation's file listing, so an appended table re-probes.  Weak-keyed
+#: by the session object so entries die with their session: a dict keyed by
+#: ``id(session)`` could serve stale counts after the id is reused by a new
+#: session (e.g. bench's stopped suite session followed by the cold-pass
+#: one), and would also grow without bound.
+_NPART_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def _num_partitions(df: DataFrame) -> int:
     try:
-        key = (id(df.sparkSession), df.semanticHash())
+        sess = df.sparkSession
+        h = df.semanticHash()
     except Exception:
         return df.rdd.getNumPartitions()
-    n = _NPART_CACHE.get(key)
+    per = _NPART_CACHE.setdefault(sess, {})
+    n = per.get(h)
     if n is None:
-        n = _NPART_CACHE[key] = df.rdd.getNumPartitions()
+        n = per[h] = df.rdd.getNumPartitions()
     return n

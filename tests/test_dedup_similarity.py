@@ -30,13 +30,6 @@ def hot_corpus(spark):
     return _docs(spark, texts)
 
 
-def test_hot_shingle_probe(spark, hot_corpus):
-    base = dedup.normalized_docs(hot_corpus)
-    exploded = base.select("doc_id", F.explode("shingles").alias("sh"))
-    assert dedup._hot_shingles_exist(exploded, df_cap=8)
-    assert not dedup._hot_shingles_exist(exploded, df_cap=64)
-
-
 def test_ngram_hot_shingle_auto_route_exact(spark, hot_corpus):
     """With a stop shingle in every doc, the default (auto) path must trip
     the df probe, route to the prefix filter, and still emit exactly the
