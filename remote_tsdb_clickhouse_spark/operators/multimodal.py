@@ -227,14 +227,89 @@ RESAMPLED_SCHEMA = (
 )
 
 
-def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
-    """Audio resample plumbing: per-item rate conversion via mapInPandas.
+def decode_wav(content: bytes) -> tuple[int, "list[float]"]:
+    """REAL codec: stdlib ``wave`` decode of 16-bit PCM WAV.
 
-    STUB: without soundfile/librosa the payload is a deterministic re-hash
-    sized to the resampled frame count; the real implementation swaps the
-    body for a polyphase resampler.  ``n_samples`` (the resampled sample
-    count, ``duration_ms * target_rate / 1000``) is the metadata contract
-    downstream stages rely on, so it is computed for real.
+    Returns ``(sample_rate, mono_samples)`` with samples as floats in
+    [-1, 1); multi-channel input is mixed to mono (mean across channels,
+    the librosa default).  Pure stdlib + numpy, so — like
+    :func:`decode_bmp` — the REAL payload path through the Arrow batch
+    plumbing is exercised even in this environment (soundfile absent).
+    Compressed/float WAV variants still need a codec library and raise.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getcomptype() != "NONE":
+            raise NotImplementedError(f"compressed WAV ({w.getcomptype()}) needs soundfile")
+        if w.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"only 16-bit PCM WAV decodes natively (got {8 * w.getsampwidth()}-bit)"
+            )
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return rate, x
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """Inverse of :func:`decode_wav`: mono float [-1, 1] -> 16-bit PCM WAV."""
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0 - 1.0 / 32768)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((pcm * 32768.0).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def linear_resample(x, orig_rate: int, target_rate: int):
+    """Linear-interpolation sample-rate conversion (numpy ``interp``).
+
+    The honest stdlib-only resampler: exact for piecewise-linear signals,
+    no anti-aliasing filter (a production downsampling path would low-pass
+    first — that is what soundfile/scipy's polyphase resampler adds; for
+    the upsampling this engine's 16 kHz target mostly performs, aliasing
+    does not occur).  Output length is ``round(n * target / orig)``.
+    """
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    if orig_rate == target_rate or len(x) == 0:
+        return x
+    n_out = int(round(len(x) * target_rate / orig_rate))
+    # sample instants of the output grid expressed in input-sample units
+    t_out = np.arange(n_out) * (orig_rate / target_rate)
+    return np.interp(t_out, np.arange(len(x)), x)
+
+
+def _is_wav(content: bytes) -> bool:
+    return len(content) >= 12 and content[:4] == b"RIFF" and content[8:12] == b"WAVE"
+
+
+def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
+    """Per-item audio sample-rate conversion via mapInPandas.
+
+    REAL path: 16-bit PCM WAV payloads decode (stdlib ``wave``), linear-
+    interpolate to ``target_rate`` (:func:`linear_resample`) and re-encode;
+    ``orig_rate``/``n_samples`` come from the actual audio.  Non-WAV
+    payloads (the synthetic fixtures, or codecs that need soundfile) keep
+    the documented deterministic-fake body: payload is a content-seeded
+    re-hash sized to the resampled frame count, and ``n_samples`` (the
+    metadata contract downstream stages rely on,
+    ``duration_ms * target_rate / 1000``) is computed for real.
     """
     import pandas as pd
 
@@ -242,17 +317,23 @@ def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
         for pdf in it:
             ids, origs, ns, outs = [], [], [], []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                b = bytes(content)
+                ids.append(mid)
+                if _is_wav(b):
+                    rate, x = decode_wav(b)
+                    y = linear_resample(x, rate, target_rate)
+                    origs.append(rate)
+                    ns.append(len(y))
+                    outs.append(encode_wav(y, target_rate))
+                    continue
                 orig = int(meta["sample_rate"] or 0)
                 dur = int(meta["duration_ms"] or 0)
                 n = (dur * target_rate) // 1000
-                ids.append(mid)
                 origs.append(orig)
                 ns.append(n)
                 payload_len = max(1, min(n, 4096))
                 outs.append(
-                    (hashlib.sha256(bytes(content)).digest() * ((payload_len // 32) + 1))[
-                        :payload_len
-                    ]
+                    (hashlib.sha256(b).digest() * ((payload_len // 32) + 1))[:payload_len]
                 )
             yield pd.DataFrame(
                 {

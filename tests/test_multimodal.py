@@ -128,3 +128,96 @@ def test_extract_features_real_bmp_path(spark):
     # and a non-BMP payload still takes the deterministic stub
     stub = mm._fake_decode(b"not an image")
     assert len(stub) == mm.FEATURE_DIM
+
+
+# --- real WAV resample path (decode_wav / linear_resample / encode_wav) ----
+
+
+def _make_wav(rate: int, samples, channels: int = 1) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = (np.clip(np.asarray(samples, dtype=np.float64), -1, 1 - 1 / 32768) * 32768).astype(
+        "<i2"
+    )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_wav_roundtrip_and_linear_resample():
+    import numpy as np
+
+    x = np.linspace(-0.5, 0.5, 800)  # 0.1 s ramp at 8 kHz
+    rate, got = mm.decode_wav(_make_wav(8000, x))
+    assert rate == 8000
+    assert np.allclose(got, x, atol=1.0 / 32768)
+
+    y = mm.linear_resample(got, 8000, 16000)
+    assert len(y) == 1600
+    # a ramp is piecewise-linear: linear interpolation reproduces it exactly
+    expect = np.interp(np.arange(1600) * 0.5, np.arange(800), got)
+    assert np.allclose(y, expect)
+
+    # stereo mixes to mono (mean of channels)
+    stereo = np.empty(400)
+    stereo[0::2] = 0.25  # L
+    stereo[1::2] = -0.25  # R
+    rate2, mono = mm.decode_wav(_make_wav(8000, stereo, channels=2))
+    assert len(mono) == 200
+    assert np.allclose(mono, 0.0, atol=1.0 / 32768)
+
+
+def test_wav_gates():
+    import pytest
+
+    with pytest.raises(Exception):  # not a WAV at all
+        mm.decode_wav(b"RIFFxxxxWAVE")
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x80" * 100)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        mm.decode_wav(buf.getvalue())
+
+
+def test_resample_audio_real_wav_path(spark):
+    """The non-stub payload path through the Arrow plumbing: a real 8 kHz
+    WAV in the binary column comes out as a real 16 kHz WAV with the
+    interpolated samples, alongside a fake-payload row."""
+    import numpy as np
+
+    x = np.sin(2 * np.pi * 440 * np.arange(800) / 8000) * 0.5
+    wav = _make_wav(8000, x)
+    rows = [
+        (1, "audio", bytearray(wav), {"format": "wav", "width": None, "height": None,
+                                      "sample_rate": 8000, "duration_ms": 100}),
+        (2, "audio", bytearray(b"not-a-wav-payload"), {"format": "fake", "width": None,
+                                                       "height": None, "sample_rate": 8000,
+                                                       "duration_ms": 100}),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.resample_audio(media, 16000).collect()}
+
+    real = out[1]
+    assert (real["orig_rate"], real["target_rate"], real["n_samples"]) == (8000, 16000, 1600)
+    rate, y = mm.decode_wav(bytes(real["content"]))
+    assert rate == 16000 and len(y) == 1600
+    expect = mm.linear_resample(x, 8000, 16000)
+    # one int16 quantization in, one out
+    assert np.allclose(y, expect, atol=2.5 / 32768)
+
+    fake = out[2]
+    assert fake["n_samples"] == 1600  # duration_ms * target / 1000
+    assert len(bytes(fake["content"])) == 1600
