@@ -42,7 +42,13 @@ from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
     range_aggregate,
     resets_changes,
 )
-from remote_tsdb_clickhouse_spark.operators import decontaminate, dedup, multimodal, similarity
+from remote_tsdb_clickhouse_spark.operators import (
+    decontaminate,
+    dedup,
+    mixing,
+    multimodal,
+    similarity,
+)
 from remote_tsdb_clickhouse_spark.operators.asof import asof_join
 from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
 from remote_tsdb_clickhouse_spark.plans.read_plan import (
@@ -1508,6 +1514,31 @@ def q_dataset_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted dataset mixing (GPT-3 Table 2.2 / The Pile recipe
+    shape): water-filling take per source at target weights 1/2/3 (derived
+    from the source id), md5-rank selection within each source, then the
+    realized (source, lang) composition of the mixed corpus
+    (operators/mixing.py).  All-integer weight arithmetic; the selection
+    is a pure function of the doc ids."""
+    d = _docs(spark, sf_dir)
+    w = F.lit(1) + F.regexp_extract("source", r"([0-9]+)", 1).cast("long") % 3
+    sel = mixing.mixture_sample(d, w)
+    return (
+        sel.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_selected"))
+    )
+
+
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table (FAISS-SQ8 shape):
+    per-dimension min-max codebooks + the per-(dim, code) histogram an
+    index builder ships with the compressed vectors
+    (operators/similarity.py quantize_int8_histogram).  Bit-exact integer
+    micro-unit arithmetic — no float divergence across engines."""
+    return similarity.quantize_int8_histogram(_embs(spark, sf_dir), codes=256)
+
+
 def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: assign documents (in stable doc_id order,
     per language) to 4096-token training bins by cumulative token count —
@@ -2037,11 +2068,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful_rate": q_streaming_stateful_rate,
         "multimodal_resample": q_multimodal_resample,
         "protocol_roundtrip_read": q_protocol_roundtrip_read,
-        "protocol_response_assembly": q_protocol_response_assembly,
-        "tsdb_sum_by_label": q_tsdb_sum_by_label,
-        # --- driver 50-entry window ends ABOVE this line (tsdb_sum_by_label
+        # --- new in round 4: never driver-verified, so they take the last
+        # two window slots (displacing two entries with green r3 rows whose
+        # code r4 does not change) ---
+        "dataset_mixture_sample": q_dataset_mixture_sample,
+        "emb_quantize_int8": q_emb_quantize_int8,
+        # --- driver 50-entry window ends ABOVE this line (emb_quantize_int8
         # is entry 50); every entry below has a green r3 driver row produced
         # by code round 4 does not modify ---
+        "protocol_response_assembly": q_protocol_response_assembly,
+        "tsdb_sum_by_label": q_tsdb_sum_by_label,
         "tsdb_topk_series": q_tsdb_topk_series,
         "tsdb_max_gap": q_tsdb_max_gap,
         "tsdb_stale_series": q_tsdb_stale_series,
@@ -2882,6 +2918,51 @@ WITH h AS (
 SELECT lang, count(*) AS n_docs,
        CAST(sum(CASE WHEN hv < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
 FROM h GROUP BY 1
+""",
+        "dataset_mixture_sample": """
+WITH cnt AS (
+    SELECT source, count(*) AS n_docs,
+           1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3 AS w
+    FROM documents GROUP BY 1
+),
+w1 AS (
+    SELECT source, n_docs, w, sum(w) OVER () AS bigw FROM cnt
+),
+w2 AS (
+    SELECT source, n_docs, w, bigw,
+           min((n_docs * bigw) // w) OVER () AS n_star
+    FROM w1
+),
+take AS (
+    SELECT source, (w * n_star) // bigw AS n_take FROM w2
+),
+rk AS (
+    SELECT source, lang, doc_id,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT r.source, r.lang, count(*) AS n_selected
+FROM rk r JOIN take t USING (source)
+WHERE r.rk <= t.n_take
+GROUP BY 1, 2
+""",
+        "emb_quantize_int8": """
+WITH ex AS (
+    SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS vi
+    FROM embeddings
+),
+st AS (
+    SELECT dim, min(vi) AS mn_micro, max(vi) AS mx_micro FROM ex GROUP BY 1
+)
+SELECT e.dim,
+       ((e.vi - s.mn_micro) * 256) // (s.mx_micro - s.mn_micro + 1) AS qcode,
+       count(*) AS n, s.mn_micro, s.mx_micro
+FROM ex e JOIN st s USING (dim)
+GROUP BY 1, 2, 4, 5
 """,
         "doc_packing": f"""
 WITH {_TOKS_CTE},

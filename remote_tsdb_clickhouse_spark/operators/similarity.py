@@ -307,3 +307,52 @@ def cosine_pairs(
         .mapInPandas(score, schema="id_a LONG, id_b LONG, cos DOUBLE")
     )
     return scored.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+def quantize_int8_histogram(
+    emb: DataFrame,
+    codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension int8 scalar quantization of an embedding column —
+    the standard vector-index compression step (FAISS ``SQ8``, IVF-SQ):
+    each dimension is independently min-max scaled onto ``codes`` levels.
+
+    Output: ``(dim, qcode, n)`` — the code histogram per dimension, i.e.
+    exactly the codebook statistics an index builder ships with the
+    quantized vectors (and the dim's min/max micro-unit bounds ride along
+    as ``mn_micro``/``mx_micro``).
+
+    Exactness: float32 components are first quantized to integer
+    micro-units (``floor(v * 1e6)`` — float->double promotion and the 1e6
+    multiply are exact IEEE ops), and the code assignment
+    ``(v_i - mn) * codes div (mx - mn + 1)`` is pure int64 arithmetic,
+    so the result is bit-identical on any engine — no libm, no rounding
+    divergence.
+
+    Scale shape: per-dim min/max is one map-side-combinable aggregate over
+    the exploded frame (fixed-size state: n_dims rows); the stats frame is
+    broadcast back, so the corpus is scanned twice but never shuffled; the
+    final histogram aggregates map-side onto at most ``n_dims * codes``
+    groups.
+    """
+    from remote_tsdb_clickhouse_spark.util import spread
+
+    ex = spread(emb).select(
+        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("dim", "v")
+    )
+    vi = F.floor(F.col("v").cast("double") * 1000000.0).cast("long")
+    ex = ex.select("vid", "dim", vi.alias("vi"))
+    stats = ex.groupBy("dim").agg(
+        F.min("vi").alias("mn_micro"), F.max("vi").alias("mx_micro")
+    )
+    j = ex.join(F.broadcast(stats), "dim")
+    qcode = F.expr(
+        f"((vi - mn_micro) * {int(codes)}) div (mx_micro - mn_micro + 1)"
+    ).cast("long")
+    return (
+        j.groupBy("dim", qcode.alias("qcode"), "mn_micro", "mx_micro")
+        .agg(F.count("*").alias("n"))
+        .select("dim", "qcode", "n", "mn_micro", "mx_micro")
+    )
