@@ -165,6 +165,42 @@ def q_tsdb_downsample_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flat_grouped(read_query_grouped(_samples(spark, sf_dir), q))
 
 
+def _rollup_store(spark: SparkSession, sf_dir: str):
+    # _ROLLUP_STORES (a WeakKeyDictionary) is defined beside _STREAM_STAGING
+    per = _ROLLUP_STORES.setdefault(spark, {})
+    rs = per.get(sf_dir)
+    if rs is None:
+        from remote_tsdb_clickhouse_spark.sources.rollup import RollupStore
+        from remote_tsdb_clickhouse_spark.sources.samples_store import SamplesStore
+
+        ensure_query_confs(spark)
+        root = tempfile.mkdtemp(prefix="graft_rollup_")
+        base = SamplesStore(spark, f"{root}/samples")
+        base.append(events_to_samples(spark, sf_dir))
+        rs = RollupStore(spark, base, f"{root}/rollups")
+        rs.build(60)
+        per[sf_dir] = rs
+    return rs
+
+
+def q_tsdb_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-rollup serving (continuous-aggregate pattern,
+    sources/rollup.py): a 60 s precomputed rollup serves a 120 s-downsample
+    remote-read whose bounds fall MID-bucket, so the served frame is the
+    rollup interior unioned with two partial-edge raw scans — and the
+    oracle is the plain raw-scan downsample SQL, i.e. the route must be
+    bit-identical to not having rollups at all while scanning ~60x less
+    interior data."""
+    rs = _rollup_store(spark, sf_dir)
+    q = ReadQuery(
+        start_ms=T5 + 30_000,  # mid-bucket: exercises the leading raw edge
+        end_ms=T20 + 30_000,  # mid-bucket: exercises the trailing raw edge
+        matchers=(LabelMatcher(EQ, "__name__", "view"),),
+        hints=ReadHints(step_ms=240000),  # -> 120 s buckets; 60 | 120
+    )
+    return _flat_grouped(rs.read_query_grouped(q))
+
+
 def q_tsdb_downsample_range_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range_ms < step_ms wins: min(60000, 10000)/2/1000 = 5 s buckets; no matchers
     q = ReadQuery(start_ms=T5, end_ms=T20, hints=ReadHints(step_ms=60000, range_ms=10000))
@@ -1569,6 +1605,11 @@ from weakref import WeakKeyDictionary
 
 _STREAM_STAGING: WeakKeyDictionary = WeakKeyDictionary()
 
+#: session -> {sf_dir: RollupStore} — the store build (base parquet write +
+#: 60 s rollup) is ingest-side setup for q_tsdb_rollup_serve, memoized like
+#: the streaming staging above.
+_ROLLUP_STORES: WeakKeyDictionary = WeakKeyDictionary()
+
 
 def stage_streaming_input(spark: SparkSession, sf_dir: str) -> str:
     """Write the streaming query's pre-aggregated staging input, memoized
@@ -1986,8 +2027,11 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
     this — every query stays self-contained.
     """
     if family == "tsdb":
-        # all 22 tsdb_* queries derive from this persisted frame
+        # all tsdb_* queries derive from this persisted frame
         _samples(spark, sf_dir).count()
+        # the rollup query's store build (base write + 60 s rollup) is the
+        # continuous-aggregate maintenance job, not the serve path
+        _rollup_store(spark, sf_dir)
     elif family == "streaming":
         # the staging write is the batch-ingest setup the stream tails
         stage_streaming_input(spark, sf_dir)
@@ -2067,15 +2111,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "streaming_stateful_rate": q_streaming_stateful_rate,
         "multimodal_resample": q_multimodal_resample,
-        "protocol_roundtrip_read": q_protocol_roundtrip_read,
         # --- new in round 4: never driver-verified, so they take the last
-        # two window slots (displacing two entries with green r3 rows whose
+        # three window slots (displacing entries with green r3 rows whose
         # code r4 does not change) ---
         "dataset_mixture_sample": q_dataset_mixture_sample,
         "emb_quantize_int8": q_emb_quantize_int8,
-        # --- driver 50-entry window ends ABOVE this line (emb_quantize_int8
+        "tsdb_rollup_serve": q_tsdb_rollup_serve,
+        # --- driver 50-entry window ends ABOVE this line (tsdb_rollup_serve
         # is entry 50); every entry below has a green r3 driver row produced
         # by code round 4 does not modify ---
+        "protocol_roundtrip_read": q_protocol_roundtrip_read,
         "protocol_response_assembly": q_protocol_response_assembly,
         "tsdb_sum_by_label": q_tsdb_sum_by_label,
         "tsdb_topk_series": q_tsdb_topk_series,
@@ -2151,6 +2196,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tsdb_downsample_30s": _tsdb_oracle(
             f"WHERE ts >= {t5} AND ts <= {t20} AND metric_name = 'view'", bucket_s=30
+        ),
+        # rollup-served read: the oracle is the PLAIN raw-scan downsample —
+        # the routed union (rollup interior + partial-edge raw scans) must
+        # be indistinguishable from never having built a rollup
+        "tsdb_rollup_serve": _tsdb_oracle(
+            "WHERE ts >= TIMESTAMP '2024-01-05 00:00:30' "
+            "AND ts <= TIMESTAMP '2024-01-20 00:00:30' AND metric_name = 'view'",
+            bucket_s=120,
         ),
         "tsdb_downsample_range_clamp": _tsdb_oracle(
             f"WHERE ts >= {t5} AND ts <= {t20}", bucket_s=5
