@@ -79,3 +79,30 @@ def test_text_repetition_shares_dedup_base(spark):
     plan = _plan(spark, "text_repetition")
     assert "Join" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_quantize_stats_broadcast_no_corpus_shuffle(spark):
+    # the per-dim min/max codebook joins back to the exploded corpus as a
+    # broadcast; a SortMergeJoin would shuffle the whole exploded frame on
+    # dim (64 hot keys — the worst possible shuffle skew)
+    plan = _plan(spark, "emb_quantize_int8")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mixture_takes_broadcast_single_rank_shuffle(spark):
+    # the per-source take frame is tiny and must broadcast onto the corpus;
+    # the only corpus-wide exchange is the per-source rank window
+    plan = _plan(spark, "dataset_mixture_sample")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("hashpartitioning(source") <= 2, plan
+
+
+def test_rollup_serve_prunes_partitions(spark):
+    # both raw-edge scans must carry partition filters (the edges are O(r)
+    # data only because the ts_date pruning holds), and the interior must
+    # come from the rollup path, not a full raw re-scan
+    plan = _plan(spark, "tsdb_rollup_serve")
+    assert "PartitionFilters" in plan, plan
+    assert "res=60" in plan, plan
