@@ -37,8 +37,10 @@ from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
     increase,
     irate,
     label_project,
+    label_replace,
     label_value,
     per_second_rate,
+    quantile_over_time,
     range_aggregate,
     resets_changes,
 )
@@ -47,6 +49,7 @@ from remote_tsdb_clickhouse_spark.operators import (
     dedup,
     mixing,
     multimodal,
+    scrub,
     similarity,
 )
 from remote_tsdb_clickhouse_spark.operators.asof import asof_join
@@ -327,6 +330,35 @@ def q_tsdb_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.count("*").over(w)
     )
     return flat.select("metric_name", "labels_str", "t", avg5.alias("avg5"))
+
+
+def q_tsdb_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``label_replace`` + re-aggregate: derive a ``shard`` label
+    from the leading digit of each series' ``user`` label, then sum the
+    grouped values by (metric, shard) — the standard cardinality-reduction
+    move (thousands of per-user series to ten shards).  The rewrite is a
+    per-row projection; the re-aggregate is one map-side-combined shuffle
+    on the ten derived keys."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "click"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    rewritten = label_replace(grouped, dst="shard", src="user", pattern="([0-9])[0-9]*")
+    shard = label_value(F.col("slb"), "shard").alias("shard")
+    return (
+        rewritten.select("metric_name", shard, "max_0")
+        .groupBy("metric_name", "shard")
+        .agg(_dsum(F.col("max_0")).alias("sum_v"), F.count("*").alias("n_samples"))
+    )
+
+
+def q_tsdb_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``quantile_over_time``: per-series discrete p50/p95 over the
+    queried range (type-1 quantile — sorted-array indexing, bit-exact
+    cross-engine; see tsfuncs.quantile_over_time)."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    return quantile_over_time(grouped, [0.5, 0.95]).select(
+        "metric_name", _lbl(), "n_samples", "p50", "p95"
+    )
 
 
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,6 +1582,53 @@ def q_dataset_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/scrub.py): per-document match
+    counts and the redacted-length delta, for documents containing any PII.
+
+    The corpus is synthetic word-salad with no natural PII, so the query
+    first injects deterministic spans derived from ``doc_id`` (email for
+    id%7, IPv4 for id%11, phone for id%13 — same arithmetic on the oracle
+    side): the regex machinery is exercised on real matches rather than
+    vacuously counting zeros.  Scan + scrub is a pure projection (no
+    shuffle, no UDF)."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    email = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 11 == 0,
+        F.concat(F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0.1")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 13 == 0,
+        F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    seeded = d.select(
+        "doc_id", "lang", F.concat(F.col("text"), email, ip, phone).alias("text")
+    )
+    s = scrub.pii_scan(seeded)
+    return s.where((F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")) > 0).select(
+        "doc_id",
+        "lang",
+        "n_emails",
+        "n_ipv4",
+        "n_phones",
+        (F.length("text") - F.length("redacted")).cast("long").alias("len_delta"),
+    )
+
+
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/scrub.py): every document split
+    into 32-token windows with 8-token overlap — one row per chunk with
+    offsets.  Generator-only plan: no shuffle, chunk count closed-form."""
+    return scrub.chunk_token_windows(
+        _docs(spark, sf_dir), window=32, overlap=8
+    )
+
+
 def q_dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted dataset mixing (GPT-3 Table 2.2 / The Pile recipe
     shape): water-filling take per source at target weights 1/2/3 (derived
@@ -1694,6 +1773,53 @@ def q_streaming_stateful_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "labels_str",
         F.col("t").cast("long").alias("t"),
         "rate",
+    )
+
+
+def q_streaming_windowed_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard oracle signal for the streaming windowed aggregation: a real
+    Structured Streaming run (file source -> event-time tumbling-window max
+    -> memory sink, availableNow trigger) over the same staged input as the
+    stateful-rate query; the emitted per-window maxima must equal the batch
+    GROUP BY over the identical slice.
+
+    ``complete`` output mode on purpose: under ``availableNow`` +
+    ``append``, windows above the final watermark stay in state and are
+    never emitted — the run would be silently partial.  Complete mode emits
+    every window; the watermark still documents the late-data bound the
+    continuous deployment would use."""
+    import uuid
+
+    from remote_tsdb_clickhouse_spark.model import SAMPLES_SCHEMA
+    from remote_tsdb_clickhouse_spark.streaming.ingest import windowed_max_stream
+
+    ensure_query_confs(spark)
+    staging = stage_streaming_input(spark, sf_dir)
+    stream = spark.readStream.schema(SAMPLES_SCHEMA).parquet(f"{staging}/in")
+    qname = f"winmax_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="graft_stream_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            windowed_max_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("windowed max stream did not finish within 180s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).select(
+        "metric_name",
+        F.array_join("slb", ",").alias("labels_str"),
+        F.col("t").cast("long").alias("w_start"),
+        "max_0",
     )
 
 
@@ -2160,6 +2286,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize": q_multimodal_resize,
         "min_cost_supplier": q_min_cost_supplier,
+        # --- new in round 4 (after the window was already full of entries
+        # owed a refresh): local-oracle-only this round; the r5 rotation
+        # must front-load these four ---
+        "text_pii_scrub": q_text_pii_scrub,
+        "doc_chunk_windows": q_doc_chunk_windows,
+        "tsdb_label_replace": q_tsdb_label_replace,
+        "tsdb_quantile_over_time": q_tsdb_quantile_over_time,
+        "streaming_windowed_max": q_streaming_windowed_max,
     }
 
 
@@ -3190,5 +3324,96 @@ ranked AS (
     FROM tf JOIN dfreq USING (term), n
 )
 SELECT doc_id, term, tf, df, rk, tfidf_micro FROM ranked WHERE rk <= 3
+""",
+        "text_pii_scrub": f"""
+WITH seeded AS (
+    SELECT doc_id, lang,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                   ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END AS text
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id, lang, text,
+           len(regexp_extract_all(text, '{scrub.EMAIL_PATTERN}')) AS n_emails,
+           regexp_replace(text, '{scrub.EMAIL_PATTERN}', '<EMAIL>', 'g') AS t1
+    FROM seeded
+),
+s2 AS (
+    SELECT *, len(regexp_extract_all(t1, '{scrub.IPV4_PATTERN}')) AS n_ipv4,
+           regexp_replace(t1, '{scrub.IPV4_PATTERN}', '<IP>', 'g') AS t2
+    FROM s1
+),
+s3 AS (
+    SELECT *, len(regexp_extract_all(t2, '{scrub.PHONE_PATTERN}')) AS n_phones,
+           regexp_replace(t2, '{scrub.PHONE_PATTERN}', '<PHONE>', 'g') AS redacted
+    FROM s2
+)
+SELECT doc_id, lang, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4, CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(len(text) - len(redacted) AS BIGINT) AS len_delta
+FROM s3 WHERE n_emails + n_ipv4 + n_phones > 0
+""",
+        "doc_chunk_windows": f"""
+WITH {_TOKS_CTE},
+n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+c AS (
+    SELECT doc_id, n_tokens,
+           1 + CAST(floor((greatest(n_tokens - 32, 0) + 23) / 24.0) AS BIGINT) AS n_chunks
+    FROM n
+)
+SELECT c.doc_id, c.n_tokens,
+       i - 1 AS chunk_idx,
+       (i - 1) * 24 AS start_tok,
+       least(32, c.n_tokens - (i - 1) * 24) AS n_tok_chunk
+FROM c, unnest(generate_series(1, c.n_chunks)) AS t(i)
+""",
+        "tsdb_label_replace": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'click'")},
+rv AS (
+    SELECT metric_name,
+           regexp_extract(labels_str, 'user=([0-9]+)', 1) AS uval, v
+    FROM grouped
+)
+SELECT metric_name,
+       CASE WHEN regexp_matches(uval, '^(?:([0-9])[0-9]*)$')
+            THEN regexp_extract(uval, '^([0-9])[0-9]*$', 1) END AS shard,
+       CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sum_v,
+       count(*) AS n_samples
+FROM rv GROUP BY 1, 2
+""",
+        "tsdb_quantile_over_time": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'purchase'")}
+SELECT metric_name, labels_str, count(*) AS n_samples,
+       (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1] AS p50,
+       (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.95) AS INT) + 1] AS p95
+FROM grouped GROUP BY 1, 2
+""",
+        # the streaming run must emit exactly the batch GROUP BY over the
+        # same staged slice (stage_streaming_input derivation replicated)
+        "streaming_windowed_max": f"""
+WITH {SAMPLES_ORACLE_CTE},
+staged AS (
+    SELECT metric_name,
+           list_sort(list_filter(labels, x -> NOT (x LIKE 'k=%'))) AS labels,
+           ts, max(value) AS value
+    FROM samples
+    WHERE metric_name = 'purchase' AND ts < TIMESTAMP '2024-01-10 00:00:00'
+    GROUP BY 1, 2, 3
+)
+SELECT metric_name, array_to_string(labels, ',') AS labels_str,
+       CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) % 60 AS w_start,
+       max(value) AS max_0
+FROM staged GROUP BY 1, 2, 3
 """,
     }

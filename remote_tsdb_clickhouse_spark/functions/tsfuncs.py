@@ -159,6 +159,63 @@ def range_aggregate(grouped: DataFrame, bucket_s: int) -> DataFrame:
     )
 
 
+def label_replace(
+    grouped: DataFrame, dst: str, src: str, pattern: str
+) -> DataFrame:
+    """PromQL ``label_replace(v, dst, "$1", src, pattern)`` over the grouped
+    read result (capture-group-1 replacement form).
+
+    Semantics (Prometheus): the regex is **fully anchored** against the
+    value of label ``src``; when it matches, label ``dst`` is set to the
+    first capture group (replacing any existing ``dst``); when it doesn't
+    match — including when ``src`` is absent — the series passes through
+    unchanged.  The labelset stays sorted (P2 invariant) so series
+    identity/grouping semantics downstream are unaffected.
+
+    Pure per-row projection on the already-grouped frame: no extra
+    shuffle; a following ``groupBy`` on the rewritten labelset is the
+    standard "re-aggregate by derived label" PromQL move.
+    """
+    src_val = label_value(F.col("slb"), src)
+    anchored = f"^{pattern}$"
+    matched = src_val.isNotNull() & src_val.rlike(anchored)
+    cap = F.regexp_extract(src_val, anchored, 1)
+    without_dst = F.filter(F.col("slb"), lambda x: ~x.like(f"{dst}=%"))
+    rewritten = F.array_sort(
+        F.concat(without_dst, F.array(F.concat(F.lit(dst + "="), cap)))
+    )
+    return grouped.withColumn(
+        "slb", F.when(matched, rewritten).otherwise(F.col("slb"))
+    )
+
+
+def quantile_over_time(grouped: DataFrame, quantiles: list[float]) -> DataFrame:
+    """PromQL ``quantile_over_time`` per series — **discrete** (type-1)
+    quantiles: the element at index ``floor((n-1) * q)`` of the sorted
+    values, one output row per series with one ``p<q>`` column per
+    requested quantile.
+
+    Discrete (not interpolated) on purpose: the result is always an
+    actual sample value, and indexing a sorted array is bit-exact across
+    engines, where linear interpolation's float arithmetic is
+    engine-dependent (the determinism rule that keeps the DuckDB oracle
+    hash-stable).  One object-hash aggregation (``collect_list`` partials
+    combine map-side); per-series sample counts are range-bounded, so the
+    array stays small at any corpus scale.
+    """
+    arr = F.sort_array(F.collect_list("max_0"))
+    agg = grouped.groupBy("metric_name", "slb").agg(
+        arr.alias("_vs"), F.count("*").alias("n_samples")
+    )
+    n = F.col("n_samples")
+    cols = [F.col("metric_name"), F.col("slb"), n]
+    for q in quantiles:
+        idx0 = F.floor((n - 1).cast("double") * F.lit(q)).cast("int")
+        name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+        cols.append(F.get("_vs", idx0).alias(name))
+    return agg.select(*cols)
+
+
 def label_project(labels: Column, prefix: str) -> Column:
     """X2: ``arrayFilter(x -> x LIKE 'name=%', labels)`` — keep one label."""
     return F.filter(labels, lambda x: x.like(f"{prefix}=%"))

@@ -106,3 +106,36 @@ def test_rollup_serve_prunes_partitions(spark):
     plan = _plan(spark, "tsdb_rollup_serve")
     assert "PartitionFilters" in plan, plan
     assert "res=60" in plan, plan
+
+
+def test_pii_scrub_projection_only_no_python(spark):
+    # regex scan + redaction is a pure per-row projection: the only
+    # exchange allowed is _docs()'s round-robin spread of the single
+    # parquet file (no shuffle-by-key, no Python-eval node)
+    plan = _plan(spark, "text_pii_scrub")
+    assert "hashpartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_chunk_windows_generator_only(spark):
+    # chunking explodes an index sequence computed arithmetically: one
+    # Generate pipelined in the scan stage; no shuffle-by-key anywhere
+    plan = _plan(spark, "doc_chunk_windows")
+    assert "hashpartitioning" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_label_replace_no_single_partition(spark):
+    # the label rewrite is a projection; both aggregations hash-partition
+    # (10 derived shards still spread; never a 1-partition collapse)
+    plan = _plan(spark, "tsdb_label_replace")
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_quantile_collect_list_partial_mapside(spark):
+    # discrete quantile aggregates collect_list partials map-side
+    # (ObjectHashAggregate), never a per-group global sort exec
+    plan = _plan(spark, "tsdb_quantile_over_time")
+    assert "ObjectHashAggregate" in plan, plan

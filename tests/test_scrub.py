@@ -1,0 +1,109 @@
+"""Unit tests for operators/scrub.py: PII scan/redaction semantics, chunk
+arithmetic edge cases, and the no-shuffle plan shape of both passes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_tsdb_clickhouse_spark.operators import scrub
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestPiiScan:
+    def test_counts_and_redaction(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "mail a.b-c_d@ex-ample.co.uk and 10.0.0.1 then 555-0199"),
+                (2, "no pii here at all"),
+                (3, "two mails x@y.io z@w.dev one ip 192.168.1.254"),
+            ],
+        )
+        out = {r["doc_id"]: r for r in scrub.pii_scan(df).collect()}
+        assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (1, 1, 1)
+        assert out[1]["redacted"] == "mail <EMAIL> and <IP> then <PHONE>"
+        assert (out[2]["n_emails"], out[2]["n_ipv4"], out[2]["n_phones"]) == (0, 0, 0)
+        assert out[2]["redacted"] == out[2]["text"]
+        assert (out[3]["n_emails"], out[3]["n_ipv4"]) == (2, 1)
+
+    def test_email_host_not_double_counted_as_ip(self, spark):
+        # a digits-and-dots email host must not also count as an IPv4 span:
+        # the IPv4 scan runs on the email-redacted text
+        df = _docs(spark, [(1, "odd but valid a@10.0.0.1.example.com mail")])
+        row = scrub.pii_scan(df).collect()[0]
+        assert row["n_emails"] == 1
+        assert row["n_ipv4"] == 0
+        assert row["redacted"] == "odd but valid <EMAIL> mail"
+
+    def test_bare_ip_at_ip_counts_as_two_ips(self, spark):
+        # no alphabetic TLD -> not an email; both dotted quads count as IPs
+        df = _docs(spark, [(1, "odd 10.0.0.1@10.0.0.2 string")])
+        row = scrub.pii_scan(df).collect()[0]
+        assert row["n_emails"] == 0
+        assert row["n_ipv4"] == 2
+        assert row["redacted"] == "odd <IP>@<IP> string"
+
+    def test_pure_projection_no_exchange(self, spark):
+        df = _docs(spark, [(1, "x@y.io")])
+        plan = scrub.pii_scan(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+
+class TestChunkTokenWindows:
+    def chunks(self, spark, text, window=8, overlap=2):
+        df = _docs(spark, [(1, text)])
+        return sorted(
+            scrub.chunk_token_windows(df, window=window, overlap=overlap).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+
+    def test_single_window_doc(self, spark):
+        rows = self.chunks(spark, "a b c")  # 3 tokens < window 8
+        assert len(rows) == 1
+        assert (rows[0]["start_tok"], rows[0]["n_tok_chunk"]) == (0, 3)
+
+    def test_exact_window_boundary(self, spark):
+        rows = self.chunks(spark, " ".join(f"t{i}" for i in range(8)))
+        assert len(rows) == 1  # exactly window tokens -> one chunk
+
+    def test_one_past_window_starts_second_chunk(self, spark):
+        rows = self.chunks(spark, " ".join(f"t{i}" for i in range(9)))
+        # stride = 6: chunks at 0..7 and 6..8
+        assert len(rows) == 2
+        assert (rows[1]["start_tok"], rows[1]["n_tok_chunk"]) == (6, 3)
+
+    def test_overlap_covers_every_token(self, spark):
+        n = 50
+        rows = self.chunks(spark, " ".join(f"t{i}" for i in range(n)))
+        covered = set()
+        for r in rows:
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_tok_chunk"]))
+        assert covered == set(range(n))
+        # consecutive chunks overlap by exactly `overlap` tokens
+        for a, b in zip(rows, rows[1:]):
+            assert a["start_tok"] + a["n_tok_chunk"] - b["start_tok"] >= 2
+
+    def test_empty_doc_one_empty_chunk(self, spark):
+        rows = self.chunks(spark, "")
+        assert len(rows) == 1
+        assert (rows[0]["n_tokens"], rows[0]["n_tok_chunk"]) == (0, 0)
+
+    def test_bad_overlap_rejected(self, spark):
+        with pytest.raises(ValueError):
+            scrub.chunk_token_windows(_docs(spark, [(1, "a")]), window=4, overlap=4)
+
+    def test_generator_only_no_exchange(self, spark):
+        df = _docs(spark, [(1, "a b c d e f g h i j")])
+        plan = (
+            scrub.chunk_token_windows(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Generate explode" in plan, plan

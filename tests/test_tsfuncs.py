@@ -82,3 +82,52 @@ def test_range_aggregate_floor_alignment(grouped):
     # t=10,20 -> bucket 0; t=30,40 -> bucket 30 (floor-aligned, not centered)
     assert buckets[0] == (3.0, 1.0, 5.0, 2)
     assert buckets[30] == (4.5, 2.0, 7.0, 2)
+
+
+def test_label_replace_sets_capture_group(spark):
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import label_replace
+
+    rows = [
+        ("m", ["job=web", "user=42"], _ts(10), 1.0),   # match -> shard=4
+        ("m", ["job=web", "user=7"], _ts(10), 1.0),    # match -> shard=7
+        ("m", ["job=db"], _ts(10), 1.0),               # src absent -> unchanged
+        ("m", ["shard=9", "user=31"], _ts(10), 1.0),   # existing dst replaced
+    ]
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+    out = [
+        sorted(r["slb"])
+        for r in label_replace(df, "shard", "user", "([0-9])[0-9]*").collect()
+    ]
+    assert ["job=web", "shard=4", "user=42"] in out
+    assert ["job=web", "shard=7", "user=7"] in out
+    assert ["job=db"] in out  # untouched: no src label
+    assert ["shard=3", "user=31"] in out  # dst overwritten, old shard=9 gone
+
+
+def test_label_replace_no_match_unchanged(spark):
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import label_replace
+
+    rows = [("m", ["user=abc"], _ts(10), 1.0)]
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+    out = label_replace(df, "shard", "user", "([0-9])[0-9]*").collect()
+    assert out[0]["slb"] == ["user=abc"]  # anchored regex doesn't match
+
+
+def test_quantile_over_time_discrete_indexing(spark):
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import quantile_over_time
+
+    # 5 values: sorted [1,2,3,4,100]; p50 -> idx floor(4*0.5)=2 -> 3.0;
+    # p95 -> floor(4*0.95)=3 -> 4.0 (discrete: an actual sample, not 80.8)
+    rows = [("m", ["job=a"], _ts(10 * i), v) for i, v in enumerate([4.0, 1.0, 100.0, 3.0, 2.0])]
+    rows += [("m", ["job=b"], _ts(10), 7.0)]  # single sample: both quantiles = it
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+    got = {r["slb"][0]: r for r in quantile_over_time(df, [0.5, 0.95]).collect()}
+    assert (got["job=a"]["p50"], got["job=a"]["p95"]) == (3.0, 4.0)
+    assert got["job=a"]["n_samples"] == 5
+    assert (got["job=b"]["p50"], got["job=b"]["p95"]) == (7.0, 7.0)
