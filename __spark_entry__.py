@@ -36,6 +36,7 @@ from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
     delta,
     increase,
     irate,
+    label_join,
     label_project,
     label_replace,
     label_value,
@@ -358,6 +359,22 @@ def q_tsdb_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = read_query_grouped(_samples(spark, sf_dir), q)
     return quantile_over_time(grouped, [0.5, 0.95]).select(
         "metric_name", _lbl(), "n_samples", "p50", "p95"
+    )
+
+
+def q_tsdb_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``label_join`` + re-aggregate: fuse ``user`` and ``tier``
+    into one ``ut`` label (missing tier contributes the empty string, the
+    Prometheus rule), then sum by the fused key — the companion move to
+    ``label_replace`` for composite grouping keys."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "error"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    rewritten = label_join(grouped, dst="ut", sep="|", srcs=["user", "tier"])
+    ut = label_value(F.col("slb"), "ut").alias("ut")
+    return (
+        rewritten.select("metric_name", ut, "max_0")
+        .groupBy("metric_name", "ut")
+        .agg(_dsum(F.col("max_0")).alias("sum_v"), F.count("*").alias("n_samples"))
     )
 
 
@@ -2293,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_windows": q_doc_chunk_windows,
         "tsdb_label_replace": q_tsdb_label_replace,
         "tsdb_quantile_over_time": q_tsdb_quantile_over_time,
+        "tsdb_label_join": q_tsdb_label_join,
         "streaming_windowed_max": q_streaming_windowed_max,
     }
 
@@ -3396,6 +3414,16 @@ WITH {SAMPLES_ORACLE_CTE},
 SELECT metric_name, labels_str, count(*) AS n_samples,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1] AS p50,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.95) AS INT) + 1] AS p95
+FROM grouped GROUP BY 1, 2
+""",
+        "tsdb_label_join": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'error'")}
+SELECT metric_name,
+       regexp_extract(labels_str, 'user=([0-9]+)', 1) || '|' ||
+       CASE WHEN labels_str LIKE '%tier=gold%' THEN 'gold' ELSE '' END AS ut,
+       CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sum_v,
+       count(*) AS n_samples
 FROM grouped GROUP BY 1, 2
 """,
         # the streaming run must emit exactly the batch GROUP BY over the

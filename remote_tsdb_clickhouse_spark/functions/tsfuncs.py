@@ -189,6 +189,28 @@ def label_replace(
     )
 
 
+def label_join(
+    grouped: DataFrame, dst: str, sep: str, srcs: list[str]
+) -> DataFrame:
+    """PromQL ``label_join(v, dst, sep, src1, src2, ...)`` over the grouped
+    read result: label ``dst`` becomes the values of the source labels
+    joined with ``sep``.
+
+    Prometheus semantics: label_join **always** applies (unlike
+    label_replace there is no match condition); a missing source label
+    contributes the empty string.  Any existing ``dst`` is replaced and
+    the labelset stays sorted (P2 invariant).  Pure per-row projection —
+    no shuffle.
+    """
+    parts = [F.coalesce(label_value(F.col("slb"), s), F.lit("")) for s in srcs]
+    joined = F.concat_ws(sep, *parts)
+    without_dst = F.filter(F.col("slb"), lambda x: ~x.like(f"{dst}=%"))
+    rewritten = F.array_sort(
+        F.concat(without_dst, F.array(F.concat(F.lit(dst + "="), joined)))
+    )
+    return grouped.withColumn("slb", rewritten)
+
+
 def quantile_over_time(grouped: DataFrame, quantiles: list[float]) -> DataFrame:
     """PromQL ``quantile_over_time`` per series — **discrete** (type-1)
     quantiles: the element at index ``floor((n-1) * q)`` of the sorted

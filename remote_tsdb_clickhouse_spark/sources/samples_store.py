@@ -173,6 +173,35 @@ class SamplesStore:
         self.append(df)
         return n
 
+    def export_tsv(self, out_path: str, start_ms: int = 0, end_ms: int = 0) -> int:
+        """S7 inverse: dump the store (optionally a time slice) as the same
+        promtool-shaped TSV that :meth:`import_tsv` consumes —
+        ``metric_name<TAB>labels<TAB>epoch_ms<TAB>value`` — for
+        engine-to-engine backfill (the reference moves days between stores
+        with exactly this pipe shape, ``README.md:144-167``).
+
+        Time bounds use the F1/F2 convention (``ms // 1000`` truncation,
+        inclusive upper bound, 0 = open).  The write is executor-parallel
+        (one file per partition); the round trip through ``import_tsv`` is
+        value-exact: labels stay comma-joined in stored sorted order,
+        timestamps are epoch ms of the second-truncated store value, and
+        doubles print in shortest-round-trip form.  Returns exported rows.
+        """
+        df = self.read()
+        if start_ms:
+            df = df.where(F.col("ts") >= F.timestamp_seconds(F.lit(start_ms // 1000)))
+        if end_ms:
+            df = df.where(F.col("ts") <= F.timestamp_seconds(F.lit(end_ms // 1000)))
+        out = df.select(
+            "metric_name",
+            F.array_join("labels", ",").alias("labels_str"),
+            (F.col("ts").cast("long") * 1000).alias("ts_ms"),
+            "value",
+        )
+        n = out.count()
+        out.write.mode("overwrite").option("sep", "\t").csv(out_path)
+        return n
+
     def compact(self, files_per_partition: int = 1) -> None:
         """Rewrite the table at a target file count per date partition —
         the OPTIMIZE analog for the micro-batch small-file problem."""

@@ -170,3 +170,42 @@ def test_read_plan_pushes_name_filter(spark, tmp_path):
     # (the plan string elides long filter lists; match prefixes)
     assert "EqualTo(met" in pushed
     assert "GreaterThanOrEqual(ts," in pushed
+
+
+def test_tsv_export_roundtrip(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+    writer.write(
+        wr(
+            "up",
+            [("job", "a"), ("q", "0.99")],
+            [(1.5, 1704067200123), (0.125, 1704153600000)],
+        )
+    )
+    writer.write(wr("bare", [], [(2.0, 1704067260000)]))  # empty labelset
+    out = tmp_path / "dump_out"
+    assert store.export_tsv(str(out)) == 3
+
+    # re-import into a second store: value-exact round trip
+    store2 = SamplesStore(spark, str(tmp_path / "samples2"))
+    assert store2.import_tsv(str(out)) == 3
+    a = sorted(tuple(r) for r in store.read().collect())
+    b = sorted(tuple(r) for r in store2.read().collect())
+    assert a == b
+
+
+def test_tsv_export_time_slice_bounds(spark, tmp_path):
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+    writer.write(
+        wr("up", [("job", "a")], [(1.0, 1704067200000), (2.0, 1704153600000), (3.0, 1704240000000)])
+    )
+    out = tmp_path / "slice_out"
+    # F1/F2: inclusive both ends, ms//1000 truncation
+    n = store.export_tsv(str(out), start_ms=1704153600999, end_ms=1704240000000)
+    assert n == 2
+    got = spark.read.csv(
+        str(out), sep="\t",
+        schema="metric_name STRING, labels_str STRING, ts_ms LONG, value DOUBLE",
+    )
+    assert sorted(r["value"] for r in got.collect()) == [2.0, 3.0]

@@ -131,3 +131,20 @@ def test_quantile_over_time_discrete_indexing(spark):
     assert (got["job=a"]["p50"], got["job=a"]["p95"]) == (3.0, 4.0)
     assert got["job=a"]["n_samples"] == 5
     assert (got["job=b"]["p50"], got["job=b"]["p95"]) == (7.0, 7.0)
+
+
+def test_label_join_fuses_sources(spark):
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import label_join
+
+    rows = [
+        ("m", ["tier=gold", "user=42"], _ts(10), 1.0),
+        ("m", ["user=7"], _ts(10), 1.0),        # missing tier -> empty string
+        ("m", ["ut=old", "user=1"], _ts(10), 1.0),  # existing dst replaced
+    ]
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+    out = [sorted(r["slb"]) for r in label_join(df, "ut", "|", ["user", "tier"]).collect()]
+    assert ["tier=gold", "user=42", "ut=42|gold"] in out
+    assert ["user=7", "ut=7|"] in out
+    assert ["user=1", "ut=1|"] in out  # ut=old gone
