@@ -1646,6 +1646,51 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gate: every document classified against four
+    integer/exact-arithmetic rules — too short (<20 tokens), too long
+    (>512), repetitive (3-gram repetition ratio > 0.2), degenerate word
+    shape (mean token length outside [3, 10]) — reported as a per-language
+    fail-bitmask histogram (mask 0 = kept).  The pipeline stage that
+    decides what survives into training.
+
+    Same tokenize barrier as the dedup family (toks materialized behind a
+    pinned repartition before the shingle HOF, see
+    ``dedup.normalized_docs``); all rule arithmetic is integer or
+    single-division double (bit-identical cross-engine), so the mask is
+    hash-exact.  One map-side-combined aggregation on ten-ish keys."""
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        d.select("doc_id", "lang", tx.tokens(F.col("text")).alias("toks"))
+        .repartition(par, "doc_id")
+        .withColumn("shingles", tx.word_shingles(F.col("toks"), 3))
+    )
+    n_tok = F.size("toks").cast("long")
+    n_total = F.greatest(n_tok - F.lit(2), F.lit(0)).cast("long")
+    n_distinct = F.size("shingles").cast("long")
+    rep = F.when(
+        n_total > 0, F.lit(1.0) - n_distinct.cast("double") / n_total.cast("double")
+    ).otherwise(F.lit(0.0))
+    sum_len = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = sum_len.cast("double") / n_tok.cast("double")
+    mask = (
+        F.when(n_tok < 20, F.lit(1)).otherwise(F.lit(0))
+        + F.when(n_tok > 512, F.lit(2)).otherwise(F.lit(0))
+        + F.when(rep > 0.2, F.lit(4)).otherwise(F.lit(0))
+        + F.when(
+            (n_tok > 0) & ((mean_len < 3.0) | (mean_len > 10.0)), F.lit(8)
+        ).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        base.select("lang", n_tok.alias("n_tok"), mask.alias("fail_mask"))
+        .groupBy("lang", "fail_mask")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens"))
+    )
+
+
 def q_dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted dataset mixing (GPT-3 Table 2.2 / The Pile recipe
     shape): water-filling take per source at target weights 1/2/3 (derived
@@ -2312,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_quantile_over_time": q_tsdb_quantile_over_time,
         "tsdb_label_join": q_tsdb_label_join,
         "streaming_windowed_max": q_streaming_windowed_max,
+        "text_quality_filter": q_text_quality_filter,
     }
 
 
@@ -3415,6 +3461,32 @@ SELECT metric_name, labels_str, count(*) AS n_samples,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1] AS p50,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.95) AS INT) + 1] AS p95
 FROM grouped GROUP BY 1, 2
+""",
+        "text_quality_filter": f"""
+WITH {_TOKS_CTE}, {_SH_CTE},
+m AS (
+    SELECT t.doc_id, d.lang,
+           CAST(len(t.toks) AS BIGINT) AS n_tok,
+           CAST(greatest(len(t.toks) - 2, 0) AS BIGINT) AS n_total,
+           CAST(len(s.shingles) AS BIGINT) AS n_distinct,
+           CAST(coalesce(list_sum(list_transform(t.toks, x -> len(x))), 0) AS BIGINT) AS sum_len
+    FROM toks t JOIN sh s ON t.doc_id = s.doc_id JOIN documents d ON d.doc_id = t.doc_id
+),
+f AS (
+    SELECT lang, n_tok,
+           CAST(
+             CASE WHEN n_tok < 20 THEN 1 ELSE 0 END
+           + CASE WHEN n_tok > 512 THEN 2 ELSE 0 END
+           + CASE WHEN (CASE WHEN n_total > 0
+                             THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_total AS DOUBLE)
+                             ELSE 0.0 END) > 0.2 THEN 4 ELSE 0 END
+           + CASE WHEN n_tok > 0 AND (CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) < 3.0
+                                      OR CAST(sum_len AS DOUBLE) / CAST(n_tok AS DOUBLE) > 10.0)
+                  THEN 8 ELSE 0 END AS BIGINT) AS fail_mask
+    FROM m
+)
+SELECT lang, fail_mask, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+FROM f GROUP BY 1, 2
 """,
         "tsdb_label_join": f"""
 WITH {SAMPLES_ORACLE_CTE},

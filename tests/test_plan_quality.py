@@ -139,3 +139,11 @@ def test_quantile_collect_list_partial_mapside(spark):
     # (ObjectHashAggregate), never a per-group global sort exec
     plan = _plan(spark, "tsdb_quantile_over_time")
     assert "ObjectHashAggregate" in plan, plan
+
+
+def test_quality_filter_mapside_agg_no_python(spark):
+    # rule arithmetic is all Catalyst expressions; the only shuffles are
+    # the tokenize barrier and the ten-key hash aggregation
+    plan = _plan(spark, "text_quality_filter")
+    assert "BatchEvalPython" not in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
