@@ -378,6 +378,44 @@ def q_tsdb_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL binary operation with vector matching: ``error / click``
+    sample-count ratio per user per hour — the ``a / b on(user)`` shape
+    (two selectors aggregated to a common label/bucket key, inner-joined:
+    entries with no counterpart drop, the Prometheus rule).
+
+    Both sides aggregate to (user, hour) BEFORE the join, so the join is
+    post-aggregation-sized; the ratio divides two bigints as doubles
+    (single IEEE division — bit-exact cross-engine).  Catalyst reuses the
+    aggregation exchanges for the equi-join: one shuffle per side total."""
+    samples = _samples(spark, sf_dir)
+
+    def per_user_hour(metric: str, out: str) -> DataFrame:
+        q = ReadQuery(
+            start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", metric),)
+        )
+        g = read_query_grouped(samples, q)
+        epoch = F.col("t").cast("long")
+        return (
+            g.select(
+                label_value(F.col("slb"), "user").alias("user_id"),
+                (epoch - epoch % 3600).alias("bucket_t"),
+            )
+            .groupBy("user_id", "bucket_t")
+            .agg(F.count("*").alias(out))
+        )
+
+    a = per_user_hour("error", "n_error")
+    b = per_user_hour("click", "n_click")
+    return a.join(b, ["user_id", "bucket_t"]).select(
+        "user_id",
+        "bucket_t",
+        "n_error",
+        "n_click",
+        (F.col("n_error").cast("double") / F.col("n_click").cast("double")).alias("ratio"),
+    )
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week, counted
     by distinct active week offset — the standard cohort triangle."""
@@ -2358,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_label_join": q_tsdb_label_join,
         "streaming_windowed_max": q_streaming_windowed_max,
         "text_quality_filter": q_text_quality_filter,
+        "tsdb_binary_ratio": q_tsdb_binary_ratio,
     }
 
 
@@ -3461,6 +3500,31 @@ SELECT metric_name, labels_str, count(*) AS n_samples,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1] AS p50,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.95) AS INT) + 1] AS p95
 FROM grouped GROUP BY 1, 2
+""",
+        "tsdb_binary_ratio": f"""
+WITH {SAMPLES_ORACLE_CTE},
+g AS (
+    SELECT metric_name, array_to_string(labels, ',') AS labels_str, ts AS tt
+    FROM samples
+    WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+      AND metric_name IN ('error', 'click')
+    GROUP BY 1, 2, 3
+),
+h AS (
+    SELECT metric_name,
+           regexp_extract(labels_str, 'user=([0-9]+)', 1) AS user_id,
+           CAST(floor(epoch(tt)) AS BIGINT)
+               - CAST(floor(epoch(tt)) AS BIGINT) % 3600 AS bucket_t
+    FROM g
+),
+a AS (SELECT user_id, bucket_t, count(*) AS n_error FROM h
+      WHERE metric_name = 'error' GROUP BY 1, 2),
+b AS (SELECT user_id, bucket_t, count(*) AS n_click FROM h
+      WHERE metric_name = 'click' GROUP BY 1, 2)
+SELECT a.user_id, a.bucket_t, n_error, n_click,
+       CAST(n_error AS DOUBLE) / CAST(n_click AS DOUBLE) AS ratio
+FROM a JOIN b ON a.user_id = b.user_id AND a.bucket_t = b.bucket_t
 """,
         "text_quality_filter": f"""
 WITH {_TOKS_CTE}, {_SH_CTE},

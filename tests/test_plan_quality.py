@@ -147,3 +147,13 @@ def test_quality_filter_mapside_agg_no_python(spark):
     plan = _plan(spark, "text_quality_filter")
     assert "BatchEvalPython" not in plan, plan
     assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_binary_ratio_join_reuses_agg_partitioning(spark):
+    # both selectors aggregate to the join key before joining: the join
+    # itself adds no shuffle (broadcast at this SF; aligned partitioning
+    # at scale) — 2 exchanges per side (grouped read + re-agg), max 4
+    plan = _plan(spark, "tsdb_binary_ratio")
+    assert "BatchEvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "Join" in plan, plan
