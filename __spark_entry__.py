@@ -333,6 +333,28 @@ def q_tsdb_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.select("metric_name", "labels_str", "t", avg5.alias("avg5"))
 
 
+def q_tsdb_sliding_range_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series trailing 1-hour sliding max at every sample point — a
+    RANGE window frame over event-time seconds (value-based bounds), the
+    complement of ``tsdb_moving_avg``'s ROWS frame: irregular scrape gaps
+    change how many samples fall in the hour, which a row-count frame
+    can't express.  One window shuffle on the series key; max of doubles
+    is order-free so no decimal detour is needed."""
+    from pyspark.sql import Window
+
+    q = ReadQuery(start_ms=T5, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "signup"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    flat = grouped.select("metric_name", _lbl(), _epoch(), "max_0")
+    w = (
+        Window.partitionBy("metric_name", "labels_str")
+        .orderBy("t")
+        .rangeBetween(-3599, 0)
+    )
+    return flat.select(
+        "metric_name", "labels_str", "t", F.max("max_0").over(w).alias("max_1h")
+    )
+
+
 def q_tsdb_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL ``label_replace`` + re-aggregate: derive a ``shard`` label
     from the leading digit of each series' ``user`` label, then sum the
@@ -1729,6 +1751,20 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunk_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking with content materialization: the ``with_text`` variant of
+    ``chunk_token_windows`` emits each window's token slice as
+    ``chunk_text`` — the frame a tokenizer or embedding indexer consumes.
+    Only multi-chunk documents are returned (the interesting overlap
+    cases; singleton chunks are the whole doc)."""
+    out = scrub.chunk_token_windows(
+        _docs(spark, sf_dir), window=32, overlap=8, with_text=True
+    )
+    return out.where(F.col("n_tokens") > 32).select(
+        "doc_id", "chunk_idx", "start_tok", "n_tok_chunk", "chunk_text"
+    )
+
+
 def q_dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted dataset mixing (GPT-3 Table 2.2 / The Pile recipe
     shape): water-filling take per source at target weights 1/2/3 (derived
@@ -2397,6 +2433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_max": q_streaming_windowed_max,
         "text_quality_filter": q_text_quality_filter,
         "tsdb_binary_ratio": q_tsdb_binary_ratio,
+        "tsdb_sliding_range_max": q_tsdb_sliding_range_max,
+        "doc_chunk_texts": q_doc_chunk_texts,
     }
 
 
@@ -3500,6 +3538,31 @@ SELECT metric_name, labels_str, count(*) AS n_samples,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1] AS p50,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.95) AS INT) + 1] AS p95
 FROM grouped GROUP BY 1, 2
+""",
+        "tsdb_sliding_range_max": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'signup'")}
+SELECT metric_name, labels_str, CAST(floor(epoch(tt)) AS BIGINT) AS t,
+       max(v) OVER (PARTITION BY metric_name, labels_str
+                    ORDER BY CAST(floor(epoch(tt)) AS BIGINT)
+                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS max_1h
+FROM grouped
+""",
+        "doc_chunk_texts": f"""
+WITH {_TOKS_CTE},
+n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM toks),
+c AS (
+    SELECT doc_id, toks, n_tokens,
+           1 + CAST(floor((greatest(n_tokens - 32, 0) + 23) / 24.0) AS BIGINT) AS n_chunks
+    FROM n
+)
+SELECT c.doc_id,
+       i - 1 AS chunk_idx,
+       (i - 1) * 24 AS start_tok,
+       least(32, c.n_tokens - (i - 1) * 24) AS n_tok_chunk,
+       array_to_string(c.toks[((i - 1) * 24 + 1):((i - 1) * 24 + 32)], ' ') AS chunk_text
+FROM c, unnest(generate_series(1, c.n_chunks)) AS t(i)
+WHERE c.n_tokens > 32
 """,
         "tsdb_binary_ratio": f"""
 WITH {SAMPLES_ORACLE_CTE},

@@ -85,6 +85,7 @@ def chunk_token_windows(
     overlap: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_text: bool = False,
 ) -> DataFrame:
     """Explode each document into fixed-size overlapping token windows.
 
@@ -99,6 +100,13 @@ def chunk_token_windows(
     ``sequence(0, n_chunks-1)`` of *indices*, not token arrays: the only
     data amplification is the (id, offsets) rows themselves.  No shuffle;
     the explode pipelines inside the scan stage.
+
+    With ``with_text=True`` each chunk also materializes its token-slice
+    content as ``chunk_text`` — the variant feeding a tokenizer or an
+    embedding indexer directly.  The amplification is then the chunk
+    payload itself (inherent: that IS the output); the token array crosses
+    the generator once per document, and the per-chunk slice is a
+    row-local expression.
     """
     if overlap >= window:
         raise ValueError(f"overlap ({overlap}) must be < window ({window})")
@@ -109,18 +117,27 @@ def chunk_token_windows(
         F.lit(1)
         + (F.greatest(n_tok - window, F.lit(0)) + (stride - 1)) / F.lit(stride)
     ).cast("long")
+    base_cols = [F.col(id_col), n_tok.alias("n_tokens")]
+    if with_text:
+        base_cols.append(tx.tokens(F.col(text_col)).alias("_toks"))
     base = df.select(
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
+        *base_cols,
         F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
     )
     start = F.col("chunk_idx") * stride
-    return base.select(
-        id_col,
-        "n_tokens",
-        "chunk_idx",
+    out_cols = [
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("chunk_idx"),
         start.alias("start_tok"),
         F.least(F.lit(window).cast("long"), F.col("n_tokens") - start).alias(
             "n_tok_chunk"
         ),
-    )
+    ]
+    if with_text:
+        out_cols.append(
+            F.array_join(
+                F.slice(F.col("_toks"), (start + 1).cast("int"), window), " "
+            ).alias("chunk_text")
+        )
+    return base.select(*out_cols)
