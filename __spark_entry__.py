@@ -438,6 +438,26 @@ def q_tsdb_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-phase aggregation under key skew (operators/layout.py
+    ``salted_agg``), oracled: per-event-type count + decimal-exact value
+    sum where the four event types are exactly the hot-key shape that caps
+    a plain groupBy at four reducers.  Phase 1 aggregates on (key, salt)
+    spreading each key over 16 sub-reducers; phase 2 combines ≤16 partials
+    per key — the oracle hash proves the rewrite loses nothing."""
+    from remote_tsdb_clickhouse_spark.operators.layout import salted_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", F.col("value").cast("decimal(30,6)").alias("v")
+    )
+    agg = salted_agg(ev, ["event_type"], {"event_id": "count", "v": "sum"})
+    return agg.select(
+        "event_type",
+        F.col("count_event_id").alias("n_events"),
+        F.col("sum_v").cast("double").alias("sum_value"),
+    )
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week, counted
     by distinct active week offset — the standard cohort triangle."""
@@ -2435,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_binary_ratio": q_tsdb_binary_ratio,
         "tsdb_sliding_range_max": q_tsdb_sliding_range_max,
         "doc_chunk_texts": q_doc_chunk_texts,
+        "events_salted_stats": q_events_salted_stats,
     }
 
 
@@ -3538,6 +3559,11 @@ SELECT metric_name, labels_str, count(*) AS n_samples,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1] AS p50,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.95) AS INT) + 1] AS p95
 FROM grouped GROUP BY 1, 2
+""",
+        "events_salted_stats": """
+SELECT event_type, count(event_id) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
 """,
         "tsdb_sliding_range_max": f"""
 WITH {SAMPLES_ORACLE_CTE},

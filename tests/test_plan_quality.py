@@ -157,3 +157,11 @@ def test_binary_ratio_join_reuses_agg_partitioning(spark):
     assert "BatchEvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 4, plan
     assert "Join" in plan, plan
+
+
+def test_salted_stats_two_phase_spread(spark):
+    # phase 1 must shuffle on (key, salt) — the hot key spread over 16
+    # sub-reducers — before the per-key combine; no Python anywhere
+    plan = _plan(spark, "events_salted_stats")
+    assert "__salt" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
