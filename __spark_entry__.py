@@ -2444,7 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         # --- new in round 4 (after the window was already full of entries
         # owed a refresh): local-oracle-only this round; the r5 rotation
-        # must front-load these four ---
+        # must front-load ALL entries from here down ---
         "text_pii_scrub": q_text_pii_scrub,
         "doc_chunk_windows": q_doc_chunk_windows,
         "tsdb_label_replace": q_tsdb_label_replace,
