@@ -144,9 +144,92 @@ def decode_bmp(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     return width, height, [px for row in rows for px in row]
 
 
-def _bmp_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Real feature vector from decoded BMP pixels: dims + channel means."""
-    width, height, pixels = decode_bmp(content)
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """REAL codec: pure-stdlib PNG decode (zlib inflate + scanline
+    unfilter) for 8-bit-depth truecolor PNGs — color type 2 (RGB) and 6
+    (RGBA, alpha dropped), non-interlaced, all five scanline filters
+    (None/Sub/Up/Average/Paeth).
+
+    Like :func:`decode_bmp` this keeps the real-decode path exercised
+    with no third-party dependency; palette/gray/16-bit/interlaced
+    variants still want PIL and raise.  Returns ``(width, height,
+    pixels)`` row-major top-to-bottom as (r, g, b) tuples.
+    """
+    import zlib
+
+    if len(content) < 8 or content[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, 0
+    height = channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        clen = int.from_bytes(content[pos : pos + 4], "big")
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, _comp, _filt, interlace = data[8:13]
+            if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced RGB(A) PNG decodes natively "
+                    f"(depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+                )
+            channels = 3 if color_type == 2 else 4
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # length + type + data + crc
+    if not width or not height or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG scanline data")
+    prev = bytearray(stride)
+    pixels: list[tuple[int, int, int]] = []
+    for r in range(height):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        for cix in range(width):
+            o = cix * channels
+            pixels.append((line[o], line[o + 1], line[o + 2]))
+        prev = line
+    return width, height, pixels
+
+
+def _rgb_features(
+    width: int, height: int, pixels: list[tuple[int, int, int]], dim: int = FEATURE_DIM
+) -> list[float]:
+    """Feature vector from decoded pixels: dims + channel means + luma."""
     n = max(1, len(pixels))
     mean_r = sum(p[0] for p in pixels) / (255.0 * n)
     mean_g = sum(p[1] for p in pixels) / (255.0 * n)
@@ -156,6 +239,16 @@ def _bmp_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return (feats + [0.0] * dim)[:dim]
 
 
+def _bmp_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real feature vector from decoded BMP pixels: dims + channel means."""
+    return _rgb_features(*decode_bmp(content), dim=dim)
+
+
+def _png_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real feature vector from decoded PNG pixels: dims + channel means."""
+    return _rgb_features(*decode_png(content), dim=dim)
+
+
 FEATURES_SCHEMA = "media_id LONG, modality STRING, features ARRAY<FLOAT>"
 
 
@@ -163,9 +256,10 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Per-item feature extraction via mapInPandas (Arrow-batched).
 
     One Python worker pass per partition, zero shuffle.  Dispatch is by
-    payload format: BMP content decodes **for real** (``decode_bmp``, pure
-    Python) into dimension + channel-mean features; every other format uses
-    the deterministic stub featurizer, so outputs stay testable either way.
+    payload format: BMP and 8-bit RGB(A) PNG content decode **for real**
+    (``decode_bmp`` / ``decode_png``, pure Python/stdlib-zlib) into
+    dimension + channel-mean features; every other format uses the
+    deterministic stub featurizer, so outputs stay testable either way.
     """
     import pandas as pd
 
@@ -175,6 +269,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                 return _bmp_features(content)
             except ValueError:
                 pass  # BMP magic but unsupported variant -> stub
+        if content[:8] == PNG_SIGNATURE:
+            try:
+                return _png_features(content)
+            except (ValueError, NotImplementedError):
+                pass  # PNG magic but unsupported variant -> stub
         return _fake_decode(content)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -221,3 +221,115 @@ def test_resample_audio_real_wav_path(spark):
     fake = out[2]
     assert fake["n_samples"] == 1600  # duration_ms * target / 1000
     assert len(bytes(fake["content"])) == 1600
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _make_png(width, height, pixel_rows, filters=None, alpha=None):
+    """Hand-assemble an 8-bit truecolor PNG applying the requested scanline
+    filter per row (forward-filtering here; the decoder must invert it)."""
+    import struct
+    import zlib
+
+    channels = 4 if alpha is not None else 3
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(width * channels)
+    for r, row in enumerate(pixel_rows):
+        line = bytearray()
+        for px in row:
+            line += bytes(px if channels == 3 else (*px, alpha))
+        f = filters[r]
+        out = bytearray([f])
+        for i in range(len(line)):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - a
+            elif f == 2:
+                v = line[i] - b
+            elif f == 3:
+                v = line[i] - ((a + b) >> 1)
+            else:
+                v = line[i] - _paeth(a, b, c)
+            out.append(v & 0xFF)
+        raw += out
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2 if channels == 3 else 6, 0, 0, 0)
+    return (
+        mm.PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_golden_all_filters():
+    """Real-codec contract: exact pixel round-trip through every scanline
+    filter type (None/Sub/Up/Average/Paeth), RGB and alpha-dropping RGBA."""
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (10, 20, 30)],
+        [(1, 2, 3), (200, 100, 50), (0, 0, 0)],
+        [(7, 7, 7), (255, 255, 255), (128, 64, 32)],
+        [(90, 80, 70), (60, 50, 40), (30, 20, 10)],
+        [(5, 250, 5), (250, 5, 250), (100, 100, 100)],
+    ]
+    flat = [px for row in rows for px in row]
+    for filters in ([0] * 5, [1] * 5, [0, 2, 2, 2, 2], [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        w, h, pixels = mm.decode_png(_make_png(3, 5, rows, filters=filters))
+        assert (w, h) == (3, 5)
+        assert pixels == flat, f"filters={filters}"
+    # RGBA: alpha dropped, pixels identical
+    w, h, pixels = mm.decode_png(_make_png(3, 5, rows, filters=[4] * 5, alpha=200))
+    assert pixels == flat
+
+
+def test_decode_png_gates():
+    import struct
+    import pytest
+    import zlib
+
+    with pytest.raises(ValueError):
+        mm.decode_png(b"not a png")
+    # palette color type (3) needs PIL
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (
+        mm.PNG_SIGNATURE
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(NotImplementedError):
+        mm.decode_png(png)
+
+
+def test_extract_features_real_png_path(spark):
+    """PNG payloads flow through the mapInPandas feature path with REAL
+    decoded channel means (not the stub hash)."""
+    rows = [[(255, 0, 0), (255, 0, 0)], [(255, 0, 0), (255, 0, 0)]]  # all red
+    png = _make_png(2, 2, rows, filters=[1, 4])
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png), {"format": "png", "width": 2, "height": 2,
+                                       "sample_rate": None, "duration_ms": None})],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = mm.extract_features(media).collect()[0]["features"]
+    # [w/4096, h/4096, mean_r, mean_g, mean_b, luma, 0, 0] — all-red image
+    assert abs(feats[2] - 1.0) < 1e-6
+    assert feats[3] == 0.0 and feats[4] == 0.0
+    assert abs(feats[5] - 0.2126) < 1e-4
