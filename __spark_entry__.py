@@ -1785,6 +1785,48 @@ def q_doc_chunk_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact oracle for the REAL PNG codec path: per document, build
+    a solid-color 4x4 PNG (channel values derived from doc_id), push it
+    through encode -> Arrow batch -> ``decode_png`` -> channel-mean
+    features, and emit the means as doubles.  The oracle computes the
+    SAME means in closed form (solid color => mean = channel/255), so any
+    bit of codec drift — filter math, channel order, float casts —
+    hash-mismatches.  One mapInPandas pass, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def batches(it):
+        for pdf in it:
+            ids, feats = [], []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                color = (i % 256, (i * 7) % 256, (i * 13) % 256)
+                png = multimodal.encode_png(4, 4, [color] * 16)
+                w, h, pixels = multimodal.decode_png(png)
+                # the ARRAY<FLOAT> emission of extract_features narrows to
+                # float32; mirror that cast so the oracle can too
+                f = [float(np.float32(v)) for v in multimodal._rgb_features(w, h, pixels)]
+                ids.append(i)
+                feats.append(f)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "mean_r": [f[2] for f in feats],
+                    "mean_g": [f[3] for f in feats],
+                    "mean_b": [f[4] for f in feats],
+                    "luma": [f[5] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(
+        batches,
+        schema="media_id LONG, mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE, luma DOUBLE",
+    )
+
+
 def q_dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted dataset mixing (GPT-3 Table 2.2 / The Pile recipe
     shape): water-filling take per source at target weights 1/2/3 (derived
@@ -2456,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_sliding_range_max": q_tsdb_sliding_range_max,
         "doc_chunk_texts": q_doc_chunk_texts,
         "events_salted_stats": q_events_salted_stats,
+        "multimodal_png_features": q_multimodal_png_features,
     }
 
 
@@ -3564,6 +3607,20 @@ FROM grouped GROUP BY 1, 2
 SELECT event_type, count(event_id) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
+""",
+        # solid-color PNGs: the decoded channel means have a closed form
+        # (mean = channel/255; IEEE division is correctly rounded, so
+        # 16r/4080 and r/255 are the same double) — any codec drift in
+        # encode_png/decode_png hash-mismatches here
+        "multimodal_png_features": """
+SELECT doc_id AS media_id,
+       CAST(CAST((doc_id % 256) / 255.0 AS FLOAT) AS DOUBLE) AS mean_r,
+       CAST(CAST(((doc_id * 7) % 256) / 255.0 AS FLOAT) AS DOUBLE) AS mean_g,
+       CAST(CAST(((doc_id * 13) % 256) / 255.0 AS FLOAT) AS DOUBLE) AS mean_b,
+       CAST(CAST(0.2126 * ((doc_id % 256) / 255.0)
+                 + 0.7152 * (((doc_id * 7) % 256) / 255.0)
+                 + 0.0722 * (((doc_id * 13) % 256) / 255.0) AS FLOAT) AS DOUBLE) AS luma
+FROM documents
 """,
         "tsdb_sliding_range_max": f"""
 WITH {SAMPLES_ORACLE_CTE},

@@ -226,6 +226,39 @@ def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     return width, height, pixels
 
 
+def encode_png(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:
+    """Inverse of :func:`decode_png`: 8-bit RGB pixels (row-major,
+    top-to-bottom) -> non-interlaced truecolor PNG, filter type 0 per
+    scanline.  Pure stdlib (zlib deflate + CRC); the encode counterpart
+    that lets tests and fixtures round-trip the real codec path."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height:
+        raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
+    raw = bytearray()
+    for r in range(height):
+        raw.append(0)  # filter: None
+        for c in range(width):
+            raw += bytes(pixels[r * width + c])
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _rgb_features(
     width: int, height: int, pixels: list[tuple[int, int, int]], dim: int = FEATURE_DIM
 ) -> list[float]:

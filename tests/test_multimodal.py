@@ -333,3 +333,14 @@ def test_extract_features_real_png_path(spark):
     assert abs(feats[2] - 1.0) < 1e-6
     assert feats[3] == 0.0 and feats[4] == 0.0
     assert abs(feats[5] - 0.2126) < 1e-4
+
+
+def test_encode_png_roundtrip():
+    """Product encoder -> product decoder round-trips exactly."""
+    rows = [[(255, 0, 0), (1, 2, 3)], [(9, 8, 7), (0, 255, 128)]]
+    flat = [px for row in rows for px in row]
+    png = mm.encode_png(2, 2, flat)
+    assert mm.decode_png(png) == (2, 2, flat)
+    import pytest
+    with pytest.raises(ValueError):
+        mm.encode_png(2, 2, flat[:3])  # wrong pixel count
