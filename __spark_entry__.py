@@ -333,6 +333,34 @@ def q_tsdb_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.select("metric_name", "labels_str", "t", avg5.alias("avg5"))
 
 
+def q_tsdb_topk_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``topk`` at each evaluation step: the 3 highest-valued
+    series per 6-hour bucket (bucket max per series first, then a
+    row_number cut ordered by value desc with the labelset as the
+    deterministic tie-break).  Two shuffles total: the bucket aggregation
+    and the per-bucket ranking window — both partition on the bucket key,
+    so Catalyst reuses the exchange for the window."""
+    from pyspark.sql import Window
+
+    q = ReadQuery(start_ms=T5, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    epoch = F.col("t").cast("long")
+    bucket = (epoch - epoch % 21600).alias("bucket_t")
+    per_series = (
+        grouped.select("metric_name", _lbl(), bucket, "max_0")
+        .groupBy("metric_name", "labels_str", "bucket_t")
+        .agg(F.max("max_0").alias("v"))
+    )
+    w = Window.partitionBy("bucket_t").orderBy(
+        F.col("v").desc(), F.col("labels_str").asc()
+    )
+    return (
+        per_series.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("bucket_t", "rk", "metric_name", "labels_str", "v")
+    )
+
+
 def q_tsdb_sliding_range_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series trailing 1-hour sliding max at every sample point — a
     RANGE window frame over event-time seconds (value-based bounds), the
@@ -2499,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_texts": q_doc_chunk_texts,
         "events_salted_stats": q_events_salted_stats,
         "multimodal_png_features": q_multimodal_png_features,
+        "tsdb_topk_per_bucket": q_tsdb_topk_per_bucket,
     }
 
 
@@ -3621,6 +3650,23 @@ SELECT doc_id AS media_id,
                  + 0.7152 * (((doc_id * 7) % 256) / 255.0)
                  + 0.0722 * (((doc_id * 13) % 256) / 255.0) AS FLOAT) AS DOUBLE) AS luma
 FROM documents
+""",
+        "tsdb_topk_per_bucket": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'purchase'")},
+per_series AS (
+    SELECT metric_name, labels_str,
+           CAST(floor(epoch(tt)) AS BIGINT)
+               - CAST(floor(epoch(tt)) AS BIGINT) % 21600 AS bucket_t,
+           max(v) AS v
+    FROM grouped GROUP BY 1, 2, 3
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY bucket_t
+                                 ORDER BY v DESC, labels_str ASC) AS rk
+    FROM per_series
+)
+SELECT bucket_t, rk, metric_name, labels_str, v FROM r WHERE rk <= 3
 """,
         "tsdb_sliding_range_max": f"""
 WITH {SAMPLES_ORACLE_CTE},
