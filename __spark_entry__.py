@@ -1389,6 +1389,14 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook assignment over the embeddings table
+    (similarity.pq_codes): 4 subspaces x 16 deterministic centroids,
+    exact integer micro-unit distances — completes the ANN compression
+    toolbox beside brute/LSH/IVF search and int8 scalar quantization."""
+    return similarity.pq_codes(_embs(spark, sf_dir), m=4, k=16)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -2528,6 +2536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_stats": q_events_salted_stats,
         "multimodal_png_features": q_multimodal_png_features,
         "tsdb_topk_per_bucket": q_tsdb_topk_per_bucket,
+        "sim_pq_codes": q_sim_pq_codes,
     }
 
 
@@ -3650,6 +3659,38 @@ SELECT doc_id AS media_id,
                  + 0.7152 * (((doc_id * 7) % 256) / 255.0)
                  + 0.0722 * (((doc_id * 13) % 256) / 255.0) AS FLOAT) AS DOUBLE) AS luma
 FROM documents
+""",
+        # PQ assignment in exact integer micro-units: distances are int64
+        # sums of squares, so argmin + error are engine-independent; ties
+        # break to the lowest centroid id on both sides
+        "sim_pq_codes": """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, iv AS civ FROM q WHERE vec_id < 16),
+sp AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(s)),
+dists AS (
+    SELECT q.vec_id, sp.s, cent.cid,
+           list_sum(list_transform(generate_series(1, 16),
+               j -> (q.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j])
+                    * (q.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j]))) AS dist
+    FROM q CROSS JOIN sp CROSS JOIN cent
+),
+best AS (
+    SELECT vec_id, s, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+    FROM dists
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN s = 0 THEN cid END) AS BIGINT) AS code0,
+       CAST(max(CASE WHEN s = 1 THEN cid END) AS BIGINT) AS code1,
+       CAST(max(CASE WHEN s = 2 THEN cid END) AS BIGINT) AS code2,
+       CAST(max(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS code3,
+       CAST(sum(dist) AS BIGINT) AS err
+FROM best WHERE rk = 1 GROUP BY vec_id
 """,
         "tsdb_topk_per_bucket": f"""
 WITH {SAMPLES_ORACLE_CTE},

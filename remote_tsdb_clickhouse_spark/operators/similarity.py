@@ -356,3 +356,82 @@ def quantize_int8_histogram(
         .agg(F.count("*").alias("n"))
         .select("dim", "qcode", "n", "mn_micro", "mx_micro")
     )
+
+
+#: Micro-unit scale shared by the exact-integer quantization paths.
+PQ_SCALE = 1_000_000
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment (FAISS ``PQm`` shape): the
+    vector splits into ``m`` subvectors, each assigned to its nearest of
+    ``k`` per-subspace centroids; output is ``(vec_id, code0..code{m-1},
+    err)`` with ``err`` the total squared quantization error.
+
+    **Exact by construction**: components quantize to integer micro-units
+    (``floor(x * 1e6)``) before any distance math, so distances are exact
+    int64 sums of squares — argmin and the total error are bit-identical
+    in any engine (float distance sums are summation-order-dependent;
+    integers are not).  Ties break to the lowest centroid id (numpy's
+    first-minimum == the oracle's ``ORDER BY dist, cid``).
+
+    Centroids are the sub-vectors of the first ``k`` vectors by id — the
+    same data-independent deterministic pick as the IVF coarse centroids
+    (a production codebook comes from k-means; the assignment machinery
+    under test is identical).  The centroid fetch is a k-row
+    metadata-sized collect broadcast into the Arrow workers; assignment
+    itself is one mapInPandas pass, no shuffle, linear in the corpus —
+    the 100 TB shape (vectorized int64 numpy per Arrow batch).
+    """
+    import numpy as np
+
+    if k > 256:
+        raise ValueError(f"k={k} exceeds one byte per code")
+    cent_rows = (
+        emb.where(F.col(id_col) < k).select(id_col, vec_col).collect()
+    )  # k rows: metadata-sized by contract
+    cents = {
+        r[0]: np.floor(np.asarray(r[1], dtype=np.float64) * PQ_SCALE).astype(np.int64)
+        for r in cent_rows
+    }
+    cent_mat = np.stack([cents[i] for i in sorted(cents)])  # (k, d)
+    d = cent_mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    sub = d // m
+    cent_sub = cent_mat.reshape(len(cents), m, sub)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            x = np.stack(
+                [
+                    np.floor(np.asarray(v, dtype=np.float64) * PQ_SCALE).astype(np.int64)
+                    for v in pdf[vec_col]
+                ]
+            ).reshape(len(ids), m, sub)
+            out = {"vec_id": ids}
+            err = np.zeros(len(ids), dtype=np.int64)
+            for s in range(m):
+                diff = x[:, None, s, :] - cent_sub[None, :, s, :]  # (n, k, sub)
+                dist = (diff * diff).sum(axis=2)  # exact int64
+                code = dist.argmin(axis=1)  # first min -> lowest cid on ties
+                err += dist[np.arange(len(ids)), code]
+                out[f"code{s}"] = code.astype("int64")
+            out["err"] = err
+            yield pd.DataFrame(out)
+
+    schema = (
+        f"{id_col} LONG, "
+        + ", ".join(f"code{s} LONG" for s in range(m))
+        + ", err LONG"
+    )
+    return emb.select(id_col, vec_col).mapInPandas(batches, schema=schema)

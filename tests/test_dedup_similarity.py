@@ -90,3 +90,27 @@ def test_incremental_minhash_pairs(spark, hot_corpus):
     got = {(r.new_id, r.index_id, r.est_jaccard) for r in out.collect()}
     assert (20, 0, 1.0) in got
     assert (21, 5, 1.0) in got
+
+
+def test_pq_codes_exact_and_deterministic(spark):
+    """Centroid vectors must self-assign with zero error; ties go to the
+    lowest centroid id; dims must divide into subspaces."""
+    import pytest
+
+    from remote_tsdb_clickhouse_spark.operators.similarity import pq_codes
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 1.0]),   # subspace0 == centroid0, subspace1 != both
+        (3, [1.0, 0.0, 0.0, 0.0]),   # duplicate of centroid 0 -> ties break low
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in pq_codes(df, m=2, k=2).collect()}
+    assert (out[0]["code0"], out[0]["code1"], out[0]["err"]) == (0, 0, 0)
+    # vec1's subspace1 ([0,0]) ties between both centroids -> lowest cid
+    assert (out[1]["code0"], out[1]["code1"], out[1]["err"]) == (1, 0, 0)
+    assert out[3]["code0"] == 0 and out[3]["err"] == 0  # exact dup of centroid 0
+    assert out[2]["code0"] == 0 and out[2]["err"] > 0
+    with pytest.raises(ValueError):
+        pq_codes(df, m=3, k=2).collect()  # 4 dims not divisible by 3
