@@ -1397,6 +1397,14 @@ def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codes(_embs(spark, sf_dir), m=4, k=16)
 
 
+def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search by asymmetric distance computation: per-query m x k
+    integer lookup tables, corpus distance = m table lookups on the PQ
+    codes, per-query top-10 (similarity.pq_adc_topk) — the serving-side
+    complement of sim_pq_codes."""
+    return similarity.pq_adc_topk(_embs(spark, sf_dir), n_queries=10, topk=10)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -2537,7 +2545,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_features": q_multimodal_png_features,
         "tsdb_topk_per_bucket": q_tsdb_topk_per_bucket,
         "sim_pq_codes": q_sim_pq_codes,
+        "sim_pq_adc_topk": q_sim_pq_adc_topk,
     }
+
+
+#: PQ code assignment in exact integer micro-units (shared by the codes
+#: query and the ADC search oracle, which unpivots it).
+_PQ_CODES_SQL = """
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, iv AS civ FROM q WHERE vec_id < 16),
+sp AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(s)),
+dists AS (
+    SELECT q.vec_id, sp.s, cent.cid,
+           list_sum(list_transform(generate_series(1, 16),
+               j -> (q.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j])
+                    * (q.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j]))) AS dist
+    FROM q CROSS JOIN sp CROSS JOIN cent
+),
+best AS (
+    SELECT vec_id, s, cid, dist,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
+    FROM dists
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN s = 0 THEN cid END) AS BIGINT) AS code0,
+       CAST(max(CASE WHEN s = 1 THEN cid END) AS BIGINT) AS code1,
+       CAST(max(CASE WHEN s = 2 THEN cid END) AS BIGINT) AS code2,
+       CAST(max(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS code3,
+       CAST(sum(dist) AS BIGINT) AS err
+FROM best WHERE rk = 1 GROUP BY vec_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3663,8 +3705,12 @@ FROM documents
         # PQ assignment in exact integer micro-units: distances are int64
         # sums of squares, so argmin + error are engine-independent; ties
         # break to the lowest centroid id on both sides
-        "sim_pq_codes": """
-WITH q AS (
+        "sim_pq_codes": _PQ_CODES_SQL,
+        # ADC: per-query (s, cid) distance table joined onto the unpivoted
+        # PQ codes — the same integer arithmetic, so ranks are exact
+        "sim_pq_adc_topk": f"""
+WITH codes AS ({_PQ_CODES_SQL}),
+q AS (
     SELECT vec_id,
            list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
@@ -3672,25 +3718,32 @@ WITH q AS (
 ),
 cent AS (SELECT vec_id AS cid, iv AS civ FROM q WHERE vec_id < 16),
 sp AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(s)),
-dists AS (
-    SELECT q.vec_id, sp.s, cent.cid,
+dt AS (
+    SELECT qv.vec_id AS query_id, sp.s, cent.cid,
            list_sum(list_transform(generate_series(1, 16),
-               j -> (q.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j])
-                    * (q.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j]))) AS dist
-    FROM q CROSS JOIN sp CROSS JOIN cent
+               j -> (qv.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j])
+                    * (qv.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j]))) AS dist
+    FROM q qv CROSS JOIN sp CROSS JOIN cent
+    WHERE qv.vec_id < 10
 ),
-best AS (
-    SELECT vec_id, s, cid, dist,
-           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rk
-    FROM dists
+cl AS (
+    SELECT vec_id, 0 AS s, code0 AS cid FROM codes
+    UNION ALL SELECT vec_id, 1, code1 FROM codes
+    UNION ALL SELECT vec_id, 2, code2 FROM codes
+    UNION ALL SELECT vec_id, 3, code3 FROM codes
+),
+adc AS (
+    SELECT dt.query_id, cl.vec_id AS neighbor_id, CAST(sum(dt.dist) AS BIGINT) AS adc
+    FROM cl JOIN dt ON cl.s = dt.s AND cl.cid = dt.cid
+    WHERE cl.vec_id != dt.query_id
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS rk
+    FROM adc
 )
-SELECT vec_id,
-       CAST(max(CASE WHEN s = 0 THEN cid END) AS BIGINT) AS code0,
-       CAST(max(CASE WHEN s = 1 THEN cid END) AS BIGINT) AS code1,
-       CAST(max(CASE WHEN s = 2 THEN cid END) AS BIGINT) AS code2,
-       CAST(max(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS code3,
-       CAST(sum(dist) AS BIGINT) AS err
-FROM best WHERE rk = 1 GROUP BY vec_id
+SELECT query_id, neighbor_id, adc, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10
 """,
         "tsdb_topk_per_bucket": f"""
 WITH {SAMPLES_ORACLE_CTE},

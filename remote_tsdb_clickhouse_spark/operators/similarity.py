@@ -435,3 +435,86 @@ def pq_codes(
         + ", err LONG"
     )
     return emb.select(id_col, vec_col).mapInPandas(batches, schema=schema)
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    topk: int = 10,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search via asymmetric distance computation (ADC): each query
+    precomputes an ``m x k`` lookup table of exact integer sub-distances
+    to every centroid; a corpus vector's approximate distance is then just
+    ``sum_s table[s][code_s]`` — ``m`` table lookups instead of a
+    ``d``-dimensional computation, the datacenter-scale ANN serving shape.
+
+    Queries are the first ``n_queries`` vectors (same convention as the
+    brute-force baseline); self-matches are excluded.  Output:
+    ``(query_id, neighbor_id, adc, rk)`` for the ``topk`` nearest by ADC
+    distance, ties broken by neighbor id.
+
+    Exactness: tables and codes share :func:`pq_codes`' integer micro-unit
+    arithmetic, so every ADC distance is an exact int64 — rank order is
+    engine-independent.  Scale: codes come from the linear no-shuffle
+    ``pq_codes`` pass; the query tables are a metadata-sized collect
+    (n_queries * m * k ints) shipped in the closure; the only shuffle is
+    the final per-query top-k ranking.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    codes = pq_codes(emb, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    q_rows = (
+        emb.where(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
+    )
+    cent_rows = emb.where(F.col(id_col) < k).select(id_col, vec_col).collect()
+    cents = {
+        r[0]: np.floor(np.asarray(r[1], dtype=np.float64) * PQ_SCALE).astype(np.int64)
+        for r in cent_rows
+    }
+    cent_mat = np.stack([cents[i] for i in sorted(cents)])
+    d = cent_mat.shape[1]
+    sub = d // m
+    cent_sub = cent_mat.reshape(len(cents), m, sub)
+    tables = {}  # qid -> (m, k) int64 table
+    for r in q_rows:
+        qv = np.floor(np.asarray(r[1], dtype=np.float64) * PQ_SCALE).astype(np.int64)
+        qs = qv.reshape(m, sub)
+        diff = qs[:, None, :] - np.transpose(cent_sub, (1, 0, 2))  # (m, k, sub)
+        tables[int(r[0])] = (diff * diff).sum(axis=2)
+
+    code_cols = [f"code{s}" for s in range(m)]
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            nids, qids, adcs = [], [], []
+            code_arr = np.stack([pdf[c].to_numpy() for c in code_cols], axis=1)
+            for nid, crow in zip(pdf[id_col].to_numpy(), code_arr):
+                for qid, table in tables.items():
+                    if qid == nid:
+                        continue
+                    nids.append(nid)
+                    qids.append(qid)
+                    adcs.append(int(sum(table[s][crow[s]] for s in range(m))))
+            yield pd.DataFrame(
+                {"query_id": qids, "neighbor_id": nids, "adc": adcs}
+            )
+
+    pairs = codes.mapInPandas(
+        batches, schema="query_id LONG, neighbor_id LONG, adc LONG"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= topk)
+        .select("query_id", "neighbor_id", "adc", "rk")
+    )
