@@ -1405,6 +1405,23 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(_embs(spark, sf_dir), n_queries=10, topk=10)
 
 
+def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality diagnostic: recall@10 of the PQ-ADC search
+    against the exact cosine top-10, per query — the number an index
+    builder watches when trading code size against quality.  Pure
+    composition of the two oracled searches; the left join keeps
+    zero-hit queries visible."""
+    exact = q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    adc = similarity.pq_adc_topk(_embs(spark, sf_dir), n_queries=10, topk=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(adc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits_at_10"))
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -2546,7 +2563,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_topk_per_bucket": q_tsdb_topk_per_bucket,
         "sim_pq_codes": q_sim_pq_codes,
         "sim_pq_adc_topk": q_sim_pq_adc_topk,
+        "sim_pq_recall": q_sim_pq_recall,
     }
+
+
+#: Exact cosine top-10 (shared by the bruteforce oracle and the PQ recall
+#: diagnostic, which joins against it).
+def _brute_topk_sql() -> str:
+    return f"""
+WITH {_EMB_NORM_CTE},
+q AS (SELECT * FROM n WHERE vec_id < 10),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.nrm > 0 AND c.nrm > 0
+                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+    FROM q JOIN n c ON c.vec_id != q.vec_id
+),
+r AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 10
+"""
 
 
 #: PQ code assignment in exact integer micro-units (shared by the codes
@@ -2579,6 +2618,48 @@ SELECT vec_id,
        CAST(max(CASE WHEN s = 3 THEN cid END) AS BIGINT) AS code3,
        CAST(sum(dist) AS BIGINT) AS err
 FROM best WHERE rk = 1 GROUP BY vec_id
+"""
+
+
+def _pq_adc_sql() -> str:
+    """ADC search oracle: per-query (s, cid) distance tables joined onto
+    the unpivoted PQ codes (same integer micro-unit arithmetic)."""
+    return f"""
+WITH codes AS ({_PQ_CODES_SQL}),
+q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, iv AS civ FROM q WHERE vec_id < 16),
+sp AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(s)),
+dt AS (
+    SELECT qv.vec_id AS query_id, sp.s, cent.cid,
+           list_sum(list_transform(generate_series(1, 16),
+               j -> (qv.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j])
+                    * (qv.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j]))) AS dist
+    FROM q qv CROSS JOIN sp CROSS JOIN cent
+    WHERE qv.vec_id < 10
+),
+cl AS (
+    SELECT vec_id, 0 AS s, code0 AS cid FROM codes
+    UNION ALL SELECT vec_id, 1, code1 FROM codes
+    UNION ALL SELECT vec_id, 2, code2 FROM codes
+    UNION ALL SELECT vec_id, 3, code3 FROM codes
+),
+adc AS (
+    SELECT dt.query_id, cl.vec_id AS neighbor_id, CAST(sum(dt.dist) AS BIGINT) AS adc
+    FROM cl JOIN dt ON cl.s = dt.s AND cl.cid = dt.cid
+    WHERE cl.vec_id != dt.query_id
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS rk
+    FROM adc
+)
+SELECT query_id, neighbor_id, adc, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10
 """
 
 
@@ -3137,22 +3218,7 @@ FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE a.nrm > 0 AND b.nrm > 0
   AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
 """,
-        "sim_topk_bruteforce": f"""
-WITH {_EMB_NORM_CTE},
-q AS (SELECT * FROM n WHERE vec_id < 10),
-scored AS (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           CASE WHEN q.nrm > 0 AND c.nrm > 0
-                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
-    FROM q JOIN n c ON c.vec_id != q.vec_id
-),
-r AS (
-    SELECT query_id, neighbor_id, cos,
-           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-    FROM scored
-)
-SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 10
-""",
+        "sim_topk_bruteforce": _brute_topk_sql(),
         "sim_topk_lsh": f"""
 WITH {_EMB_NORM_CTE},
 bkt AS (
@@ -3708,42 +3774,18 @@ FROM documents
         "sim_pq_codes": _PQ_CODES_SQL,
         # ADC: per-query (s, cid) distance table joined onto the unpivoted
         # PQ codes — the same integer arithmetic, so ranks are exact
-        "sim_pq_adc_topk": f"""
-WITH codes AS ({_PQ_CODES_SQL}),
-q AS (
-    SELECT vec_id,
-           list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
-    FROM embeddings
-),
-cent AS (SELECT vec_id AS cid, iv AS civ FROM q WHERE vec_id < 16),
-sp AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(s)),
-dt AS (
-    SELECT qv.vec_id AS query_id, sp.s, cent.cid,
-           list_sum(list_transform(generate_series(1, 16),
-               j -> (qv.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j])
-                    * (qv.iv[sp.s * 16 + j] - cent.civ[sp.s * 16 + j]))) AS dist
-    FROM q qv CROSS JOIN sp CROSS JOIN cent
-    WHERE qv.vec_id < 10
-),
-cl AS (
-    SELECT vec_id, 0 AS s, code0 AS cid FROM codes
-    UNION ALL SELECT vec_id, 1, code1 FROM codes
-    UNION ALL SELECT vec_id, 2, code2 FROM codes
-    UNION ALL SELECT vec_id, 3, code3 FROM codes
-),
-adc AS (
-    SELECT dt.query_id, cl.vec_id AS neighbor_id, CAST(sum(dt.dist) AS BIGINT) AS adc
-    FROM cl JOIN dt ON cl.s = dt.s AND cl.cid = dt.cid
-    WHERE cl.vec_id != dt.query_id
-    GROUP BY 1, 2
-),
-r AS (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY adc, neighbor_id) AS rk
-    FROM adc
-)
-SELECT query_id, neighbor_id, adc, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10
+        "sim_pq_adc_topk": _pq_adc_sql(),
+        # recall@10 of ADC against the exact cosine ranking — the standard
+        # ANN index-quality diagnostic, from the two oracles above
+        "sim_pq_recall": f"""
+WITH exact AS ({_brute_topk_sql()}),
+adcq AS ({_pq_adc_sql()})
+SELECT e.query_id,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits_at_10
+FROM exact e LEFT JOIN adcq a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY 1
 """,
         "tsdb_topk_per_bucket": f"""
 WITH {SAMPLES_ORACLE_CTE},
