@@ -362,6 +362,27 @@ def quantize_int8_histogram(
 PQ_SCALE = 1_000_000
 
 
+def _pq_centroids(emb: DataFrame, k: int, id_col: str, vec_col: str):
+    """Deterministic codebook init shared by the PQ paths: the first ``k``
+    vectors by id, quantized to integer micro-units.  Returns
+    ``(cent_ids, cent_mat)`` — the **sorted** id vector and the matching
+    ``(k, d)`` int64 matrix.  Keeping ids explicit (instead of assuming a
+    dense 0..k-1 space) makes codes meaningful on sparse id spaces.
+    """
+    import numpy as np
+
+    cent_rows = (
+        emb.where(F.col(id_col) < k).select(id_col, vec_col).collect()
+    )  # k rows: metadata-sized by contract
+    cents = {
+        int(r[0]): np.floor(np.asarray(r[1], dtype=np.float64) * PQ_SCALE).astype(np.int64)
+        for r in cent_rows
+    }
+    cent_ids = np.array(sorted(cents), dtype=np.int64)
+    cent_mat = np.stack([cents[int(i)] for i in cent_ids])
+    return cent_ids, cent_mat
+
+
 def pq_codes(
     emb: DataFrame,
     m: int = 4,
@@ -383,29 +404,27 @@ def pq_codes(
 
     Centroids are the sub-vectors of the first ``k`` vectors by id — the
     same data-independent deterministic pick as the IVF coarse centroids
-    (a production codebook comes from k-means; the assignment machinery
-    under test is identical).  The centroid fetch is a k-row
+    (a production codebook comes from k-means; pass ``codebook=`` a
+    trained one from :func:`pq_train_codebook` to swap it in — the
+    assignment machinery is identical).  The centroid fetch is a k-row
     metadata-sized collect broadcast into the Arrow workers; assignment
     itself is one mapInPandas pass, no shuffle, linear in the corpus —
     the 100 TB shape (vectorized int64 numpy per Arrow batch).
+
+    Codes are **centroid ids**, not positional indices into the sorted
+    centroid matrix: on a sparse/non-contiguous id space the two differ,
+    and consumers (the oracle, ADC tables) key by id.
     """
     import numpy as np
 
     if k > 256:
         raise ValueError(f"k={k} exceeds one byte per code")
-    cent_rows = (
-        emb.where(F.col(id_col) < k).select(id_col, vec_col).collect()
-    )  # k rows: metadata-sized by contract
-    cents = {
-        r[0]: np.floor(np.asarray(r[1], dtype=np.float64) * PQ_SCALE).astype(np.int64)
-        for r in cent_rows
-    }
-    cent_mat = np.stack([cents[i] for i in sorted(cents)])  # (k, d)
+    cent_ids, cent_mat = _pq_centroids(emb, k, id_col, vec_col)
     d = cent_mat.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible into {m} subspaces")
     sub = d // m
-    cent_sub = cent_mat.reshape(len(cents), m, sub)
+    cent_sub = cent_mat.reshape(len(cent_ids), m, sub)
 
     def batches(it):
         import pandas as pd
@@ -423,9 +442,11 @@ def pq_codes(
             for s in range(m):
                 diff = x[:, None, s, :] - cent_sub[None, :, s, :]  # (n, k, sub)
                 dist = (diff * diff).sum(axis=2)  # exact int64
-                code = dist.argmin(axis=1)  # first min -> lowest cid on ties
-                err += dist[np.arange(len(ids)), code]
-                out[f"code{s}"] = code.astype("int64")
+                pos = dist.argmin(axis=1)  # first min -> lowest cid on ties
+                err += dist[np.arange(len(ids)), pos]
+                # positional argmin -> actual centroid id (cent_ids is
+                # sorted, so first-minimum still means lowest cid)
+                out[f"code{s}"] = cent_ids[pos]
             out["err"] = err
             yield pd.DataFrame(out)
 
@@ -461,8 +482,11 @@ def pq_adc_topk(
     arithmetic, so every ADC distance is an exact int64 — rank order is
     engine-independent.  Scale: codes come from the linear no-shuffle
     ``pq_codes`` pass; the query tables are a metadata-sized collect
-    (n_queries * m * k ints) shipped in the closure; the only shuffle is
-    the final per-query top-k ranking.
+    (n_queries * m * k ints) shipped in the closure; ADC itself is one
+    numpy gather per Arrow batch (no interpreted per-row work), and each
+    batch pre-reduces to its local top-k **per query** before emitting —
+    the final ranking shuffle carries ≤ topk * n_queries rows per batch,
+    not n_corpus * n_queries.
     """
     import numpy as np
 
@@ -472,21 +496,21 @@ def pq_adc_topk(
     q_rows = (
         emb.where(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
     )
-    cent_rows = emb.where(F.col(id_col) < k).select(id_col, vec_col).collect()
-    cents = {
-        r[0]: np.floor(np.asarray(r[1], dtype=np.float64) * PQ_SCALE).astype(np.int64)
-        for r in cent_rows
-    }
-    cent_mat = np.stack([cents[i] for i in sorted(cents)])
+    cent_ids, cent_mat = _pq_centroids(emb, k, id_col, vec_col)
     d = cent_mat.shape[1]
     sub = d // m
-    cent_sub = cent_mat.reshape(len(cents), m, sub)
-    tables = {}  # qid -> (m, k) int64 table
-    for r in q_rows:
-        qv = np.floor(np.asarray(r[1], dtype=np.float64) * PQ_SCALE).astype(np.int64)
+    cent_sub = cent_mat.reshape(len(cent_ids), m, sub)
+    qids_sorted = np.array(sorted(int(r[0]) for r in q_rows), dtype=np.int64)
+    qvec_by_id = {int(r[0]): r[1] for r in q_rows}
+    table_rows = []
+    for qid in qids_sorted:
+        qv = np.floor(
+            np.asarray(qvec_by_id[int(qid)], dtype=np.float64) * PQ_SCALE
+        ).astype(np.int64)
         qs = qv.reshape(m, sub)
         diff = qs[:, None, :] - np.transpose(cent_sub, (1, 0, 2))  # (m, k, sub)
-        tables[int(r[0])] = (diff * diff).sum(axis=2)
+        table_rows.append((diff * diff).sum(axis=2))
+    tables = np.stack(table_rows)  # (Q, m, k) int64, row order = qids_sorted
 
     code_cols = [f"code{s}" for s in range(m)]
 
@@ -494,17 +518,43 @@ def pq_adc_topk(
         import pandas as pd
 
         for pdf in it:
-            nids, qids, adcs = [], [], []
-            code_arr = np.stack([pdf[c].to_numpy() for c in code_cols], axis=1)
-            for nid, crow in zip(pdf[id_col].to_numpy(), code_arr):
-                for qid, table in tables.items():
-                    if qid == nid:
-                        continue
-                    nids.append(nid)
-                    qids.append(qid)
-                    adcs.append(int(sum(table[s][crow[s]] for s in range(m))))
+            nids = pdf[id_col].to_numpy()
+            # codes are centroid IDS; gather indexes by position -> map back
+            # through the sorted id vector (exact: every code is a cent_id)
+            code_pos = np.searchsorted(
+                cent_ids, np.stack([pdf[c].to_numpy() for c in code_cols], axis=1)
+            )  # (n, m)
+            # ADC gather: adc[q, n] = sum_s tables[q, s, code_pos[n, s]]
+            adc = np.zeros((len(qids_sorted), len(nids)), dtype=np.int64)
+            for s in range(m):
+                adc += tables[:, s, code_pos[:, s]]
+            out_q, out_n, out_a = [], [], []
+            for qi, qid in enumerate(qids_sorted):
+                row = adc[qi]
+                valid = np.nonzero(nids != qid)[0]  # drop self-match
+                if len(valid) > topk:
+                    # Per-batch partial top-k INVARIANT: keep exactly the
+                    # batch-local topk under the global (adc, neighbor_id)
+                    # order — a superset of this batch's contribution to the
+                    # global topk, so the final window sees every winner.
+                    # O(n) partition for the adc threshold, then a tie-safe
+                    # lexsort of just the boundary candidates.
+                    vadc = row[valid]
+                    kth = np.partition(vadc, topk - 1)[topk - 1]
+                    cand = valid[vadc <= kth]
+                    order = np.lexsort((nids[cand], row[cand]))[:topk]
+                    sel = cand[order]
+                else:
+                    sel = valid
+                out_q.append(np.full(len(sel), qid, dtype=np.int64))
+                out_n.append(nids[sel])
+                out_a.append(row[sel])
             yield pd.DataFrame(
-                {"query_id": qids, "neighbor_id": nids, "adc": adcs}
+                {
+                    "query_id": np.concatenate(out_q) if out_q else [],
+                    "neighbor_id": np.concatenate(out_n) if out_n else [],
+                    "adc": np.concatenate(out_a) if out_a else [],
+                }
             )
 
     pairs = codes.mapInPandas(
