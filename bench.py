@@ -141,7 +141,28 @@ def main() -> None:
     except Exception:
         pass
 
+    def steal_ticks() -> int:
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:
+            return 0
+
+    ncpu = os.cpu_count() or 1
+
+    def steal_frac(ticks: int, elapsed: float) -> float:
+        # /proc/stat ticks are USER_HZ (100/s) summed over all cpus
+        return ticks / max(elapsed * 100.0 * ncpu, 1e-9)
+
+    # baseline steal on this host (double-digit is normal here): a spike is
+    # judged against it, not against zero
+    b0, bt0 = steal_ticks(), time.perf_counter()
+    time.sleep(1.0)
+    base_steal = steal_frac(steal_ticks() - b0, time.perf_counter() - bt0)
+
     timings: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
+    steals: dict[str, float] = {}
     qs = entrymod.queries()
     # Run order: queries grouped by family (first name token), families in
     # dict order of first appearance, with spark.catalog.clearCache() at
@@ -168,6 +189,7 @@ def main() -> None:
             except Exception as exc:
                 print(f"# family_warmup({fam}) error: {exc}", file=sys.stderr)
         for name in fam_names:
+            s0 = steal_ticks()
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             # one full materialization: executes the complete plan and ships
@@ -175,21 +197,26 @@ def main() -> None:
             # result)
             n = len(df.collect())
             t1 = time.perf_counter() - t0
+            sf1 = steal_frac(steal_ticks() - s0, t1)
+            trials[name] = [round(t1, 3)]
+            steals[name] = round(sf1, 3)
             # This VM shows double-digit %steal (/proc/stat): the host
             # randomly preempts vCPUs for multi-second stretches, which
-            # lands 8-20 s spikes on 1-2 arbitrary queries per run.  For any
-            # query whose first trial is slow enough to matter, time a
-            # second trial in the SAME cache context and report the min —
-            # the steal spike never hits the same query twice.  Both trials
-            # go to stderr so the raw data stays visible.
-            if t1 > 2.0:
+            # lands 8-20 s spikes on 1-2 arbitrary queries per run.  Re-time
+            # ONLY when steal actually spiked during the trial (vs the idle
+            # baseline) — a blanket >2s retry would systematically report
+            # warm-path timings for queries whose first trial materializes
+            # the family's persisted frames.  Both trials go to the
+            # BENCH_DETAIL JSON so the raw data stays visible.
+            if t1 > 2.0 and sf1 > max(0.10, 2.0 * base_steal):
                 t0 = time.perf_counter()
                 len(qs[name](spark, sf_dir).collect())
                 t2 = time.perf_counter() - t0
+                trials[name].append(round(t2, 3))
                 timings[name] = round(min(t1, t2), 3)
                 print(
                     f"# {name}: {timings[name]:.3f}s ({n} rows) "
-                    f"[trials {t1:.3f}/{t2:.3f}]",
+                    f"[steal {sf1:.2f}, trials {t1:.3f}/{t2:.3f}]",
                     file=sys.stderr,
                 )
             else:
@@ -229,7 +256,14 @@ def main() -> None:
     # opening brace outside it in r1+r2 ("parsed": null).  The final stdout
     # line is a compact summary; "queries" keeps only the top-10 slowest.
     print("BENCH_DETAIL " + json.dumps(
-        {"queries": timings, "cold_fresh_session": cold}, separators=(",", ":")
+        {
+            "queries": timings,
+            "cold_fresh_session": cold,
+            "trials": trials,
+            "steal_frac": steals,
+            "base_steal_frac": round(base_steal, 3),
+        },
+        separators=(",", ":"),
     ), file=sys.stderr)
     sys.stderr.flush()
     top10 = {k: timings[k] for k in sorted(timings, key=timings.get, reverse=True)[:10]}

@@ -165,25 +165,31 @@ def label_replace(
     """PromQL ``label_replace(v, dst, "$1", src, pattern)`` over the grouped
     read result (capture-group-1 replacement form).
 
-    Semantics (Prometheus): the regex is **fully anchored** against the
-    value of label ``src``; when it matches, label ``dst`` is set to the
-    first capture group (replacing any existing ``dst``); when it doesn't
-    match — including when ``src`` is absent — the series passes through
-    unchanged.  The labelset stays sorted (P2 invariant) so series
-    identity/grouping semantics downstream are unaffected.
+    Semantics (Prometheus, exactly): the regex is **fully anchored**
+    against the value of label ``src``, where an **absent** ``src`` is the
+    empty string (so patterns matching ``""`` DO fire on absent labels);
+    on match, label ``dst`` is set to the first capture group (replacing
+    any existing ``dst``) — unless the expansion is empty, in which case
+    ``dst`` is **removed** from the labelset (never a dangling ``dst=``).
+    On no match the series passes through unchanged.  The labelset stays
+    sorted (P2 invariant) so series identity/grouping semantics downstream
+    are unaffected.
 
     Pure per-row projection on the already-grouped frame: no extra
     shuffle; a following ``groupBy`` on the rewritten labelset is the
     standard "re-aggregate by derived label" PromQL move.
     """
-    src_val = label_value(F.col("slb"), src)
-    anchored = f"^{pattern}$"
-    matched = src_val.isNotNull() & src_val.rlike(anchored)
+    src_val = F.coalesce(label_value(F.col("slb"), src), F.lit(""))
+    anchored = f"^(?:{pattern})$"
+    matched = src_val.rlike(anchored)
     cap = F.regexp_extract(src_val, anchored, 1)
     without_dst = F.filter(F.col("slb"), lambda x: ~x.like(f"{dst}=%"))
-    rewritten = F.array_sort(
+    with_dst = F.array_sort(
         F.concat(without_dst, F.array(F.concat(F.lit(dst + "="), cap)))
     )
+    # filter of a sorted array is sorted, so the empty-expansion branch
+    # needs no re-sort
+    rewritten = F.when(F.length(cap) == 0, without_dst).otherwise(with_dst)
     return grouped.withColumn(
         "slb", F.when(matched, rewritten).otherwise(F.col("slb"))
     )

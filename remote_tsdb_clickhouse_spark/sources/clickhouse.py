@@ -365,12 +365,15 @@ class ClickHouseStore:
                         }
                     )
 
-        ranges = self.spark.createDataFrame(bounds, "lo LONG, hi LONG")
-        # one range-row per task: each executor slot runs exactly one fetch
-        # at a time, so concurrency == min(num_splits, total cores)
-        return ranges.repartition(len(bounds), "lo").mapInPandas(
-            fetch, schema=SAMPLES_SCHEMA
+        # exactly one range-row per task (parallelize slices the local list
+        # evenly — unlike a hash/round-robin repartition, which can co-locate
+        # two ranges in one partition and serialize those fetches), so
+        # concurrency == min(num_splits, total cores)
+        ranges = self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(bounds, len(bounds)),
+            "lo LONG, hi LONG",
         )
+        return ranges.mapInPandas(fetch, schema=SAMPLES_SCHEMA)
 
 
 class ClickHouseRequestWriter:

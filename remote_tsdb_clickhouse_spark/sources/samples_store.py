@@ -192,15 +192,22 @@ class SamplesStore:
             df = df.where(F.col("ts") >= F.timestamp_seconds(F.lit(start_ms // 1000)))
         if end_ms:
             df = df.where(F.col("ts") <= F.timestamp_seconds(F.lit(end_ms // 1000)))
+        from pyspark.sql import Observation
+
         out = df.select(
             "metric_name",
             F.array_join("labels", ",").alias("labels_str"),
             (F.col("ts").cast("long") * 1000).alias("ts_ms"),
             "value",
         )
-        n = out.count()
-        out.write.mode("overwrite").option("sep", "\t").csv(out_path)
-        return n
+        # observe the write itself (one scan): a separate count() would
+        # re-execute the plan and could diverge from the written files if
+        # the store is appended concurrently
+        obs = Observation()
+        out.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").option(
+            "sep", "\t"
+        ).csv(out_path)
+        return int(obs.get["n"])
 
     def compact(self, files_per_partition: int = 1) -> None:
         """Rewrite the table at a target file count per date partition —

@@ -117,6 +117,38 @@ def test_label_replace_no_match_unchanged(spark):
     assert out[0]["slb"] == ["user=abc"]  # anchored regex doesn't match
 
 
+def test_label_replace_absent_src_matches_empty(spark):
+    # Prometheus rule: an absent src label is the empty string, so a pattern
+    # matching "" fires on series without the label
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import label_replace
+
+    rows = [
+        ("m", ["job=db"], _ts(10), 1.0),              # no user -> "" matches (d*)
+        ("m", ["job=web", "user=42"], _ts(10), 1.0),  # user=42 matches -> 42
+    ]
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+    out = {tuple(r["slb"]) for r in label_replace(df, "shard", "user", "([0-9]*)").collect()}
+    # "" capture on the absent-src series -> empty expansion -> NO dst label
+    assert ("job=db",) in out
+    assert ("job=web", "shard=42", "user=42") in out
+
+
+def test_label_replace_empty_expansion_drops_dst(spark):
+    # Prometheus rule: an empty replacement value REMOVES dst (never a
+    # dangling "dst=" entry)
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import label_replace
+
+    rows = [("m", ["shard=9", "user=abc42"], _ts(10), 1.0)]
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+    # group 1 matches zero digits at the start of "abc42": empty expansion
+    out = label_replace(df, "shard", "user", "([0-9]*)[a-z0-9]*").collect()
+    assert out[0]["slb"] == ["user=abc42"]  # old shard=9 removed, none added
+
+
 def test_quantile_over_time_discrete_indexing(spark):
     from remote_tsdb_clickhouse_spark.functions.tsfuncs import quantile_over_time
 
