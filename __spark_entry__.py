@@ -1405,6 +1405,35 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(_embs(spark, sf_dir), n_queries=10, topk=10)
 
 
+def q_sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ assignment under a k-means-REFINED codebook: two Lloyd's
+    iterations in exact integer micro-units (int64 cluster sums, exact
+    counts, truncating-division centroid update), then the same
+    assignment machinery as sim_pq_codes — training itself is
+    oracle-checked, not just assignment (the DuckDB side unrolls the
+    two iterations as CTEs)."""
+    emb = _embs(spark, sf_dir)
+    cb = similarity.pq_train_codebook(emb, m=4, k=16, n_iters=2)
+    return similarity.pq_codes(emb, m=4, k=16, codebook=cb)
+
+
+def q_sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of PQ-ADC search under the trained codebook against the
+    exact cosine top-10 — the index builder's before/after number for a
+    training run (compare sim_pq_recall: same diagnostic, untrained)."""
+    emb = _embs(spark, sf_dir)
+    cb = similarity.pq_train_codebook(emb, m=4, k=16, n_iters=2)
+    exact = q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    adc = similarity.pq_adc_topk(emb, n_queries=10, topk=10, codebook=cb).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(adc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits_at_10"))
+    )
+
+
 def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN index-quality diagnostic: recall@10 of the PQ-ADC search
     against the exact cosine top-10, per query — the number an index
@@ -2564,6 +2593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_codes": q_sim_pq_codes,
         "sim_pq_adc_topk": q_sim_pq_adc_topk,
         "sim_pq_recall": q_sim_pq_recall,
+        "sim_pq_trained": q_sim_pq_trained,
+        "sim_pq_trained_recall": q_sim_pq_trained_recall,
     }
 
 
@@ -2652,6 +2683,112 @@ adc AS (
     SELECT dt.query_id, cl.vec_id AS neighbor_id, CAST(sum(dt.dist) AS BIGINT) AS adc
     FROM cl JOIN dt ON cl.s = dt.s AND cl.cid = dt.cid
     WHERE cl.vec_id != dt.query_id
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS rk
+    FROM adc
+)
+SELECT query_id, neighbor_id, adc, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10
+"""
+
+
+def _pq_trained_cte(n_iters: int = 2) -> str:
+    """CTE chain unrolling ``n_iters`` Lloyd's iterations in exact integer
+    micro-units — the DuckDB replica of similarity.pq_train_codebook.
+    Defines ``subv`` (per-vector subspace int vectors) and ``cent{n}`` (the
+    trained codebook, per (s, cl) 16-element int lists).  ``//`` is
+    DuckDB's truncating integer division, mirrored exactly by the Spark
+    side's sign-reapplied ``abs(sm) // cnt``."""
+    parts = [
+        """q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+    FROM embeddings
+)""",
+        "sp AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(s))",
+        """subv AS (
+    SELECT q.vec_id, sp.s,
+           list_transform(generate_series(1, 16), j -> q.iv[sp.s * 16 + j]) AS sv
+    FROM q CROSS JOIN sp
+)""",
+        "cent0 AS (SELECT s, vec_id AS cl, sv AS civ FROM subv WHERE vec_id < 16)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(f"""asg{i} AS (
+    SELECT vec_id, s, cl,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rk
+    FROM (SELECT sv.vec_id, sv.s, c.cl,
+                 list_sum(list_transform(generate_series(1, 16),
+                     j -> (sv.sv[j] - c.civ[j]) * (sv.sv[j] - c.civ[j]))) AS dist
+          FROM subv sv JOIN cent{p} c ON sv.s = c.s)
+)""")
+        parts.append(f"""sums{i} AS (
+    SELECT a.s, a.cl, t.j, sum(sv.sv[t.j]) AS sm, count(*) AS cnt
+    FROM asg{i} a
+    JOIN subv sv ON a.vec_id = sv.vec_id AND a.s = sv.s,
+         unnest(generate_series(1, 16)) AS t(j)
+    WHERE a.rk = 1 GROUP BY 1, 2, 3
+)""")
+        parts.append(f"""cent{i} AS (
+    SELECT pc.s, pc.cl, coalesce(nc.civ, pc.civ) AS civ
+    FROM cent{p} pc LEFT JOIN (
+        SELECT s, cl, list(sm // cnt ORDER BY j) AS civ FROM sums{i} GROUP BY 1, 2
+    ) nc ON pc.s = nc.s AND pc.cl = nc.cl
+)""")
+    return ",\n".join(parts)
+
+
+def _pq_trained_codes_sql(n_iters: int = 2) -> str:
+    """Trained-codebook PQ assignment oracle: same output shape as
+    _PQ_CODES_SQL but against the Lloyd's-refined centroids."""
+    return f"""
+WITH {_pq_trained_cte(n_iters)},
+fin AS (
+    SELECT vec_id, s, cl, dist,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rk
+    FROM (SELECT sv.vec_id, sv.s, c.cl,
+                 list_sum(list_transform(generate_series(1, 16),
+                     j -> (sv.sv[j] - c.civ[j]) * (sv.sv[j] - c.civ[j]))) AS dist
+          FROM subv sv JOIN cent{n_iters} c ON sv.s = c.s)
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN s = 0 THEN cl END) AS BIGINT) AS code0,
+       CAST(max(CASE WHEN s = 1 THEN cl END) AS BIGINT) AS code1,
+       CAST(max(CASE WHEN s = 2 THEN cl END) AS BIGINT) AS code2,
+       CAST(max(CASE WHEN s = 3 THEN cl END) AS BIGINT) AS code3,
+       CAST(sum(dist) AS BIGINT) AS err
+FROM fin WHERE rk = 1 GROUP BY vec_id
+"""
+
+
+def _pq_trained_adc_sql(n_iters: int = 2) -> str:
+    """ADC search oracle under the trained codebook: per-query subspace
+    distance tables vs cent{n}, joined onto the trained codes."""
+    return f"""
+WITH {_pq_trained_cte(n_iters)},
+fin AS (
+    SELECT vec_id, s, cl, dist,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rk
+    FROM (SELECT sv.vec_id, sv.s, c.cl,
+                 list_sum(list_transform(generate_series(1, 16),
+                     j -> (sv.sv[j] - c.civ[j]) * (sv.sv[j] - c.civ[j]))) AS dist
+          FROM subv sv JOIN cent{n_iters} c ON sv.s = c.s)
+),
+dt AS (
+    SELECT sv.vec_id AS query_id, sv.s, c.cl,
+           list_sum(list_transform(generate_series(1, 16),
+               j -> (sv.sv[j] - c.civ[j]) * (sv.sv[j] - c.civ[j]))) AS dist
+    FROM subv sv JOIN cent{n_iters} c ON sv.s = c.s
+    WHERE sv.vec_id < 10
+),
+adc AS (
+    SELECT dt.query_id, f.vec_id AS neighbor_id, CAST(sum(dt.dist) AS BIGINT) AS adc
+    FROM fin f JOIN dt ON f.s = dt.s AND f.cl = dt.cl AND f.rk = 1
+    WHERE f.vec_id != dt.query_id
     GROUP BY 1, 2
 ),
 r AS (
@@ -3772,6 +3909,20 @@ FROM documents
         # sums of squares, so argmin + error are engine-independent; ties
         # break to the lowest centroid id on both sides
         "sim_pq_codes": _PQ_CODES_SQL,
+        # trained-codebook PQ: the oracle unrolls two Lloyd's iterations as
+        # CTEs (exact int64 sums/counts, truncating-division update), so
+        # TRAINING is hash-verified, not just assignment
+        "sim_pq_trained": _pq_trained_codes_sql(),
+        "sim_pq_trained_recall": f"""
+WITH exact AS ({_brute_topk_sql()}),
+adcq AS ({_pq_trained_adc_sql()})
+SELECT e.query_id,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits_at_10
+FROM exact e LEFT JOIN adcq a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY 1
+""",
         # ADC: per-query (s, cid) distance table joined onto the unpivoted
         # PQ codes — the same integer arithmetic, so ranks are exact
         "sim_pq_adc_topk": _pq_adc_sql(),

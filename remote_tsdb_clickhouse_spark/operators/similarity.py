@@ -383,12 +383,115 @@ def _pq_centroids(emb: DataFrame, k: int, id_col: str, vec_col: str):
     return cent_ids, cent_mat
 
 
+def pq_train_codebook(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fixed-iteration Lloyd's refinement of the PQ codebook, **exact in
+    integer micro-units** so training (not just assignment) is
+    oracle-checkable: distances are int64 sums of squares, per-cluster
+    sums/counts are exact int64 aggregates, and the centroid update is
+    truncating integer division (``abs(sm) // cnt`` with the sign
+    reapplied — DuckDB's ``//`` truncates toward zero where Python's
+    floors, so truncation is spelled out on both sides).  Empty clusters
+    keep their previous centroid; cluster ids are the init centroids' ids
+    (stable across iterations).
+
+    Scale shape per iteration: the codebook (k x d ints, metadata-sized)
+    is broadcast; assignment + per-cluster partial sums run in one linear
+    ``mapInPandas`` pass that pre-aggregates per Arrow batch (each batch
+    emits at most ``m * k * sub`` partial rows, independent of batch row
+    count); the only shuffle is a map-side-combined groupBy over those
+    ``m * k * sub`` keys, then a metadata-sized collect rebuilds the
+    codebook driver-side.  The corpus itself never shuffles — the same
+    reduce-before-transfer philosophy as the reference's hint downsampling
+    (``read.go:34-55``), applied to vectors.
+
+    Returns ``(cent_ids, cent_mat)`` — the codebook in :func:`pq_codes`'
+    ``codebook=`` format.
+    """
+    import numpy as np
+
+    cent_ids, cent_mat = _pq_centroids(emb, k, id_col, vec_col)
+    d = cent_mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    sub = d // m
+    cent_sub = cent_mat.reshape(len(cent_ids), m, sub)
+    spark = emb.sparkSession
+    kk = len(cent_ids)
+
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(cent_sub)
+
+        def partials(it):
+            import pandas as pd
+
+            cs = bc.value  # (k, m, sub)
+            for pdf in it:
+                n = len(pdf)
+                x = np.stack(
+                    [
+                        np.floor(np.asarray(v, dtype=np.float64) * PQ_SCALE).astype(
+                            np.int64
+                        )
+                        for v in pdf[vec_col]
+                    ]
+                ).reshape(n, m, sub)
+                # per-batch pre-aggregation: emit m*k*sub partial rows max
+                ss, cls, js, sms, cnts = [], [], [], [], []
+                for s in range(m):
+                    diff = x[:, None, s, :] - cs[None, :, s, :]  # (n, k, sub)
+                    pos = (diff * diff).sum(axis=2).argmin(axis=1)  # tie->lowest
+                    sums = np.zeros((kk, sub), dtype=np.int64)
+                    np.add.at(sums, pos, x[:, s, :])
+                    cnt = np.bincount(pos, minlength=kk)
+                    for c in np.nonzero(cnt)[0]:
+                        for j in range(sub):
+                            ss.append(s)
+                            cls.append(c)
+                            js.append(j)
+                            sms.append(sums[c, j])
+                            cnts.append(cnt[c] if j == 0 else 0)
+                yield pd.DataFrame(
+                    {"s": ss, "cl": cls, "j": js, "sm": sms, "cnt": cnts}
+                )
+
+        agg = (
+            emb.select(vec_col)
+            .mapInPandas(partials, schema="s LONG, cl LONG, j LONG, sm LONG, cnt LONG")
+            .groupBy("s", "cl", "j")
+            .agg(F.sum("sm").alias("sm"), F.sum("cnt").alias("cnt"))
+            .collect()
+        )  # <= m*k*sub rows: metadata-sized
+        new = cent_sub.copy()
+        counts = np.zeros((kk, m), dtype=np.int64)
+        for r in agg:
+            if r["j"] == 0:
+                counts[r["cl"], r["s"]] = r["cnt"]
+        for r in agg:
+            c, s, j, sm = r["cl"], r["s"], r["j"], int(r["sm"])
+            cnt = int(counts[c, s])
+            if cnt > 0:
+                # truncating division (matches DuckDB //), exact for int64
+                q = abs(sm) // cnt
+                new[c, s, j] = q if sm >= 0 else -q
+        cent_sub = new
+
+    return cent_ids, cent_sub.reshape(kk, d)
+
+
 def pq_codes(
     emb: DataFrame,
     m: int = 4,
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook=None,
 ) -> DataFrame:
     """Product-quantization code assignment (FAISS ``PQm`` shape): the
     vector splits into ``m`` subvectors, each assigned to its nearest of
@@ -419,7 +522,9 @@ def pq_codes(
 
     if k > 256:
         raise ValueError(f"k={k} exceeds one byte per code")
-    cent_ids, cent_mat = _pq_centroids(emb, k, id_col, vec_col)
+    cent_ids, cent_mat = (
+        codebook if codebook is not None else _pq_centroids(emb, k, id_col, vec_col)
+    )
     d = cent_mat.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible into {m} subspaces")
@@ -466,6 +571,7 @@ def pq_adc_topk(
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook=None,
 ) -> DataFrame:
     """PQ search via asymmetric distance computation (ADC): each query
     precomputes an ``m x k`` lookup table of exact integer sub-distances
@@ -492,11 +598,13 @@ def pq_adc_topk(
 
     from pyspark.sql import Window
 
-    codes = pq_codes(emb, m=m, k=k, id_col=id_col, vec_col=vec_col)
+    codes = pq_codes(emb, m=m, k=k, id_col=id_col, vec_col=vec_col, codebook=codebook)
     q_rows = (
         emb.where(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
     )
-    cent_ids, cent_mat = _pq_centroids(emb, k, id_col, vec_col)
+    cent_ids, cent_mat = (
+        codebook if codebook is not None else _pq_centroids(emb, k, id_col, vec_col)
+    )
     d = cent_mat.shape[1]
     sub = d // m
     cent_sub = cent_mat.reshape(len(cent_ids), m, sub)

@@ -114,3 +114,43 @@ def test_pq_codes_exact_and_deterministic(spark):
     assert out[2]["code0"] == 0 and out[2]["err"] > 0
     with pytest.raises(ValueError):
         pq_codes(df, m=3, k=2).collect()  # 4 dims not divisible by 3
+
+
+def test_pq_train_codebook_reduces_error(spark):
+    """Lloyd's refinement must not increase total quantization error, must
+    keep the codebook exactly reproducible (int64 arithmetic), and empty
+    clusters must keep their previous centroid."""
+    import numpy as np
+
+    from remote_tsdb_clickhouse_spark.operators.similarity import (
+        pq_codes,
+        pq_train_codebook,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    untrained_err = sum(r["err"] for r in pq_codes(df, m=2, k=4).collect())
+    cb = pq_train_codebook(df, m=2, k=4, n_iters=2)
+    trained_err = sum(r["err"] for r in pq_codes(df, m=2, k=4, codebook=cb).collect())
+    assert trained_err <= untrained_err
+    # deterministic: retraining yields the bit-identical codebook
+    cb2 = pq_train_codebook(df, m=2, k=4, n_iters=2)
+    assert (cb[0] == cb2[0]).all() and (cb[1] == cb2[1]).all()
+
+
+def test_pq_codes_sparse_id_space_emits_centroid_ids(spark):
+    """Codes are centroid IDS, not positions: with a sparse id space the
+    available init centroids are the ids < k actually present."""
+    from remote_tsdb_clickhouse_spark.operators.similarity import pq_codes
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (3, [0.0, 1.0]),   # id 1, 2 absent; centroids (k=4) are ids {0, 3}
+        (9, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in pq_codes(df, m=1, k=4).collect()}
+    assert out[9]["code0"] == 3  # the centroid's actual id, not position 1
+    assert out[9]["err"] == 0
