@@ -1423,15 +1423,8 @@ def q_sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     training run (compare sim_pq_recall: same diagnostic, untrained)."""
     emb = _embs(spark, sf_dir)
     cb = similarity.pq_train_codebook(emb, m=4, k=16, n_iters=2)
-    exact = q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    adc = similarity.pq_adc_topk(emb, n_queries=10, topk=10, codebook=cb).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(adc, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits_at_10"))
-    )
+    adc = similarity.pq_adc_topk(emb, n_queries=10, topk=10, codebook=cb)
+    return _recall_at_10(spark, sf_dir, adc)
 
 
 def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1440,15 +1433,8 @@ def q_sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     builder watches when trading code size against quality.  Pure
     composition of the two oracled searches; the left join keeps
     zero-hit queries visible."""
-    exact = q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
-    adc = similarity.pq_adc_topk(_embs(spark, sf_dir), n_queries=10, topk=10).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(adc, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits_at_10"))
-    )
+    adc = similarity.pq_adc_topk(_embs(spark, sf_dir), n_queries=10, topk=10)
+    return _recall_at_10(spark, sf_dir, adc)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1524,6 +1510,60 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
     out = similarity.bucketed_topk(emb, emb.where(F.col("vec_id") < 20), k=5, n_bits=4)
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
+def q_sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: the query's sign-bucket plus its two
+    lowest-|component| bit-flip neighbors (nprobe=3) — the recall knob on
+    the bucketed search, still one linear equi-join (probed buckets are
+    disjoint, so candidates never duplicate)."""
+    emb = _embs(spark, sf_dir)
+    out = similarity.bucketed_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5, n_bits=4, nprobe=3
+    )
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
+def _recall_at_10(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
+    """Shared recall@10 skeleton: hits of an approximate top-10 inside the
+    exact cosine top-10 per query (left join keeps zero-hit queries)."""
+    exact = q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits_at_10"))
+    )
+
+
+def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of single-probe LSH vs the exact cosine top-10 — the
+    baseline the multi-probe variant must beat."""
+    emb = _embs(spark, sf_dir)
+    approx = similarity.bucketed_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10, n_bits=4, nprobe=1
+    )
+    return _recall_at_10(spark, sf_dir, approx)
+
+
+def q_sim_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of multi-probe LSH (nprobe=3): quantifies what the two
+    extra probes buy over q_sim_lsh_recall on the same fixture."""
+    emb = _embs(spark, sf_dir)
+    approx = similarity.bucketed_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10, n_bits=4, nprobe=3
+    )
+    return _recall_at_10(spark, sf_dir, approx)
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF search (16 lists, nprobe=2) — third point on
+    the shared ANN quality axis beside the LSH and PQ diagnostics."""
+    emb = _embs(spark, sf_dir)
+    approx = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10, n_centroids=16, nprobe=2
+    )
+    return _recall_at_10(spark, sf_dir, approx)
 
 
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2595,6 +2635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_recall": q_sim_pq_recall,
         "sim_pq_trained": q_sim_pq_trained,
         "sim_pq_trained_recall": q_sim_pq_trained_recall,
+        "sim_topk_lsh_multiprobe": q_sim_topk_lsh_multiprobe,
+        "sim_lsh_recall": q_sim_lsh_recall,
+        "sim_lsh_multiprobe_recall": q_sim_lsh_multiprobe_recall,
+        "sim_ivf_recall": q_sim_ivf_recall,
     }
 
 
@@ -2691,6 +2735,107 @@ r AS (
     FROM adc
 )
 SELECT query_id, neighbor_id, adc, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 10
+"""
+
+
+def _lsh_topk_sql(k: int, qmax: int, nprobe: int = 1) -> str:
+    """Sign-bucket LSH top-k oracle (n_bits=4), single- or multi-probe.
+    Multi-probe flip order mirrors similarity.bucketed_topk exactly:
+    lowest |component| first, ties to the lower dimension index; flipping
+    bit j is ``xor(bucket, 1 << j)``."""
+    probes = "SELECT vec_id, bucket FROM qd"
+    if nprobe > 1:
+        probes += f"""
+    UNION ALL
+    SELECT f.vec_id, xor(qq.bucket, CAST(1 << f.dim AS BIGINT)) AS bucket
+    FROM (SELECT vec_id, dim FROM (
+            SELECT qd.vec_id, t.i - 1 AS dim,
+                   row_number() OVER (PARTITION BY qd.vec_id
+                                      ORDER BY abs(qd.v[t.i]), t.i) AS r
+            FROM qd, unnest(generate_series(1, 4)) AS t(i)) WHERE r <= {nprobe - 1}) f
+    JOIN qd qq ON qq.vec_id = f.vec_id"""
+    return f"""
+WITH {_EMB_NORM_CTE},
+bkt AS (
+    SELECT vec_id, v, nrm,
+           (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+          + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+    FROM n
+),
+qd AS (SELECT * FROM bkt WHERE vec_id < {qmax}),
+probes AS ({probes}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.nrm > 0 AND c.nrm > 0
+                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+    FROM probes p JOIN qd q ON q.vec_id = p.vec_id
+    JOIN bkt c ON c.bucket = p.bucket AND c.vec_id != q.vec_id
+),
+r AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= {k}
+"""
+
+
+def _ivf_topk_sql(k: int, qmax: int, nprobe: int = 2) -> str:
+    """IVF top-k oracle: 16 smallest-id coarse centroids, assignment and
+    probing by cosine (ties to the lower centroid id)."""
+    return f"""
+WITH {_EMB_NORM_CTE},
+cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
+asg AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   CASE WHEN n.nrm > 0 AND cnrm > 0
+                        THEN list_dot_product(n.v, cv) / (n.nrm * cnrm) ELSE 0.0 END DESC,
+                   cent_id) AS r
+        FROM n CROSS JOIN cents
+    ) WHERE r = 1
+),
+probes AS (
+    SELECT query_id, cent_id FROM (
+        SELECT n.vec_id AS query_id, cents.cent_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   CASE WHEN n.nrm > 0 AND cnrm > 0
+                        THEN list_dot_product(n.v, cv) / (n.nrm * cnrm) ELSE 0.0 END DESC,
+                   cent_id) AS r
+        FROM n CROSS JOIN cents WHERE n.vec_id < {qmax}
+    ) WHERE r <= {nprobe}
+),
+scored AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.nrm > 0 AND c.nrm > 0
+                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+    FROM probes p
+    JOIN n q ON q.vec_id = p.query_id
+    JOIN asg a ON a.cent_id = p.cent_id
+    JOIN n c ON c.vec_id = a.vec_id AND c.vec_id != p.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= {k}
+"""
+
+
+def _recall_sql(approx_sql: str) -> str:
+    """recall@10 join skeleton: hits of an approximate top-10 inside the
+    exact cosine top-10, per query (shared by every ANN recall row)."""
+    return f"""
+WITH exact AS ({_brute_topk_sql()}),
+approx AS ({approx_sql})
+SELECT e.query_id,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits_at_10
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY 1
 """
 
 
@@ -3356,67 +3501,16 @@ WHERE a.nrm > 0 AND b.nrm > 0
   AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
 """,
         "sim_topk_bruteforce": _brute_topk_sql(),
-        "sim_topk_lsh": f"""
-WITH {_EMB_NORM_CTE},
-bkt AS (
-    SELECT vec_id, v, nrm,
-           (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
-          + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bucket
-    FROM n
-),
-q AS (SELECT * FROM bkt WHERE vec_id < 20),
-scored AS (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           CASE WHEN q.nrm > 0 AND c.nrm > 0
-                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
-    FROM q JOIN bkt c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
-),
-r AS (
-    SELECT query_id, neighbor_id, cos,
-           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-    FROM scored
-)
-SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 5
-""",
-        "sim_topk_ivf": f"""
-WITH {_EMB_NORM_CTE},
-cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
-asg AS (
-    SELECT vec_id, cent_id FROM (
-        SELECT n.vec_id, cents.cent_id,
-               row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                   CASE WHEN n.nrm > 0 AND cnrm > 0
-                        THEN list_dot_product(n.v, cv) / (n.nrm * cnrm) ELSE 0.0 END DESC,
-                   cent_id) AS r
-        FROM n CROSS JOIN cents
-    ) WHERE r = 1
-),
-probes AS (
-    SELECT query_id, cent_id FROM (
-        SELECT n.vec_id AS query_id, cents.cent_id,
-               row_number() OVER (PARTITION BY n.vec_id ORDER BY
-                   CASE WHEN n.nrm > 0 AND cnrm > 0
-                        THEN list_dot_product(n.v, cv) / (n.nrm * cnrm) ELSE 0.0 END DESC,
-                   cent_id) AS r
-        FROM n CROSS JOIN cents WHERE n.vec_id < 10
-    ) WHERE r <= 2
-),
-scored AS (
-    SELECT p.query_id, c.vec_id AS neighbor_id,
-           CASE WHEN q.nrm > 0 AND c.nrm > 0
-                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
-    FROM probes p
-    JOIN n q ON q.vec_id = p.query_id
-    JOIN asg a ON a.cent_id = p.cent_id
-    JOIN n c ON c.vec_id = a.vec_id AND c.vec_id != p.query_id
-),
-r AS (
-    SELECT query_id, neighbor_id, cos,
-           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-    FROM scored
-)
-SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 5
-""",
+        "sim_topk_lsh": _lsh_topk_sql(k=5, qmax=20, nprobe=1),
+        "sim_topk_lsh_multiprobe": _lsh_topk_sql(k=5, qmax=20, nprobe=3),
+        "sim_topk_ivf": _ivf_topk_sql(k=5, qmax=10, nprobe=2),
+        # ANN quality diagnostics: recall@10 of each approximate search vs
+        # the exact cosine top-10, all composed from the same generators —
+        # the three index variants (LSH / multi-probe LSH / IVF) become
+        # comparable on one axis, alongside the PQ pair
+        "sim_lsh_recall": _recall_sql(_lsh_topk_sql(k=10, qmax=10, nprobe=1)),
+        "sim_lsh_multiprobe_recall": _recall_sql(_lsh_topk_sql(k=10, qmax=10, nprobe=3)),
+        "sim_ivf_recall": _recall_sql(_ivf_topk_sql(k=10, qmax=10, nprobe=2)),
         "dataset_split": """
 WITH h AS (
     SELECT lang,
@@ -3913,31 +4007,13 @@ FROM documents
         # CTEs (exact int64 sums/counts, truncating-division update), so
         # TRAINING is hash-verified, not just assignment
         "sim_pq_trained": _pq_trained_codes_sql(),
-        "sim_pq_trained_recall": f"""
-WITH exact AS ({_brute_topk_sql()}),
-adcq AS ({_pq_trained_adc_sql()})
-SELECT e.query_id,
-       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_hits_at_10
-FROM exact e LEFT JOIN adcq a
-  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-GROUP BY 1
-""",
+        "sim_pq_trained_recall": _recall_sql(_pq_trained_adc_sql()),
         # ADC: per-query (s, cid) distance table joined onto the unpivoted
         # PQ codes — the same integer arithmetic, so ranks are exact
         "sim_pq_adc_topk": _pq_adc_sql(),
         # recall@10 of ADC against the exact cosine ranking — the standard
         # ANN index-quality diagnostic, from the two oracles above
-        "sim_pq_recall": f"""
-WITH exact AS ({_brute_topk_sql()}),
-adcq AS ({_pq_adc_sql()})
-SELECT e.query_id,
-       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_hits_at_10
-FROM exact e LEFT JOIN adcq a
-  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-GROUP BY 1
-""",
+        "sim_pq_recall": _recall_sql(_pq_adc_sql()),
         "tsdb_topk_per_bucket": f"""
 WITH {SAMPLES_ORACLE_CTE},
 {_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'purchase'")},

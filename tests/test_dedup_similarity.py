@@ -154,3 +154,22 @@ def test_pq_codes_sparse_id_space_emits_centroid_ids(spark):
     out = {r["vec_id"]: r for r in pq_codes(df, m=1, k=4).collect()}
     assert out[9]["code0"] == 3  # the centroid's actual id, not position 1
     assert out[9]["err"] == 0
+
+
+def test_multiprobe_finds_cross_hyperplane_neighbor(spark):
+    """A query sitting just above a hyperplane must find its near-identical
+    neighbor just below it once the lowest-|component| bit is probed."""
+    from remote_tsdb_clickhouse_spark.operators.similarity import bucketed_topk
+
+    rows = [
+        (0, [0.001, 1.0, 1.0, 1.0]),    # query: dim0 barely positive
+        (50, [-0.001, 1.0, 1.0, 1.0]),  # near-dup across the dim0 hyperplane
+        (51, [0.9, 1.0, 1.0, 1.0]),     # same bucket as query, less similar
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id = 0")
+
+    single = {r["neighbor_id"] for r in bucketed_topk(df, q, k=2, n_bits=4, nprobe=1).collect()}
+    multi = {r["neighbor_id"] for r in bucketed_topk(df, q, k=2, n_bits=4, nprobe=2).collect()}
+    assert single == {51}          # cross-hyperplane neighbor invisible
+    assert multi == {50, 51}       # one extra probe (lowest |dim0|) finds it
