@@ -149,14 +149,15 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """REAL codec: pure-stdlib PNG decode (zlib inflate + scanline
-    unfilter) for 8-bit-depth truecolor PNGs — color type 2 (RGB) and 6
-    (RGBA, alpha dropped), non-interlaced, all five scanline filters
+    unfilter) for 8-bit truecolor PNGs — color type 2 (RGB) and 6 (RGBA,
+    alpha dropped) — plus **palette** PNGs (color type 3, PLTE chunk, bit
+    depths 1/2/4/8), non-interlaced, all five scanline filters
     (None/Sub/Up/Average/Paeth).
 
     Like :func:`decode_bmp` this keeps the real-decode path exercised
-    with no third-party dependency; palette/gray/16-bit/interlaced
-    variants still want PIL and raise.  Returns ``(width, height,
-    pixels)`` row-major top-to-bottom as (r, g, b) tuples.
+    with no third-party dependency; grayscale/16-bit/interlaced variants
+    still want PIL and raise.  Returns ``(width, height, pixels)``
+    row-major top-to-bottom as (r, g, b) tuples.
     """
     import zlib
 
@@ -164,6 +165,9 @@ def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         raise ValueError("not a PNG payload")
     pos, width = 8, 0
     height = channels = 0
+    bit_depth = 8
+    color_type = -1
+    palette: list[tuple[int, int, int]] = []
     idat = bytearray()
     while pos + 8 <= len(content):
         clen = int.from_bytes(content[pos : pos + 4], "big")
@@ -175,12 +179,22 @@ def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             bit_depth, color_type, _comp, _filt, interlace = data[8:13]
-            if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+            ok = (color_type in (2, 6) and bit_depth == 8) or (
+                color_type == 3 and bit_depth in (1, 2, 4, 8)
+            )
+            if not ok or interlace != 0:
                 raise NotImplementedError(
-                    f"only 8-bit non-interlaced RGB(A) PNG decodes natively "
-                    f"(depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+                    f"only non-interlaced 8-bit RGB(A) and 1/2/4/8-bit palette "
+                    f"PNG decode natively (depth={bit_depth}, "
+                    f"color_type={color_type}, interlace={interlace})"
                 )
-            channels = 3 if color_type == 2 else 4
+            channels = {2: 3, 6: 4, 3: 1}[color_type]
+        elif ctype == b"PLTE":
+            if clen % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = [
+                (data[i], data[i + 1], data[i + 2]) for i in range(0, clen, 3)
+            ]
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -188,8 +202,13 @@ def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         pos += 12 + clen  # length + type + data + crc
     if not width or not height or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if color_type == 3 and not palette:
+        raise ValueError("palette PNG without PLTE chunk")
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
+    # filter unit is one byte for sub-byte palette depths (PNG spec: bpp is
+    # rounded up to at least one byte)
+    bpp = max(1, channels * bit_depth // 8)
+    stride = (width * channels * bit_depth + 7) // 8
     if len(raw) < (stride + 1) * height:
         raise ValueError("truncated PNG scanline data")
     prev = bytearray(stride)
@@ -199,19 +218,19 @@ def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         ftype = raw[base]
         line = bytearray(raw[base + 1 : base + 1 + stride])
         if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                c = prev[i - channels] if i >= channels else 0
+                a = line[i - bpp] if i >= bpp else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 b = prev[i]
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -219,9 +238,20 @@ def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 line[i] = (line[i] + pred) & 0xFF
         elif ftype != 0:
             raise ValueError(f"unknown PNG filter type {ftype}")
-        for cix in range(width):
-            o = cix * channels
-            pixels.append((line[o], line[o + 1], line[o + 2]))
+        if color_type == 3:
+            per_byte = 8 // bit_depth
+            mask = (1 << bit_depth) - 1
+            for cix in range(width):
+                byte = line[cix // per_byte]
+                shift = 8 - bit_depth * (cix % per_byte + 1)
+                idx = (byte >> shift) & mask
+                if idx >= len(palette):
+                    raise ValueError(f"palette index {idx} out of range")
+                pixels.append(palette[idx])
+        else:
+            for cix in range(width):
+                o = cix * channels
+                pixels.append((line[o], line[o + 1], line[o + 2]))
         prev = line
     return width, height, pixels
 

@@ -307,8 +307,8 @@ def test_decode_png_gates():
 
     with pytest.raises(ValueError):
         mm.decode_png(b"not a png")
-    # palette color type (3) needs PIL
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    # grayscale color type (0) still needs PIL
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
     png = (
         mm.PNG_SIGNATURE
         + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
@@ -316,6 +316,84 @@ def test_decode_png_gates():
     )
     with pytest.raises(NotImplementedError):
         mm.decode_png(png)
+
+
+def _make_palette_png(width, height, palette, index_rows, bit_depth, filters):
+    """Hand-built color-type-3 PNG: PLTE + packed sub-byte indices, with a
+    chosen scanline filter per row (filter unit = 1 byte for depth < 8)."""
+    import struct
+    import zlib
+
+    stride = (width * bit_depth + 7) // 8
+    raw = bytearray()
+    prev = bytearray(stride)
+    for r, idx_row in enumerate(index_rows):
+        line = bytearray(stride)
+        for cix, idx in enumerate(idx_row):
+            shift = 8 - bit_depth * (cix % (8 // bit_depth) + 1)
+            line[cix // (8 // bit_depth)] |= idx << shift
+        f = filters[r]
+        out = bytearray([f])
+        for i in range(stride):
+            a = line[i - 1] if i >= 1 else 0
+            b = prev[i]
+            c = prev[i - 1] if i >= 1 else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - a
+            elif f == 2:
+                v = line[i] - b
+            elif f == 3:
+                v = line[i] - ((a + b) >> 1)
+            else:
+                v = line[i] - _paeth(a, b, c)
+            out.append(v & 0xFF)
+        raw += out
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    plte = b"".join(bytes(c) for c in palette)
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, 3, 0, 0, 0)
+    return (
+        mm.PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_palette_golden():
+    """Color-type-3 decode: exact round-trip at every supported bit depth
+    and through every scanline filter."""
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    index_rows = [[0, 1, 2, 3, 1], [3, 2, 1, 0, 2], [1, 1, 3, 3, 0]]
+    expected = [palette[i] for row in index_rows for i in row]
+    for depth in (2, 4, 8):
+        for filters in ([0] * 3, [1] * 3, [0, 2, 2], [3] * 3, [4] * 3, [1, 3, 4]):
+            png = _make_palette_png(5, 3, palette, index_rows, depth, filters)
+            w, h, pixels = mm.decode_png(png)
+            assert (w, h) == (5, 3)
+            assert pixels == expected, f"depth={depth} filters={filters}"
+    # 1-bit: two palette entries, width not a multiple of 8
+    pal1 = [(0, 0, 0), (255, 255, 255)]
+    rows1 = [[1, 0, 1, 0, 1, 0, 1, 0, 1, 1], [0, 0, 0, 0, 1, 1, 1, 1, 0, 1]]
+    png = _make_palette_png(10, 2, pal1, rows1, 1, [0, 2])
+    assert mm.decode_png(png) == (10, 2, [pal1[i] for r in rows1 for i in r])
+    # out-of-range palette index fails loudly
+    import pytest
+
+    bad = _make_palette_png(2, 1, [(1, 2, 3)], [[0, 3]], 8, [0])
+    with pytest.raises(ValueError):
+        mm.decode_png(bad)
 
 
 def test_extract_features_real_png_path(spark):
