@@ -2450,6 +2450,84 @@ def q_protocol_response_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fake-ClickHouse serving-leg fixture: 5000 samples at 60 s cadence from
+#: 2024-01-01 UTC, values i/4.0 (dyadic — exact in JSON and both engines).
+_CH_BASE = 1704067200
+_CH_N = 5000
+
+
+def _ch_fake_transport():
+    """Deterministic fake ClickHouse HTTP endpoint as a self-contained
+    closure (cloudpickle ships it by value to executors): serves the
+    metadata query and range-split scans, generating rows on the fly from
+    the requested [lo, hi) — no corpus in the closure."""
+    base, n = _CH_BASE, _CH_N
+
+    def transport(url, payload=None, headers=None):
+        import json as _json
+        import re as _re
+        from urllib.parse import parse_qs as _pq
+        from urllib.parse import unquote as _uq
+        from urllib.parse import urlparse as _up
+
+        sql = _uq(_pq(_up(url).query)["query"][0])
+        if "min(updated_at)" in sql:
+            return (
+                _json.dumps({"mn": base, "mx": base + (n - 1) * 60, "n": n}) + "\n"
+            ).encode()
+        m = _re.search(
+            r"toDateTime\((\d+)\)\s+AND updated_at < toDateTime\((\d+)\)", sql
+        )
+        if not m:
+            raise AssertionError(f"unexpected SQL: {sql}")
+        lo, hi = int(m.group(1)), int(m.group(2))
+        out = []
+        i0 = max(0, -((base - lo) // 60))  # ceil((lo - base) / 60)
+        for i in range(i0, n):
+            es = base + i * 60
+            if es >= hi:
+                break
+            out.append(
+                _json.dumps(
+                    {
+                        "es": es,
+                        "metric_name": f"m{i % 3}",
+                        "labels": [f"k={i % 5}", f"user={i % 20}"],
+                        "value": i / 4.0,
+                    }
+                )
+            )
+        return "\n".join(out).encode()
+
+    return transport
+
+
+def q_ch_pushdown_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse serving leg end-to-end under bench/driver watch:
+    partition-parallel range-split scan through the injectable transport
+    (``ClickHouseStore.read_parallel`` — S6 for the external-storage
+    backend, reference scan ``read.go:57``), then the full matcher +
+    hint-downsample read plan over the fetched frame.  The fixture is
+    generated from the requested ranges (constant size at any sf), so
+    this row isolates serving-leg machinery — transport fan-out, Arrow
+    assembly, plan execution — from table-scan cost."""
+    from remote_tsdb_clickhouse_spark.sources.clickhouse import ClickHouseStore
+
+    ensure_query_confs(spark)
+    store = ClickHouseStore(spark, table="metrics.samples", http=_ch_fake_transport())
+    samples = store.read_parallel(num_splits=32)
+    q = ReadQuery(
+        start_ms=_CH_BASE * 1000,
+        end_ms=(_CH_BASE + (_CH_N - 1) * 60) * 1000,
+        matchers=(
+            LabelMatcher(EQ, "__name__", "m1"),
+            LabelMatcher(EQ, "k", "2"),
+        ),
+        hints=ReadHints(step_ms=600000),  # -> 300 s buckets after halving
+    )
+    return _flat_grouped(read_query_grouped(samples, q))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full remote-read path (matchers + downsampling + series
     assembly) over the sf0.001 events-derived samples table."""
@@ -2576,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by code round 4 does not modify ---
         "protocol_roundtrip_read": q_protocol_roundtrip_read,
         "protocol_response_assembly": q_protocol_response_assembly,
+        "ch_pushdown_read": q_ch_pushdown_read,
         "tsdb_sum_by_label": q_tsdb_sum_by_label,
         "tsdb_topk_series": q_tsdb_topk_series,
         "tsdb_max_gap": q_tsdb_max_gap,
@@ -2958,6 +3037,25 @@ def oracle_sql() -> dict[str, str]:
         "protocol_response_assembly": _tsdb_oracle(
             f"WHERE ts >= {t0} AND ts <= {t20} AND {_PROTO_SLICE}", bucket_s=120
         ),
+        # serving-leg row: the oracle regenerates the deterministic fake
+        # transport's corpus (values i/4.0 are dyadic -> exact in JSON and
+        # both engines) and applies the same matcher + 300 s downsample
+        "ch_pushdown_read": f"""
+WITH src AS (
+    SELECT 'm' || CAST(i % 3 AS VARCHAR) AS metric_name,
+           ['k=' || CAST(i % 5 AS VARCHAR), 'user=' || CAST(i % 20 AS VARCHAR)] AS labels,
+           {_CH_BASE} + i * 60 AS es,
+           i / 4.0 AS value
+    FROM (SELECT unnest(generate_series(0, {_CH_N - 1})) AS i)
+),
+f AS (
+    SELECT * FROM src
+    WHERE metric_name = 'm1' AND list_contains(labels, 'k=2')
+)
+SELECT metric_name, array_to_string(list_sort(labels), ',') AS labels_str,
+       CAST(es - es % 300 AS BIGINT) AS t, max(value) AS max_0
+FROM f GROUP BY 1, 2, 3
+""",
         "tsdb_read_eq": _tsdb_oracle(
             f"WHERE ts >= {t5} AND ts <= {t20} AND metric_name = 'purchase'"
         ),
