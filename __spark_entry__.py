@@ -2573,88 +2573,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is a driver contract: the correctness harness checks the
     # first 50 entries per round (VERDICT r1).  Rotation history: r1 verified
     # TSDB core + classic analytics; r2 verified protocol + LLM-pipeline
-    # families + TSDB core; r3 refreshed tsdb-extended + classic-SQL + the
-    # r3-modified families.  Round 4 front-loads the 37 entries with no
-    # r3-or-later driver row: the 3 queries added in r3 (never driver-hashed),
-    # the 16-entry tsdb matcher/downsample/rate block (last hashed under r2
-    # code, now running under the r3 optimizer config), and the 18 entries
-    # whose last row is r2 — then fills the remaining 13 slots with the
-    # queries round 4 itself modifies (dedup family unpersist choreography,
-    # streaming staging rewire, multimodal audio resample body, ClickHouse
-    # pushdown/protocol leg, tsdb warmup).
+    # families + TSDB core; r3 refreshed tsdb-extended + classic-SQL; r4
+    # re-verified the whole tsdb matcher/downsample/rate block plus the
+    # r4-touched families (union of fresh rows after r4: 90/106).  Round 5
+    # front-loads every never-driver-verified query: the 16 added in r4
+    # (local-oracle-only until now) and the 7 added in r5 (PQ training,
+    # multi-probe LSH, the ANN recall axis, the ClickHouse serving leg);
+    # then the 3 entries whose code or oracle r5 touched (bucketed_topk
+    # gained nprobe, the LSH/IVF oracles became shared generators, the PNG
+    # decoder gained palette support under multimodal_features); the 24
+    # remaining slots go to the entries with the OLDEST rows (r3) — after
+    # this round every one of the 113 queries has a driver row from r3 or
+    # later, and 106/113 from r4-or-later code.
     return {
-        # --- never driver-verified (added in r3) ---
-        "text_decontaminate": q_text_decontaminate,
-        "dataset_dedup_apply": q_dataset_dedup_apply,
-        "dataset_length_histogram": q_dataset_length_histogram,
-        # --- tsdb matcher/downsample/rate block (last driver row: r2 code) ---
-        "tsdb_read_eq": q_tsdb_read_eq,
-        "tsdb_read_name_regex": q_tsdb_read_name_regex,
-        "tsdb_read_nre": q_tsdb_read_nre,
-        "tsdb_label_regex": q_tsdb_label_regex,
-        "tsdb_downsample_30s": q_tsdb_downsample_30s,
-        "tsdb_downsample_range_clamp": q_tsdb_downsample_range_clamp,
-        "tsdb_series_assembly": q_tsdb_series_assembly,
-        "tsdb_ignore_label": q_tsdb_ignore_label,
-        "tsdb_rate": q_tsdb_rate,
-        "tsdb_label_project": q_tsdb_label_project,
-        "tsdb_irate": q_tsdb_irate,
-        "tsdb_delta": q_tsdb_delta,
-        "tsdb_increase": q_tsdb_increase,
-        "tsdb_resets_changes": q_tsdb_resets_changes,
-        "tsdb_range_agg": q_tsdb_range_agg,
-        "tsdb_moving_avg": q_tsdb_moving_avg,
-        # --- last driver row: r2 (code r3 did not modify, but shared infra
-        # — session optimizer config, util partition probe — changed) ---
-        "top_customers_per_segment": q_top_customers_per_segment,
-        "events_sessionize": q_events_sessionize,
-        "events_asof_click": q_events_asof_click,
-        "events_window_agg": q_events_window_agg,
-        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        # --- never driver-verified: added in round 4 (16) ---
+        "text_pii_scrub": q_text_pii_scrub,
+        "doc_chunk_windows": q_doc_chunk_windows,
+        "doc_chunk_texts": q_doc_chunk_texts,
+        "tsdb_label_replace": q_tsdb_label_replace,
+        "tsdb_quantile_over_time": q_tsdb_quantile_over_time,
+        "tsdb_label_join": q_tsdb_label_join,
+        "streaming_windowed_max": q_streaming_windowed_max,
+        "text_quality_filter": q_text_quality_filter,
+        "tsdb_binary_ratio": q_tsdb_binary_ratio,
+        "tsdb_sliding_range_max": q_tsdb_sliding_range_max,
+        "events_salted_stats": q_events_salted_stats,
+        "multimodal_png_features": q_multimodal_png_features,
+        "tsdb_topk_per_bucket": q_tsdb_topk_per_bucket,
+        "sim_pq_codes": q_sim_pq_codes,
+        "sim_pq_adc_topk": q_sim_pq_adc_topk,
+        "sim_pq_recall": q_sim_pq_recall,
+        # --- never driver-verified: added in round 5 (7) ---
+        "sim_pq_trained": q_sim_pq_trained,
+        "sim_pq_trained_recall": q_sim_pq_trained_recall,
+        "sim_topk_lsh_multiprobe": q_sim_topk_lsh_multiprobe,
+        "sim_lsh_recall": q_sim_lsh_recall,
+        "sim_lsh_multiprobe_recall": q_sim_lsh_multiprobe_recall,
+        "sim_ivf_recall": q_sim_ivf_recall,
+        "ch_pushdown_read": q_ch_pushdown_read,
+        # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
-        "text_pipeline": q_text_pipeline,
-        "events_funnel": q_events_funnel,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
-        "text_tfidf_keywords": q_text_tfidf_keywords,
-        "text_repetition": q_text_repetition,
-        "dataset_sample": q_dataset_sample,
-        "doc_packing": q_doc_packing,
-        "q6_revenue_delta": q6_revenue_delta,
-        # --- queries round-4 changes touch: refresh their rows ---
-        # Intra-family ORDER is a bench contract (bench.py runs families in
-        # dict order): the embedding/exact/simhash queries never consume the
-        # shared exploded-shingle + signature persists, so they run BEFORE
-        # any persist exists (r3: dedup_embedding_cosine paid ~3.9 s of
-        # cache-manager tax for frames it never read — 4.73 s in-suite vs
-        # 0.84 s cold); the shingle-sharing chain (ngram -> minhash_lsh ->
-        # groups -> incremental) runs last so one materialization serves all
-        # four and the family-boundary clearCache reclaims it.
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
-        "dedup_exact": q_dedup_exact,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_groups": q_dedup_groups,
-        "dedup_incremental": q_dedup_incremental,
-        "streaming_stateful_rate": q_streaming_stateful_rate,
-        "multimodal_resample": q_multimodal_resample,
-        # --- new in round 4: never driver-verified, so they take the last
-        # three window slots (displacing entries with green r3 rows whose
-        # code r4 does not change) ---
-        "dataset_mixture_sample": q_dataset_mixture_sample,
-        "emb_quantize_int8": q_emb_quantize_int8,
-        "tsdb_rollup_serve": q_tsdb_rollup_serve,
-        # --- driver 50-entry window ends ABOVE this line (tsdb_rollup_serve
-        # is entry 50); every entry below has a green r3 driver row produced
-        # by code round 4 does not modify ---
+        "multimodal_features": q_multimodal_features,
+        # --- oldest remaining rows (r3, code unchanged): 24 fill slots ---
         "protocol_roundtrip_read": q_protocol_roundtrip_read,
         "protocol_response_assembly": q_protocol_response_assembly,
-        "ch_pushdown_read": q_ch_pushdown_read,
         "tsdb_sum_by_label": q_tsdb_sum_by_label,
         "tsdb_topk_series": q_tsdb_topk_series,
         "tsdb_max_gap": q_tsdb_max_gap,
@@ -2676,7 +2639,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_type_profit": q9_product_type_profit,
         "q10_returned_item_reporting": q10_returned_item_reporting,
         "q13_customer_order_distribution": q13_customer_order_distribution,
+        # --- driver 50-entry window ends BELOW this line
+        # (q12_ship_lateness_priority is entry 50) ---
         "q12_ship_lateness_priority": q12_ship_lateness_priority,
+        # --- every entry below has a green r4 driver row produced by code
+        # r5 does not modify, or an r3 row on code untouched since.
+        # Intra-family ORDER is a bench contract (bench.py runs families in
+        # dict order): the embedding/exact/simhash dedup queries never
+        # consume the shared exploded-shingle + signature persists, so they
+        # run BEFORE any persist exists; the shingle-sharing chain
+        # (ngram -> minhash_lsh -> groups -> incremental) runs last so one
+        # materialization serves all four. ---
+        "text_decontaminate": q_text_decontaminate,
+        "dataset_dedup_apply": q_dataset_dedup_apply,
+        "dataset_length_histogram": q_dataset_length_histogram,
+        "tsdb_read_eq": q_tsdb_read_eq,
+        "tsdb_read_name_regex": q_tsdb_read_name_regex,
+        "tsdb_read_nre": q_tsdb_read_nre,
+        "tsdb_label_regex": q_tsdb_label_regex,
+        "tsdb_downsample_30s": q_tsdb_downsample_30s,
+        "tsdb_downsample_range_clamp": q_tsdb_downsample_range_clamp,
+        "tsdb_series_assembly": q_tsdb_series_assembly,
+        "tsdb_ignore_label": q_tsdb_ignore_label,
+        "tsdb_rate": q_tsdb_rate,
+        "tsdb_label_project": q_tsdb_label_project,
+        "tsdb_irate": q_tsdb_irate,
+        "tsdb_delta": q_tsdb_delta,
+        "tsdb_increase": q_tsdb_increase,
+        "tsdb_resets_changes": q_tsdb_resets_changes,
+        "tsdb_range_agg": q_tsdb_range_agg,
+        "tsdb_moving_avg": q_tsdb_moving_avg,
+        "top_customers_per_segment": q_top_customers_per_segment,
+        "events_sessionize": q_events_sessionize,
+        "events_asof_click": q_events_asof_click,
+        "events_window_agg": q_events_window_agg,
+        "sim_topk_bruteforce": q_sim_topk_bruteforce,
+        "text_pipeline": q_text_pipeline,
+        "events_funnel": q_events_funnel,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "text_tfidf_keywords": q_text_tfidf_keywords,
+        "text_repetition": q_text_repetition,
+        "dataset_sample": q_dataset_sample,
+        "doc_packing": q_doc_packing,
+        "q6_revenue_delta": q6_revenue_delta,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
+        "dedup_incremental": q_dedup_incremental,
+        "streaming_stateful_rate": q_streaming_stateful_rate,
+        "multimodal_resample": q_multimodal_resample,
+        "dataset_mixture_sample": q_dataset_mixture_sample,
+        "emb_quantize_int8": q_emb_quantize_int8,
+        "tsdb_rollup_serve": q_tsdb_rollup_serve,
         "q15_top_supplier": q15_top_supplier,
         "q16_supplier_part_cardinality": q16_supplier_part_cardinality,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -2689,35 +2710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_quantiles": q_order_value_quantiles,
         "sales_rollup": q_sales_rollup,
         "dataset_split": q_dataset_split,
-        "multimodal_features": q_multimodal_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize": q_multimodal_resize,
         "min_cost_supplier": q_min_cost_supplier,
-        # --- new in round 4 (after the window was already full of entries
-        # owed a refresh): local-oracle-only this round; the r5 rotation
-        # must front-load ALL entries from here down ---
-        "text_pii_scrub": q_text_pii_scrub,
-        "doc_chunk_windows": q_doc_chunk_windows,
-        "tsdb_label_replace": q_tsdb_label_replace,
-        "tsdb_quantile_over_time": q_tsdb_quantile_over_time,
-        "tsdb_label_join": q_tsdb_label_join,
-        "streaming_windowed_max": q_streaming_windowed_max,
-        "text_quality_filter": q_text_quality_filter,
-        "tsdb_binary_ratio": q_tsdb_binary_ratio,
-        "tsdb_sliding_range_max": q_tsdb_sliding_range_max,
-        "doc_chunk_texts": q_doc_chunk_texts,
-        "events_salted_stats": q_events_salted_stats,
-        "multimodal_png_features": q_multimodal_png_features,
-        "tsdb_topk_per_bucket": q_tsdb_topk_per_bucket,
-        "sim_pq_codes": q_sim_pq_codes,
-        "sim_pq_adc_topk": q_sim_pq_adc_topk,
-        "sim_pq_recall": q_sim_pq_recall,
-        "sim_pq_trained": q_sim_pq_trained,
-        "sim_pq_trained_recall": q_sim_pq_trained_recall,
-        "sim_topk_lsh_multiprobe": q_sim_topk_lsh_multiprobe,
-        "sim_lsh_recall": q_sim_lsh_recall,
-        "sim_lsh_multiprobe_recall": q_sim_lsh_multiprobe_recall,
-        "sim_ivf_recall": q_sim_ivf_recall,
     }
 
 
