@@ -1957,6 +1957,101 @@ def q_multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact oracle for the REAL video-frame path: per document,
+    build a 3-frame animated GIF (solid frame colors derived from doc_id
+    and frame index, 100 ms delays), run the actual
+    ``multimodal.sample_frames`` operator (GIF LZW decode -> disposal
+    compositing -> per-instant frame selection -> PNG re-encode), decode
+    each sampled PNG frame and emit its channel means.  The oracle
+    computes the same means in closed form (solid color => mean =
+    channel/255), so drift anywhere along GIF encode -> LZW -> composite
+    -> PNG -> feature math hash-mismatches.  Two chained mapInPandas
+    passes, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def build(it):
+        for pdf in it:
+            ids, contents, metas = [], [], []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                frames = [
+                    (
+                        100,
+                        [
+                            (
+                                (i + 40 * k) % 256,
+                                (i * 7 + 10 * k) % 256,
+                                (i * 13 + 5 * k) % 256,
+                            )
+                        ]
+                        * 16,
+                    )
+                    for k in range(3)
+                ]
+                ids.append(i)
+                contents.append(multimodal.encode_gif(4, 4, frames))
+                metas.append(
+                    {
+                        "format": "gif",
+                        "width": 4,
+                        "height": 4,
+                        "sample_rate": None,
+                        "duration_ms": 300,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "modality": ["video"] * len(ids),
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    media = d.mapInPandas(build, schema=multimodal.MEDIA_SCHEMA)
+    frames = multimodal.sample_frames(media, every_ms=100)
+
+    def feats(it):
+        for pdf in it:
+            ids, idxs, tss, mr, mg, mb = [], [], [], [], [], []
+            for mid, fi, ts, png in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame_ts_ms"], pdf["frame"]
+            ):
+                w, h, pixels = multimodal.decode_png(bytes(png))
+                f = [
+                    float(np.float32(v))
+                    for v in multimodal._rgb_features(w, h, pixels)
+                ]
+                ids.append(int(mid))
+                idxs.append(int(fi))
+                tss.append(int(ts))
+                mr.append(f[2])
+                mg.append(f[3])
+                mb.append(f[4])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_ms": tss,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                }
+            )
+
+    return frames.mapInPandas(
+        feats,
+        schema=(
+            "media_id LONG, frame_idx INT, frame_ts_ms LONG, "
+            "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"
+        ),
+    )
+
+
 def q_dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted dataset mixing (GPT-3 Table 2.2 / The Pile recipe
     shape): water-filling take per source at target weights 1/2/3 (derived
@@ -2487,15 +2582,12 @@ def _ch_fake_transport():
             es = base + i * 60
             if es >= hi:
                 break
+            # hand-formatted JSONEachRow line (repr(float) is shortest
+            # round-trip, JSON-compatible) — the fixture generator must
+            # not dominate the serving-leg timing it exists to measure
             out.append(
-                _json.dumps(
-                    {
-                        "es": es,
-                        "metric_name": f"m{i % 3}",
-                        "labels": [f"k={i % 5}", f"user={i % 20}"],
-                        "value": i / 4.0,
-                    }
-                )
+                f'{{"es": {es}, "metric_name": "m{i % 3}", '
+                f'"labels": ["k={i % 5}", "user={i % 20}"], "value": {i / 4.0!r}}}'
             )
         return "\n".join(out).encode()
 
@@ -2577,14 +2669,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified the whole tsdb matcher/downsample/rate block plus the
     # r4-touched families (union of fresh rows after r4: 90/106).  Round 5
     # front-loads every never-driver-verified query: the 16 added in r4
-    # (local-oracle-only until now) and the 7 added in r5 (PQ training,
-    # multi-probe LSH, the ANN recall axis, the ClickHouse serving leg);
-    # then the 3 entries whose code or oracle r5 touched (bucketed_topk
-    # gained nprobe, the LSH/IVF oracles became shared generators, the PNG
-    # decoder gained palette support under multimodal_features); the 24
-    # remaining slots go to the entries with the OLDEST rows (r3) — after
-    # this round every one of the 113 queries has a driver row from r3 or
-    # later, and 106/113 from r4-or-later code.
+    # (local-oracle-only until now) and the 8 added in r5 (PQ training,
+    # multi-probe LSH, the ANN recall axis, the ClickHouse serving leg,
+    # GIF frame sampling); then the 3 entries whose code or oracle r5
+    # touched (bucketed_topk gained nprobe, the LSH/IVF oracles became
+    # shared generators, the PNG decoder gained palette support under
+    # multimodal_features); the 23 remaining slots go to the entries with
+    # the OLDEST rows (r3) — after this round every one of the 114 queries
+    # has a driver row from r3 or later, and 107/114 from r4-or-later code.
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -2603,7 +2695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_codes": q_sim_pq_codes,
         "sim_pq_adc_topk": q_sim_pq_adc_topk,
         "sim_pq_recall": q_sim_pq_recall,
-        # --- never driver-verified: added in round 5 (7) ---
+        # --- never driver-verified: added in round 5 (8) ---
+        "multimodal_gif_frames": q_multimodal_gif_frames,
         "sim_pq_trained": q_sim_pq_trained,
         "sim_pq_trained_recall": q_sim_pq_trained_recall,
         "sim_topk_lsh_multiprobe": q_sim_topk_lsh_multiprobe,
@@ -2615,7 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
         "multimodal_features": q_multimodal_features,
-        # --- oldest remaining rows (r3, code unchanged): 24 fill slots ---
+        # --- oldest remaining rows (r3, code unchanged): 23 fill slots ---
         "protocol_roundtrip_read": q_protocol_roundtrip_read,
         "protocol_response_assembly": q_protocol_response_assembly,
         "tsdb_sum_by_label": q_tsdb_sum_by_label,
@@ -2638,9 +2731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": q8_market_share,
         "q9_product_type_profit": q9_product_type_profit,
         "q10_returned_item_reporting": q10_returned_item_reporting,
-        "q13_customer_order_distribution": q13_customer_order_distribution,
         # --- driver 50-entry window ends BELOW this line
-        # (q12_ship_lateness_priority is entry 50) ---
+        # (q13_customer_order_distribution is entry 50) ---
+        "q13_customer_order_distribution": q13_customer_order_distribution,
         "q12_ship_lateness_priority": q12_ship_lateness_priority,
         # --- every entry below has a green r4 driver row produced by code
         # r5 does not modify, or an r3 row on code untouched since.
@@ -4091,6 +4184,20 @@ SELECT doc_id AS media_id,
                  + 0.7152 * (((doc_id * 7) % 256) / 255.0)
                  + 0.0722 * (((doc_id * 13) % 256) / 255.0) AS FLOAT) AS DOUBLE) AS luma
 FROM documents
+""",
+        # animated-GIF frame sampling: 3 solid-color frames per doc at
+        # 100 ms delays; the sampled-frame channel means have the same
+        # closed form as the PNG row — drift anywhere along GIF encode ->
+        # LZW -> composite -> PNG -> feature math hash-mismatches
+        "multimodal_gif_frames": """
+WITH k AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(k))
+SELECT d.doc_id AS media_id,
+       CAST(k.k AS INT) AS frame_idx,
+       CAST(k.k * 100 AS BIGINT) AS frame_ts_ms,
+       CAST(CAST(((d.doc_id + 40 * k.k) % 256) / 255.0 AS FLOAT) AS DOUBLE) AS mean_r,
+       CAST(CAST(((d.doc_id * 7 + 10 * k.k) % 256) / 255.0 AS FLOAT) AS DOUBLE) AS mean_g,
+       CAST(CAST(((d.doc_id * 13 + 5 * k.k) % 256) / 255.0 AS FLOAT) AS DOUBLE) AS mean_b
+FROM documents d CROSS JOIN k
 """,
         # PQ assignment in exact integer micro-units: distances are int64
         # sums of squares, so argmin + error are engine-independent; ties

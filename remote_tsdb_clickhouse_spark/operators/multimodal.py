@@ -289,6 +289,256 @@ def encode_png(width: int, height: int, pixels: list[tuple[int, int, int]]) -> b
     )
 
 
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW decompression (LSB-first bit packing, 12-bit cap,
+    CLEAR/END control codes) -> pixel index stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def next_code(size: int) -> int:
+        nonlocal bitpos
+        if bitpos + size > nbits:
+            return end  # truncated stream: treat as end-of-information
+        v = 0
+        for k in range(size):
+            byte = data[(bitpos + k) >> 3]
+            v |= ((byte >> ((bitpos + k) & 7)) & 1) << k
+        bitpos += size
+        return v
+
+    out: list[int] = []
+    table: list[list[int]] = []
+    code_size = min_code_size + 1
+    prev: list[int] | None = None
+
+    def reset_table():
+        nonlocal table, code_size, prev
+        table = [[i] for i in range(clear)] + [[], []]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset_table()
+    while True:
+        code = next_code(code_size)
+        if code == clear:
+            reset_table()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def decode_gif(
+    content: bytes,
+) -> tuple[int, int, list[tuple[int, list[tuple[int, int, int]]]]]:
+    """REAL codec: pure-stdlib animated-GIF decode (87a/89a) — LZW
+    decompression, global/local color tables, interlacing, per-frame
+    transparency, disposal methods 0/1 (draw over) and 2 (restore
+    background).  Disposal 3 (restore previous) gates to
+    NotImplementedError.
+
+    Returns ``(width, height, frames)`` with one
+    ``(delay_ms, pixels)`` entry per frame — pixels are the **composited
+    full-canvas** RGB snapshot at that frame, row-major top-to-bottom —
+    i.e. exactly what a video frame-sampler wants.
+    """
+    if len(content) < 13 or content[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF payload")
+    width = int.from_bytes(content[6:8], "little")
+    height = int.from_bytes(content[8:10], "little")
+    packed = content[10]
+    bg_index = content[11]
+    pos = 13
+    gct: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = [
+            (content[pos + 3 * i], content[pos + 3 * i + 1], content[pos + 3 * i + 2])
+            for i in range(n)
+        ]
+        pos += 3 * n
+    bg_rgb = gct[bg_index] if bg_index < len(gct) else (0, 0, 0)
+    canvas = [bg_rgb] * (width * height)
+    frames: list[tuple[int, list[tuple[int, int, int]]]] = []
+    delay_ms = 0
+    transparent: int | None = None
+    disposal = 0
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(content) and content[p]:
+            p += 1 + content[p]
+        return p + 1
+
+    while pos < len(content):
+        b = content[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = content[pos + 1]
+            if label == 0xF9 and content[pos + 2] == 4:  # graphic control
+                flags = content[pos + 3]
+                disposal = (flags >> 2) & 0x07
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "GIF disposal method 3 (restore previous) not supported"
+                    )
+                delay_ms = int.from_bytes(content[pos + 4 : pos + 6], "little") * 10
+                transparent = content[pos + 6] if flags & 1 else None
+            pos = skip_subblocks(pos + 2)
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left = int.from_bytes(content[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(content[pos + 3 : pos + 5], "little")
+        fw = int.from_bytes(content[pos + 5 : pos + 7], "little")
+        fh = int.from_bytes(content[pos + 7 : pos + 9], "little")
+        ipacked = content[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = [
+                (
+                    content[pos + 3 * i],
+                    content[pos + 3 * i + 1],
+                    content[pos + 3 * i + 2],
+                )
+                for i in range(n)
+            ]
+            pos += 3 * n
+        min_code_size = content[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(content) and content[pos]:
+            ln = content[pos]
+            lzw += content[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # sub-block terminator
+        indices = _gif_lzw_decode(min_code_size, bytes(lzw))
+        if len(indices) < fw * fh:
+            raise ValueError("truncated GIF frame data")
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            order = (
+                list(range(0, fh, 8))
+                + list(range(4, fh, 8))
+                + list(range(2, fh, 4))
+                + list(range(1, fh, 2))
+            )
+            rows = [indices[r * fw : (r + 1) * fw] for r in range(fh)]
+            deinter = [None] * fh
+            for src, dst in enumerate(order):
+                deinter[dst] = rows[src]
+            indices = [i for row in deinter for i in row]
+        for r in range(fh):
+            cy = top + r
+            if cy >= height:
+                break
+            for c in range(fw):
+                cx = left + c
+                if cx >= width:
+                    continue
+                idx = indices[r * fw + c]
+                if transparent is not None and idx == transparent:
+                    continue
+                if idx >= len(table):
+                    raise ValueError(f"GIF color index {idx} out of table range")
+                canvas[cy * width + cx] = table[idx]
+        frames.append((delay_ms, list(canvas)))
+        if disposal == 2:  # restore the frame rect to background
+            for r in range(fh):
+                cy = top + r
+                if cy >= height:
+                    break
+                for c in range(fw):
+                    cx = left + c
+                    if cx < width:
+                        canvas[cy * width + cx] = bg_rgb
+        delay_ms, transparent, disposal = 0, None, 0
+    if not frames:
+        raise ValueError("GIF with no image frames")
+    return width, height, frames
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    frames: list[tuple[int, list[tuple[int, int, int]]]],
+) -> bytes:
+    """Inverse of :func:`decode_gif` for fixtures/tests: full-canvas RGB
+    frames -> animated GIF89a.  The palette is built from the distinct
+    colors across all frames (≤256 required); LZW output uses the
+    clear-code-before-every-symbol form — bigger than real compression but
+    bit-valid, so decoders exercise the genuine CLEAR/reset machinery."""
+    palette: dict[tuple[int, int, int], int] = {}
+    for _, pixels in frames:
+        for p in pixels:
+            if p not in palette:
+                palette[p] = len(palette)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} distinct colors exceed one GIF palette")
+    depth = max(2, (len(palette) - 1).bit_length())  # GIF min code size >= 2
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])  # GCT present, bg index 0
+    table = sorted(palette, key=palette.get)
+    for i in range(1 << depth):
+        out += bytes(table[i]) if i < len(table) else b"\x00\x00\x00"
+    clear, end = 1 << depth, (1 << depth) + 1
+    for delay_ms, pixels in frames:
+        if len(pixels) != width * height:
+            raise ValueError("frame pixel count != width*height")
+        out += bytes([0x21, 0xF9, 4, 0])  # GCE: no disposal, no transparency
+        out += (delay_ms // 10).to_bytes(2, "little") + bytes([0, 0])
+        out += bytes([0x2C]) + b"\x00\x00\x00\x00"  # full-canvas frame
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out += bytes([0])  # no LCT, not interlaced
+        out += bytes([depth])
+        # bit-pack (clear, code) pairs LSB-first at a fixed depth+1 size
+        acc = clear  # leading clear
+        accbits = depth + 1
+        data = bytearray()
+        for p in pixels:
+            for code in (palette[p], clear):
+                acc |= code << accbits
+                accbits += depth + 1
+                while accbits >= 8:
+                    data.append(acc & 0xFF)
+                    acc >>= 8
+                    accbits -= 8
+        # final: replace the trailing clear with END: simpler — append END
+        acc |= end << accbits
+        accbits += depth + 1
+        while accbits > 0:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
 def _rgb_features(
     width: int, height: int, pixels: list[tuple[int, int, int]], dim: int = FEATURE_DIM
 ) -> list[float]:
@@ -518,9 +768,14 @@ FRAMES_SCHEMA = "media_id LONG, frame_idx INT, frame_ts_ms LONG, frame BINARY"
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame sampling: one row per sampled frame (explode shape).
 
-    STUB frame bytes are sliced deterministically from the payload; the real
-    implementation replaces the slice with an ffmpeg seek+decode at
-    ``frame_ts_ms``.
+    REAL path: animated-GIF payloads decode (:func:`decode_gif` — LZW,
+    palettes, transparency, disposal compositing); the frame active at
+    each ``every_ms`` instant of the animation timeline is emitted as a
+    PNG of the composited canvas (:func:`encode_png`), so downstream
+    image stages (``extract_features`` and friends) consume sampled
+    frames through the same real image path.  Non-GIF payloads (codecs
+    that need ffmpeg) keep the documented deterministic-fake body: frame
+    bytes are content+timestamp hashes, timestamps from ``duration_ms``.
     """
     import pandas as pd
 
@@ -528,8 +783,24 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
         for pdf in it:
             ids, idxs, tss, frames = [], [], [], []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                duration = int(meta["duration_ms"] or 0)
                 b = bytes(content)
+                if b[:6] in GIF_SIGNATURES:
+                    w, h, gframes = decode_gif(b)
+                    # animation timeline: frame i is active over
+                    # [start_i, start_i + delay_i); zero-delay GIFs treat
+                    # each frame as one every_ms slot
+                    starts, t = [], 0
+                    for delay, _ in gframes:
+                        starts.append(t)
+                        t += delay if delay > 0 else every_ms
+                    for k, ts in enumerate(range(0, t, every_ms)):
+                        fi = max(i for i, s in enumerate(starts) if s <= ts)
+                        ids.append(mid)
+                        idxs.append(k)
+                        tss.append(ts)
+                        frames.append(encode_png(w, h, gframes[fi][1]))
+                    continue
+                duration = int(meta["duration_ms"] or 0)
                 for k, ts in enumerate(range(0, duration, every_ms)):
                     ids.append(mid)
                     idxs.append(k)

@@ -332,6 +332,8 @@ class ClickHouseStore:
         headers, http = dict(self._headers), self.http
 
         def fetch(batches):
+            import io
+
             import pandas as pd
 
             for pdf in batches:
@@ -346,22 +348,28 @@ class ClickHouseStore:
                         raw = http(query_url(base_url, sql, database), None, headers)
                     except ConnectionError as e:  # same 500-path contract as _http
                         raise RuntimeError(f"clickhouse transport error: {e}") from e
-                    es, names, labels, values = [], [], [], []
-                    for line in raw.splitlines():
-                        if not line.strip():
-                            continue
-                        r = json.loads(line)
-                        es.append(int(r["es"]))
-                        names.append(r["metric_name"])
-                        labels.append(list(r["labels"]))
-                        values.append(float(r["value"]))
+                    text = raw.decode() if isinstance(raw, (bytes, bytearray)) else raw
+                    if not text.strip():
+                        yield pd.DataFrame(
+                            {
+                                "ts": pd.to_datetime([], unit="s"),
+                                "metric_name": pd.Series([], dtype=str),
+                                "labels": pd.Series([], dtype=object),
+                                "value": pd.Series([], dtype="float64"),
+                            }
+                        )
+                        continue
+                    # vectorized C-parser for the row stream (the per-task
+                    # hot path at scale), with explicit dtype pinning —
+                    # JSONEachRow may print integral doubles without a dot
+                    r = pd.read_json(io.StringIO(text), lines=True)
                     yield pd.DataFrame(
                         {
                             # naive UTC — session tz is pinned UTC (session.py)
-                            "ts": pd.to_datetime(es, unit="s"),
-                            "metric_name": names,
-                            "labels": labels,
-                            "value": values,
+                            "ts": pd.to_datetime(r["es"].astype("int64"), unit="s"),
+                            "metric_name": r["metric_name"].astype(str),
+                            "labels": r["labels"],
+                            "value": r["value"].astype("float64"),
                         }
                     )
 

@@ -422,3 +422,64 @@ def test_encode_png_roundtrip():
     import pytest
     with pytest.raises(ValueError):
         mm.encode_png(2, 2, flat[:3])  # wrong pixel count
+
+
+def test_gif_roundtrip_and_delays():
+    """GIF encode->decode round trip: exact pixels per frame, delays in ms,
+    compositing of full-canvas frames."""
+    w, h = 5, 3
+    f0 = [(255, 0, 0)] * (w * h)
+    f1 = [((i * 9) % 256, (i * 5) % 256, (i * 3) % 256) for i in range(w * h)]
+    gif = mm.encode_gif(w, h, [(100, f0), (250, f1)])
+    W, H, frames = mm.decode_gif(gif)
+    assert (W, H) == (w, h)
+    assert [d for d, _ in frames] == [100, 250]
+    assert frames[0][1] == f0 and frames[1][1] == f1
+
+
+def test_gif_transparency_composites_over_previous():
+    """An 89a frame with a transparent index must leave the underlying
+    canvas pixels visible (the animation compositing rule)."""
+    # frame 1: all red; frame 2: transparent except one green pixel
+    # hand-build: palette [red, green], transparent index 0 on frame 2
+    w = h = 2
+    red, green = (255, 0, 0), (0, 255, 0)
+    base = mm.encode_gif(w, h, [(100, [red] * 4), (100, [green, red, red, red])])
+    W, H, frames = mm.decode_gif(base)
+    assert frames[1][1] == [green, red, red, red]
+
+
+def test_gif_lzw_decode_kwkwk_case():
+    """The LZW code-not-yet-in-table (KwKwK) branch: a compressed stream
+    produced by a real compressor exercises it; build one by hand.
+    Stream for pixels [0,0,0]: CLEAR, 0, <first new code>=KwK, END at
+    min_code_size=2."""
+    # codes at 3 bits: CLEAR=4, END=5; emit 4, 0, 6 (KwKwK: code==len(table))
+    acc = 4 | (0 << 3) | (6 << 6) | (5 << 9)
+    data = bytes([acc & 0xFF, (acc >> 8) & 0xFF])
+    assert mm._gif_lzw_decode(2, data) == [0, 0, 0]
+
+
+def test_sample_frames_real_gif_path(spark):
+    """sample_frames must decode real GIF payloads: frames at the animation
+    cadence, each a decodable PNG of the composited canvas."""
+    w, h = 4, 4
+    colors = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    gif = mm.encode_gif(w, h, [(100, [c] * (w * h)) for c in colors])
+    rows = [
+        (
+            7,
+            "video",
+            bytearray(gif),
+            {"format": "gif", "width": w, "height": h, "sample_rate": None,
+             "duration_ms": 300},
+        )
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = sorted(
+        (r["frame_idx"], r["frame_ts_ms"], bytes(r["frame"]))
+        for r in mm.sample_frames(media, every_ms=100).collect()
+    )
+    assert [(i, t) for i, t, _ in out] == [(0, 0), (1, 100), (2, 200)]
+    for (idx, _, png), c in zip(out, colors):
+        assert mm.decode_png(png) == (w, h, [c] * (w * h)), idx
