@@ -165,3 +165,50 @@ def test_salted_stats_two_phase_spread(spark):
     plan = _plan(spark, "events_salted_stats")
     assert "__salt" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_multiprobe_lsh_no_cartesian(spark):
+    # multi-probe explodes the probe array on the (small) query side, then
+    # joins the corpus on the bucket key: an equi-join, never a cartesian
+    # product, and the corpus is scanned once
+    plan = _plan(spark, "sim_topk_lsh_multiprobe")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_recall_rows_join_on_composite_key(spark):
+    # the recall diagnostic joins exact and approximate top-k on
+    # (query_id, neighbor_id): both tiny frames — any join strategy is
+    # fine, but a cartesian would mean the key list got lost
+    for name in ["sim_lsh_recall", "sim_ivf_recall"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_adc_single_python_stage_then_topk(spark):
+    # ADC scoring runs inside mapInPandas (ArrowEvalPython-free: mapInPandas
+    # plans as MapInPandas/FlatMapGroupsInPandas nodes); the ranking window
+    # is the only shuffle and consumes the per-batch pre-reduced stream
+    plan = _plan(spark, "sim_pq_adc_topk")
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time Python
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ch_read_parallel_one_row_per_task(spark):
+    # the range frame must keep its parallelize() placement (one range per
+    # partition): a repartition/exchange would allow ranges to co-locate
+    # and serialize fetches
+    from remote_tsdb_clickhouse_spark.sources.clickhouse import ClickHouseStore
+
+    def empty_http(url, payload=None, headers=None):
+        import json as _json
+
+        if "min(updated_at)" in url or "min%28updated_at%29" in url:
+            return (_json.dumps({"mn": 0, "mx": 639, "n": 640}) + "\n").encode()
+        return b""
+
+    store = ClickHouseStore(spark, table="metrics.samples", http=empty_http)
+    df = store.read_parallel(num_splits=8)
+    assert df.rdd.getNumPartitions() == 8
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
