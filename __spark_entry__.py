@@ -2052,6 +2052,50 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact oracle for the REAL baseline-JPEG codec path: per
+    document, a solid GRAYSCALE 8x8 JPEG (gray = doc_id % 256) goes
+    through encode -> Huffman decode -> dequant -> IDCT -> channel-mean
+    features.  Grayscale is the exact path: a solid block is DC-only
+    (IDCT = DC/8 uniformly, all-ones quant stores it exactly) and there
+    is no lossy chroma transform, so the decoded gray equals the input
+    and the means have the closed form gray/255.  One mapInPandas pass,
+    no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def batches(it):
+        for pdf in it:
+            ids, feats = [], []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                g = i % 256
+                jpg = multimodal.encode_jpeg(8, 8, [(g, g, g)] * 64, gray=True)
+                w, h, pixels = multimodal.decode_jpeg(jpg)
+                f = [
+                    float(np.float32(v))
+                    for v in multimodal._rgb_features(w, h, pixels)
+                ]
+                ids.append(i)
+                feats.append(f)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "mean_r": [f[2] for f in feats],
+                    "mean_g": [f[3] for f in feats],
+                    "mean_b": [f[4] for f in feats],
+                    "luma": [f[5] for f in feats],
+                }
+            )
+
+    return d.mapInPandas(
+        batches,
+        schema="media_id LONG, mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE, luma DOUBLE",
+    )
+
+
 def q_dataset_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted dataset mixing (GPT-3 Table 2.2 / The Pile recipe
     shape): water-filling take per source at target weights 1/2/3 (derived
@@ -2669,14 +2713,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified the whole tsdb matcher/downsample/rate block plus the
     # r4-touched families (union of fresh rows after r4: 90/106).  Round 5
     # front-loads every never-driver-verified query: the 16 added in r4
-    # (local-oracle-only until now) and the 8 added in r5 (PQ training,
+    # (local-oracle-only until now) and the 9 added in r5 (PQ training,
     # multi-probe LSH, the ANN recall axis, the ClickHouse serving leg,
-    # GIF frame sampling); then the 3 entries whose code or oracle r5
-    # touched (bucketed_topk gained nprobe, the LSH/IVF oracles became
-    # shared generators, the PNG decoder gained palette support under
-    # multimodal_features); the 23 remaining slots go to the entries with
-    # the OLDEST rows (r3) — after this round every one of the 114 queries
-    # has a driver row from r3 or later, and 107/114 from r4-or-later code.
+    # JPEG decode, GIF frame sampling); then the 3 entries whose code or
+    # oracle r5 touched (bucketed_topk gained nprobe, the LSH/IVF oracles
+    # became shared generators, the PNG decoder gained palette support
+    # under multimodal_features); the 22 remaining slots go to the entries
+    # with the OLDEST rows (r3) — after this round every one of the 115
+    # queries has a driver row from r3 or later, and 108/115 from
+    # r4-or-later code.
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -2695,7 +2740,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_codes": q_sim_pq_codes,
         "sim_pq_adc_topk": q_sim_pq_adc_topk,
         "sim_pq_recall": q_sim_pq_recall,
-        # --- never driver-verified: added in round 5 (8) ---
+        # --- never driver-verified: added in round 5 (9) ---
+        "multimodal_jpeg_features": q_multimodal_jpeg_features,
         "multimodal_gif_frames": q_multimodal_gif_frames,
         "sim_pq_trained": q_sim_pq_trained,
         "sim_pq_trained_recall": q_sim_pq_trained_recall,
@@ -2708,7 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
         "multimodal_features": q_multimodal_features,
-        # --- oldest remaining rows (r3, code unchanged): 23 fill slots ---
+        # --- oldest remaining rows (r3, code unchanged): 22 fill slots ---
         "protocol_roundtrip_read": q_protocol_roundtrip_read,
         "protocol_response_assembly": q_protocol_response_assembly,
         "tsdb_sum_by_label": q_tsdb_sum_by_label,
@@ -2730,9 +2776,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_trade_volume": q7_nation_trade_volume,
         "q8_market_share": q8_market_share,
         "q9_product_type_profit": q9_product_type_profit,
-        "q10_returned_item_reporting": q10_returned_item_reporting,
         # --- driver 50-entry window ends BELOW this line
-        # (q13_customer_order_distribution is entry 50) ---
+        # (q10_returned_item_reporting is entry 50) ---
+        "q10_returned_item_reporting": q10_returned_item_reporting,
         "q13_customer_order_distribution": q13_customer_order_distribution,
         "q12_ship_lateness_priority": q12_ship_lateness_priority,
         # --- every entry below has a green r4 driver row produced by code
@@ -4183,6 +4229,21 @@ SELECT doc_id AS media_id,
        CAST(CAST(0.2126 * ((doc_id % 256) / 255.0)
                  + 0.7152 * (((doc_id * 7) % 256) / 255.0)
                  + 0.0722 * (((doc_id * 13) % 256) / 255.0) AS FLOAT) AS DOUBLE) AS luma
+FROM documents
+""",
+        # solid grayscale JPEGs: DC-only blocks with all-ones quant decode
+        # to exactly the input gray (IDCT of a flat block = DC/8), and
+        # grayscale skips the lossy chroma transform — so the means have
+        # the same closed form as the PNG row; any drift in Huffman
+        # decode / dequant / IDCT / feature math hash-mismatches
+        "multimodal_jpeg_features": """
+SELECT doc_id AS media_id,
+       CAST(CAST((doc_id % 256) / 255.0 AS FLOAT) AS DOUBLE) AS mean_r,
+       CAST(CAST((doc_id % 256) / 255.0 AS FLOAT) AS DOUBLE) AS mean_g,
+       CAST(CAST((doc_id % 256) / 255.0 AS FLOAT) AS DOUBLE) AS mean_b,
+       CAST(CAST(0.2126 * ((doc_id % 256) / 255.0)
+                 + 0.7152 * ((doc_id % 256) / 255.0)
+                 + 0.0722 * ((doc_id % 256) / 255.0) AS FLOAT) AS DOUBLE) AS luma
 FROM documents
 """,
         # animated-GIF frame sampling: 3 solid-color frames per doc at

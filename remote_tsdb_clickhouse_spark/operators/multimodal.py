@@ -6,8 +6,11 @@ Arrow-batched Pandas UDFs over ``mapInPandas`` — the only place Python
 belongs in the hot path, because codec work is per-item CPU-bound and Arrow
 amortizes the transfer.
 
-The actual byte-level codecs (JPEG decode, audio resample, video frame
-extraction) need PIL/soundfile/ffmpeg, which are not in this environment —
+Real pure-Python/stdlib codecs cover the common formats: BMP, PNG
+(truecolor + palette), **baseline JPEG** (Huffman + IDCT), animated GIF
+(LZW + compositing), and 16-bit PCM WAV resampling.  The remaining
+variants (progressive JPEG, exotic PNG, compressed audio, real video
+containers) would need PIL/soundfile/ffmpeg, absent in this environment —
 they are gated behind import-tries and fall back to a clearly-marked
 **deterministic fake decoder** (`_fake_decode`) so that every piece of
 Spark-side plumbing — schemas, batch iteration, partition sizing, explode
@@ -289,6 +292,439 @@ def encode_png(width: int, height: int, pixels: list[tuple[int, int, int]]) -> b
     )
 
 
+JPEG_SOI = b"\xff\xd8"
+
+#: zigzag scan position k -> natural (row-major) coefficient index (T.81 A.3.6)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: the T.81 Annex K "typical" Huffman tables (public spec data): per table,
+#: (bits[16], values) — bits[i] = number of codes of length i+1
+_JPEG_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_code_assignments(bits):
+    """Canonical Huffman code assignment (T.81 C.2): yields (length, code)
+    in symbol order."""
+    code = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            yield length, code
+            code += 1
+        code <<= 1
+
+
+def _dct_matrix():
+    """Orthonormal 8x8 DCT-II matrix: forward F = C @ B @ C.T, inverse
+    B = C.T @ F @ C."""
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        for x in range(8):
+            a = math.sqrt(0.125) if u == 0 else 0.5
+            c[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """REAL codec: pure-Python **baseline** JPEG decode (SOF0, 8-bit) —
+    Huffman entropy decoding, dequantization, float IDCT, restart
+    markers, grayscale and YCbCr with any sampling factors up to 2
+    (4:4:4 / 4:2:2 / 4:2:0 via replicate upsampling).  Progressive
+    (SOF2), arithmetic coding, and 12-bit precision gate to
+    NotImplementedError.  Returns ``(width, height, pixels)`` row-major
+    RGB tuples.
+    """
+    import numpy as np
+
+    if content[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    dri = 0
+    pos = 2
+    scan_comps = None
+    data_start = None
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        m = content[pos + 1]
+        if m == 0xD9:
+            break
+        seglen = int.from_bytes(content[pos + 2 : pos + 4], "big")
+        seg = content[pos + 4 : pos + 2 + seglen]
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                tab = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    tab[_JPEG_ZIGZAG[k]] = seg[i + 1 + k]
+                qt[tq] = tab
+                i += 65
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / extended sequential)
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential JPEG supported (SOF marker 0x{m:02x})"
+            )
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nvals])
+                huff[(tc, th)] = {
+                    lc: vals[k]
+                    for k, lc in enumerate(_jpeg_code_assignments(bits))
+                }
+                i += 17 + nvals
+        elif m == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * ci], seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 15)
+                for ci in range(ns)
+            ]
+            data_start = pos + 2 + seglen
+            break
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    if frame is None or scan_comps is None:
+        raise ValueError("missing SOF/SOS")
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # entropy-coded data: materialize the unstuffed scan, split at restart
+    # markers (each RST interval restarts bit alignment and DC predictors)
+    data = content
+    segments = [bytearray()]
+    q = data_start
+    while q < len(data):
+        b = data[q]
+        if b == 0xFF:
+            nxt = data[q + 1] if q + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                q += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytearray())
+                q += 2
+                continue
+            break  # EOI or any other marker ends the scan
+        segments[-1].append(b)
+        q += 1
+
+    seg_idx = 0
+    cur = segments[0]
+    bpos = 0
+
+    def read_bit() -> int:
+        nonlocal bpos
+        if bpos >> 3 >= len(cur):
+            return 1  # pad
+        bit = (cur[bpos >> 3] >> (7 - (bpos & 7))) & 1
+        bpos += 1
+        return bit
+
+    def receive(n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | read_bit()
+        return v
+
+    def decode_sym(table) -> int:
+        length, code = 0, 0
+        for _ in range(16):
+            code = (code << 1) | read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def extend(v: int, t: int) -> int:
+        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+    C = _dct_matrix()
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.uint8)
+    dc_pred = {cid: 0 for cid, *_ in comps}
+    table_for = {cid: (td, ta) for cid, td, ta in scan_comps}
+
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_n and mcu_n % dri == 0:
+                seg_idx += 1
+                if seg_idx < len(segments):
+                    cur = segments[seg_idx]
+                    bpos = 0
+                dc_pred = {cid: 0 for cid in dc_pred}
+            for cid, hs, vs, tq in comps:
+                td, ta = table_for[cid]
+                dct_t, act_t = huff[(0, td)], huff[(1, ta)]
+                qtab = qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros(64, dtype=np.float64)
+                        t = decode_sym(dct_t)
+                        dc_pred[cid] += extend(receive(t), t)
+                        coef[0] = dc_pred[cid] * int(qtab[0])
+                        k = 1
+                        while k < 64:
+                            rs = decode_sym(act_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            nat = _JPEG_ZIGZAG[k]
+                            coef[nat] = extend(receive(s), s) * int(qtab[nat])
+                            k += 1
+                        block = C.T @ coef.reshape(8, 8) @ C + 128.0
+                        out = np.clip(np.round(block), 0, 255).astype(np.uint8)
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = out
+            mcu_n += 1
+
+    # upsample each component to full resolution and crop
+    full = {}
+    for cid, hs, vs, tq in comps:
+        pl = planes[cid]
+        pl = np.repeat(np.repeat(pl, vmax // vs, axis=0), hmax // hs, axis=1)
+        full[cid] = pl[:h, :w].astype(np.float64)
+    if len(comps) == 1:
+        y = full[comps[0][0]]
+        rgb = np.stack([y, y, y], axis=2)
+    elif len(comps) == 3:
+        y = full[comps[0][0]]
+        cb = full[comps[1][0]] - 128.0
+        cr = full[comps[2][0]] - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+    else:
+        raise NotImplementedError(f"{len(comps)}-component JPEG not supported")
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    pixels = [tuple(int(v) for v in rgb[r, c]) for r in range(h) for c in range(w)]
+    return w, h, pixels
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: list[tuple[int, int, int]],
+    gray: bool = False,
+) -> bytes:
+    """Inverse of :func:`decode_jpeg` for fixtures/tests: baseline
+    sequential JPEG with **all-ones quantization tables** (coefficients
+    stored exactly, so smooth fixtures round-trip within IDCT rounding —
+    and solid-color blocks round-trip EXACTLY: only the DC coefficient is
+    nonzero and a flat block's IDCT is DC/8 uniformly).  ``gray=True``
+    writes a single-component (luminance) image — the exact-oracle path,
+    since it skips the lossy chroma transform entirely.  4:4:4 sampling,
+    Annex K Huffman tables.
+    """
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
+    arr = np.asarray(pixels, dtype=np.float64).reshape(height, width, 3)
+    if gray:
+        comps_px = [arr[:, :, 0]]  # caller contract: r==g==b for gray
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        comps_px = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    C = _dct_matrix()
+
+    enc_dc = [dict() for _ in range(2)]
+    enc_ac = [dict() for _ in range(2)]
+    for (bits, vals), store in [
+        (_JPEG_HUFF_DC_LUM, enc_dc[0]),
+        (_JPEG_HUFF_DC_CHR, enc_dc[1]),
+        (_JPEG_HUFF_AC_LUM, enc_ac[0]),
+        (_JPEG_HUFF_AC_CHR, enc_ac[1]),
+    ]:
+        for k, (length, code) in enumerate(_jpeg_code_assignments(bits)):
+            store[vals[k]] = (code, length)
+
+    out_bits = bytearray()
+    acc, nacc = 0, 0
+
+    def put(code: int, length: int):
+        nonlocal acc, nacc
+        for i in range(length - 1, -1, -1):
+            acc = (acc << 1) | ((code >> i) & 1)
+            nacc += 1
+            if nacc == 8:
+                out_bits.append(acc)
+                if acc == 0xFF:
+                    out_bits.append(0x00)  # byte stuffing
+                acc, nacc = 0, 0
+
+    def put_val(v: int):
+        t = int(abs(v)).bit_length()
+        return t, (v if v >= 0 else v + (1 << t) - 1)
+
+    nby, nbx = -(-height // 8), -(-width // 8)
+    dc_prev = [0] * len(comps_px)
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, plane in enumerate(comps_px):
+                tsel = 0 if ci == 0 else 1
+                block = np.full((8, 8), plane[min(by * 8, height - 1), min(bx * 8, width - 1)])
+                ys, xs = min(8, height - by * 8), min(8, width - bx * 8)
+                block[:ys, :xs] = plane[by * 8 : by * 8 + ys, bx * 8 : bx * 8 + xs]
+                # edge replicate for partial blocks
+                if ys < 8:
+                    block[ys:, :] = block[ys - 1, :]
+                if xs < 8:
+                    block[:, xs:] = block[:, xs - 1 : xs]
+                f = C @ (block - 128.0) @ C.T
+                zz = np.round(f.reshape(64)[_JPEG_ZIGZAG]).astype(np.int64)
+                diff = int(zz[0]) - dc_prev[ci]
+                dc_prev[ci] = int(zz[0])
+                t, extra = put_val(diff)
+                code, ln = enc_dc[tsel][t]
+                put(code, ln)
+                if t:
+                    put(extra, t)
+                run = 0
+                last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[tsel][0xF0]  # ZRL
+                        put(code, ln)
+                        run -= 16
+                    t, extra = put_val(v)
+                    code, ln = enc_ac[tsel][(run << 4) | t]
+                    put(code, ln)
+                    put(extra, t)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = enc_ac[tsel][0x00]  # EOB
+                    put(code, ln)
+    if nacc:
+        out_bits.append((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1))
+        if out_bits[-1] == 0xFF:
+            out_bits.append(0x00)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    ncomp = len(comps_px)
+    zz_ones = bytes([1] * 64)
+    out = bytearray(JPEG_SOI)
+    out += seg(0xDB, bytes([0x00]) + zz_ones)  # DQT table 0 (all ones)
+    if ncomp == 3:
+        out += seg(0xDB, bytes([0x01]) + zz_ones)
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
+    out += seg(0xC0, sof)
+    for tc, th, (bits, vals) in [
+        (0, 0, _JPEG_HUFF_DC_LUM),
+        (1, 0, _JPEG_HUFF_AC_LUM),
+    ] + ([(0, 1, _JPEG_HUFF_DC_CHR), (1, 1, _JPEG_HUFF_AC_CHR)] if ncomp == 3 else []):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += out_bits
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
 
 
@@ -562,6 +998,11 @@ def _png_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return _rgb_features(*decode_png(content), dim=dim)
 
 
+def _jpeg_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real feature vector from decoded baseline-JPEG pixels."""
+    return _rgb_features(*decode_jpeg(content), dim=dim)
+
+
 FEATURES_SCHEMA = "media_id LONG, modality STRING, features ARRAY<FLOAT>"
 
 
@@ -569,10 +1010,11 @@ def extract_features(media: DataFrame) -> DataFrame:
     """Per-item feature extraction via mapInPandas (Arrow-batched).
 
     One Python worker pass per partition, zero shuffle.  Dispatch is by
-    payload format: BMP and 8-bit RGB(A) PNG content decode **for real**
-    (``decode_bmp`` / ``decode_png``, pure Python/stdlib-zlib) into
-    dimension + channel-mean features; every other format uses the
-    deterministic stub featurizer, so outputs stay testable either way.
+    payload format: BMP, 8-bit RGB(A)/palette PNG, and baseline JPEG
+    content decode **for real** (``decode_bmp`` / ``decode_png`` /
+    ``decode_jpeg``, pure Python/stdlib) into dimension + channel-mean
+    features; every other format uses the deterministic stub featurizer,
+    so outputs stay testable either way.
     """
     import pandas as pd
 
@@ -587,6 +1029,11 @@ def extract_features(media: DataFrame) -> DataFrame:
                 return _png_features(content)
             except (ValueError, NotImplementedError):
                 pass  # PNG magic but unsupported variant -> stub
+        if content[:2] == JPEG_SOI:
+            try:
+                return _jpeg_features(content)
+            except (ValueError, NotImplementedError):
+                pass  # JPEG magic but progressive/12-bit variant -> stub
         return _fake_decode(content)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -483,3 +483,59 @@ def test_sample_frames_real_gif_path(spark):
     assert [(i, t) for i, t, _ in out] == [(0, 0), (1, 100), (2, 200)]
     for (idx, _, png), c in zip(out, colors):
         assert mm.decode_png(png) == (w, h, [c] * (w * h)), idx
+
+
+# --- real baseline JPEG path (encode_jpeg / decode_jpeg) ---------------------
+
+
+def test_jpeg_solid_gray_exact_roundtrip():
+    """A solid gray block is DC-only and all-ones quant stores the DC
+    exactly: decode must reproduce the input bit-for-bit."""
+    for g in (0, 1, 127, 128, 200, 255):
+        px = [(g, g, g)] * 64
+        W, H, out = mm.decode_jpeg(mm.encode_jpeg(8, 8, px, gray=True))
+        assert (W, H) == (8, 8)
+        assert out == px, g
+
+
+def test_jpeg_color_and_gradient_near_exact():
+    """All-ones quantization: color solid within chroma-transform rounding,
+    smooth gradients within IDCT rounding, non-multiple-of-8 sizes padded
+    by edge replication."""
+    solid = [(200, 30, 90)] * 64
+    _, _, out = mm.decode_jpeg(mm.encode_jpeg(8, 8, solid))
+    assert max(max(abs(a - b) for a, b in zip(p, q)) for p, q in zip(out, solid)) <= 2
+
+    w, h = 11, 5
+    grad = [((i * 23) % 256,) * 3 for i in range(w * h)]
+    W, H, out = mm.decode_jpeg(mm.encode_jpeg(w, h, grad, gray=True))
+    assert (W, H) == (w, h)
+    assert max(abs(a[0] - b[0]) for a, b in zip(out, grad)) <= 1
+
+
+def test_jpeg_gates():
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"nope")
+    # progressive (SOF2) gates loudly: flip the SOF marker of a real stream
+    jp = bytearray(mm.encode_jpeg(8, 8, [(9, 9, 9)] * 64, gray=True))
+    sof = jp.index(b"\xff\xc0")
+    jp[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        mm.decode_jpeg(bytes(jp))
+
+
+def test_extract_features_real_jpeg_path(spark):
+    """A JPEG payload must flow through the REAL decoder inside the Arrow
+    batch plumbing: features are actual channel means (gray/255), not the
+    stub hash."""
+    g = 180
+    jpg = mm.encode_jpeg(8, 8, [(g, g, g)] * 64, gray=True)
+    meta = {"format": "jpeg", "width": 8, "height": 8, "sample_rate": None,
+            "duration_ms": None}
+    df = spark.createDataFrame([(0, "image", bytearray(jpg), meta)], mm.MEDIA_SCHEMA)
+    feats = mm.extract_features(df).collect()[0]["features"]
+    assert abs(feats[2] - g / 255.0) < 1e-6
+    assert abs(feats[3] - g / 255.0) < 1e-6
+    assert abs(feats[4] - g / 255.0) < 1e-6
