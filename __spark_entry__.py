@@ -1283,6 +1283,167 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape on the available schema (no partsupp: the observed
+    min unit price per (part, supplier) from lineitem is the supply cost):
+    for STANDARD parts of selected sizes, every EUROPE supplier whose cost
+    equals the part's regional minimum.  The part filter prunes before the
+    fact join; nation/region are broadcast; the per-part minimum arrives by
+    window min over the already-aggregated (part, supplier) frame — two
+    key-partitioned shuffles, no self-join, no driver round-trip.  Unit
+    price is a single IEEE double division (bit-identical cross-engine),
+    so the min-equality filter cannot flip rows."""
+    ensure_query_confs(spark)
+    from pyspark.sql import Window
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").isin(5, 9, 14)
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "EUROPE")
+    eu_supp = s.join(
+        F.broadcast(n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    cost = (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name", "s_acctbal")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.withColumn("_min_cost", F.min("supply_cost").over(w))
+        .where(F.col("supply_cost") == F.col("_min_cost"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            "supply_cost",
+        )
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose NATION_7-supplied value exceeds a
+    fraction of the nation's total supplied value.  The scalar total is a
+    1-row aggregate broadcast back over the per-part values (never
+    collected); the supplier restriction filters before the fact join, so
+    the shuffle carries ~1/25 of lineitem.  Both sides of the threshold
+    compare come from the same per-part DECIMAL(30,6) sums."""
+    ensure_query_confs(spark)
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").where(F.col("n_name") == "NATION_7")
+    # Persist the per-part aggregate (one row per part — metadata-sized
+    # next to lineitem): both the scalar total and the threshold filter
+    # consume it, and without the persist Catalyst would re-scan the whole
+    # fact table for the 1-row total — the classic Q11 double-scan trap.
+    val = (
+        l.join(
+            s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(_dsum(F.col("l_extendedprice")).alias("value"))
+        .persist()
+    )
+    tot = val.agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("_tot")
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("value") > 0.001 * F.col("_tot"))
+        .select("partkey", "value")
+    )
+
+
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: EUROPE suppliers who shipped more than 30% of a
+    'small%' part's total 1997 volume (the excess-stock semi-join chain,
+    availqty re-read as shipped quantity).  Date + name filters prune the
+    scan before the join; the per-part total is a window sum over the
+    already-aggregated (part, supplier) frame (no nested-subquery re-scan);
+    the region gate lands as one hash join against the filtered supplier
+    dim before the final distinct."""
+    ensure_query_confs(spark)
+    from pyspark.sql import Window
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(F.col("p_name").like("small%"))
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "EUROPE")
+    shipped = (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_dsum(F.col("l_quantity")).alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    heavy = shipped.withColumn(
+        "part_qty",
+        F.sum(F.col("qty").cast("decimal(30,6)")).over(w).cast("double"),
+    ).where(F.col("qty") > 0.3 * F.col("part_qty"))
+    eu_supp = s.join(
+        F.broadcast(n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        heavy.join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (no receipt/commit dates: late = shipped more than
+    60 days after the order date): for finalized multi-supplier orders
+    where exactly one supplier shipped late, count such orders per ASIA
+    supplier.  The exists/not-exists pair of the original becomes one
+    groupBy to (order, supplier) + one window over the order key (counts
+    of suppliers and late suppliers) — two shuffles on the same key, so
+    Catalyst reuses the exchange; no self-joins of lineitem."""
+    ensure_query_confs(spark)
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(F.col("o_orderstatus") == "F")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "ASIA")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("long")
+    per = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    stats = per.withColumn("n_supp", F.count("*").over(w)).withColumn(
+        "n_late", F.sum("late").over(w)
+    )
+    asia_supp = s.join(
+        F.broadcast(n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        stats.where(
+            (F.col("late") == 1) & (F.col("n_late") == 1) & (F.col("n_supp") > 1)
+        )
+        .join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing over documents-derived binary media (operators real,
 # codecs stubbed deterministically — SURVEY north-star extension)
@@ -2750,6 +2911,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_multiprobe_recall": q_sim_lsh_multiprobe_recall,
         "sim_ivf_recall": q_sim_ivf_recall,
         "ch_pushdown_read": q_ch_pushdown_read,
+        # --- never driver-verified: TPC-H completion, added mid-round-5
+        # (the four shapes the suite lacked: correlated min, scalar-
+        # threshold HAVING, excess-stock semi-join, sole-late-supplier) ---
+        "q2_min_cost_region": q2_min_cost_region,
+        "q11_important_parts": q11_important_parts,
+        "q20_promotable_suppliers": q20_promotable_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -2773,11 +2941,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        # --- driver 50-entry window ends BELOW this line
+        # (q5_local_supplier_volume is entry 50; q7/q8/q9/q10 dropped out
+        # when the 4 TPC-H completions landed — all four keep green r3/r4
+        # rows on code unchanged since) ---
         "q7_nation_trade_volume": q7_nation_trade_volume,
         "q8_market_share": q8_market_share,
         "q9_product_type_profit": q9_product_type_profit,
-        # --- driver 50-entry window ends BELOW this line
-        # (q10_returned_item_reporting is entry 50) ---
         "q10_returned_item_reporting": q10_returned_item_reporting,
         "q13_customer_order_distribution": q13_customer_order_distribution,
         "q12_ship_lateness_priority": q12_ship_lateness_priority,
@@ -3514,6 +3684,81 @@ SELECT c_nationkey, count(*) AS numcust,
 FROM customer, avg_bal
 WHERE c_acctbal > a
   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+""",
+        "q2_min_cost_region": """
+WITH cost AS (
+    SELECT l_partkey, l_suppkey, s_name, n_name, s_acctbal,
+           min(l_extendedprice / l_quantity) AS supply_cost
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_type = 'STANDARD' AND p_size IN (5, 9, 14) AND r_name = 'EUROPE'
+    GROUP BY 1, 2, 3, 4, 5
+), best AS (
+    SELECT *, min(supply_cost) OVER (PARTITION BY l_partkey) AS mc FROM cost
+)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, s_name, n_name,
+       s_acctbal, supply_cost
+FROM best WHERE supply_cost = mc
+""",
+        "q11_important_parts": """
+WITH val AS (
+    SELECT l_partkey AS partkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+    GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS t FROM val
+)
+SELECT partkey, value FROM val, tot WHERE value > 0.001 * t
+""",
+        "q20_promotable_suppliers": """
+WITH shipped AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+), flagged AS (
+    SELECT *,
+           CAST(sum(CAST(qty AS DECIMAL(30,6)))
+                OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_qty
+    FROM shipped
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM flagged
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE qty > 0.3 * part_qty AND r_name = 'EUROPE'
+""",
+        "q21_waiting_suppliers": """
+WITH per AS (
+    SELECT l_orderkey, l_suppkey,
+           max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1, 2
+), stats AS (
+    SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+              sum(late) OVER (PARTITION BY l_orderkey) AS n_late
+    FROM per
+)
+SELECT s_name, count(*) AS numwait
+FROM stats
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE late = 1 AND n_late = 1 AND n_supp > 1 AND r_name = 'ASIA'
 GROUP BY 1
 """,
         "q6_revenue_delta": """

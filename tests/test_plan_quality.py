@@ -212,3 +212,37 @@ def test_ch_read_parallel_one_row_per_task(spark):
     assert df.rdd.getNumPartitions() == 8
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+@pytest.mark.parametrize(
+    "name, region_const",
+    [
+        ("q2_min_cost_region", "EqualTo(r_name,EUROPE)"),
+        ("q20_promotable_suppliers", "EqualTo(r_name,EUROPE)"),
+        ("q21_waiting_suppliers", "EqualTo(r_name,ASIA)"),
+    ],
+)
+def test_tpch_completion_dims_broadcast_filters_pushed(spark, name, region_const):
+    # the nation⋈region chain must broadcast (fixed 25/5 rows at every SF)
+    # and the region/part/status constants must reach the parquet scans
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, plan
+    assert region_const in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q11_scalar_total_no_double_fact_scan(spark):
+    # the 1-row nation total must come from the persisted per-part
+    # aggregate (InMemoryTableScan), not a second scan of lineitem; the
+    # total itself arrives by broadcast, never a driver collect
+    # (the plan text repeats the cached relation's body under each
+    # InMemoryTableScan, so count the cache reads, not the file mentions)
+    plan = _plan(spark, "q11_important_parts")
+    assert plan.count("InMemoryTableScan") == 2, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_q20_date_and_name_filters_pushed(spark):
+    # scan pruning: the 1997 window and the small% prefix must be pushed
+    plan = _plan(spark, "q20_promotable_suppliers")
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan, plan
+    assert "StringStartsWith(p_name,small)" in plan, plan
