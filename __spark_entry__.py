@@ -1734,6 +1734,41 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
+def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search under a k-means-REFINED coarse quantizer: two full-dim
+    Lloyd's iterations in exact integer micro-units (ivf_train_centroids
+    = pq_train_codebook with m=1), then the unchanged ivf_topk dataflow.
+    The DuckDB oracle unrolls the training iterations as CTEs, so the
+    quantizer training itself is hash-verified — completing the trained
+    half of the index-builder toolbox for IVF as sim_pq_trained did for
+    PQ."""
+    emb = _embs(spark, sf_dir)
+    cents = similarity.ivf_train_centroids(emb, n_centroids=16, n_iters=2)
+    out = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=2, centroids=cents
+    )
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
+def q_sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of IVF search under the trained coarse quantizer — the
+    before/after number for an IVF training run (compare sim_ivf_recall:
+    same fixture, smallest-id-init centroids).  Honest caveat: on this
+    synthetic fixture the embeddings are near-uniform (no cluster
+    structure), so Lloyd's converges to a quantizer of a uniform cloud
+    and recall@10 lands at noise distance from the untrained init
+    (measured 79 vs 88 hits/100 at sf0.01, with near-identical list
+    balance: max list 38 vs 42 of 500).  Training pays off exactly when
+    the corpus HAS clusters; this row verifies the machinery, not a
+    universal recall win."""
+    emb = _embs(spark, sf_dir)
+    cents = similarity.ivf_train_centroids(emb, n_centroids=16, n_iters=2)
+    approx = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10, nprobe=2, centroids=cents
+    )
+    return _recall_at_10(spark, sf_dir, approx)
+
+
 def q_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: quality-score -> keep only exact-dedup
     keepers -> per-language corpus stats.  One chained DataFrame plan: the
@@ -2918,6 +2953,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "q20_promotable_suppliers": q20_promotable_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        # --- never driver-verified: trained IVF pair, added mid-round-5 ---
+        "sim_ivf_trained": q_sim_ivf_trained,
+        "sim_ivf_trained_recall": q_sim_ivf_trained_recall,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -2939,12 +2977,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
+        # --- driver 50-entry window ends BELOW this line
+        # (q3_shipping_priority is entry 50; q4/q5/q7/q8/q9/q10 dropped
+        # out when the 4 TPC-H completions + 2 trained-IVF entries landed
+        # — all six keep green r3/r4 rows on code unchanged since) ---
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
-        # --- driver 50-entry window ends BELOW this line
-        # (q5_local_supplier_volume is entry 50; q7/q8/q9/q10 dropped out
-        # when the 4 TPC-H completions landed — all four keep green r3/r4
-        # rows on code unchanged since) ---
         "q7_nation_trade_volume": q7_nation_trade_volume,
         "q8_market_share": q8_market_share,
         "q9_product_type_profit": q9_product_type_profit,
@@ -3219,6 +3257,98 @@ SELECT e.query_id,
 FROM exact e LEFT JOIN approx a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY 1
+"""
+
+
+def _ivf_kmeans_cte(n_iters: int = 2) -> str:
+    """Full-dimension Lloyd's CTE chain — the m=1 specialization of
+    :func:`_pq_trained_cte` (one subspace spanning all 64 dims), the
+    DuckDB replica of similarity.ivf_train_centroids.  Defines ``kq``
+    (int micro-unit vectors) and ``kcent{n}`` (the trained coarse
+    centroids as 64-element int lists)."""
+    parts = [
+        """kq AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+    FROM embeddings
+)""",
+        "kcent0 AS (SELECT vec_id AS cl, iv AS civ FROM kq WHERE vec_id < 16)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = i - 1
+        parts.append(f"""kasg{i} AS (
+    SELECT vec_id, cl,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rk
+    FROM (SELECT kq.vec_id, c.cl,
+                 list_sum(list_transform(generate_series(1, 64),
+                     j -> (kq.iv[j] - c.civ[j]) * (kq.iv[j] - c.civ[j]))) AS dist
+          FROM kq CROSS JOIN kcent{p} c)
+)""")
+        parts.append(f"""ksums{i} AS (
+    SELECT a.cl, t.j, sum(kq.iv[t.j]) AS sm, count(*) AS cnt
+    FROM kasg{i} a JOIN kq ON a.vec_id = kq.vec_id,
+         unnest(generate_series(1, 64)) AS t(j)
+    WHERE a.rk = 1 GROUP BY 1, 2
+)""")
+        parts.append(f"""kcent{i} AS (
+    SELECT pc.cl, coalesce(nc.civ, pc.civ) AS civ
+    FROM kcent{p} pc LEFT JOIN (
+        SELECT cl, list(sm // cnt ORDER BY j) AS civ FROM ksums{i} GROUP BY 1
+    ) nc ON pc.cl = nc.cl
+)""")
+    return ",\n".join(parts)
+
+
+def _ivf_trained_topk_sql(k: int, qmax: int, nprobe: int = 2, n_iters: int = 2) -> str:
+    """IVF top-k oracle under the Lloyd's-trained coarse quantizer:
+    centroids de-quantized to doubles (civ / 1e6 — exact int64→double
+    then one IEEE division, bit-identical to the Spark side), assignment
+    and probing by cosine exactly as _ivf_topk_sql."""
+    return f"""
+WITH {_EMB_NORM_CTE},
+{_ivf_kmeans_cte(n_iters)},
+tcents AS (
+    SELECT cl AS cent_id,
+           list_transform(civ, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv
+    FROM kcent{n_iters}
+),
+cn AS (SELECT cent_id, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM tcents),
+asg AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cn.cent_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   CASE WHEN n.nrm > 0 AND cnrm > 0
+                        THEN list_dot_product(n.v, cv) / (n.nrm * cnrm) ELSE 0.0 END DESC,
+                   cent_id) AS r
+        FROM n CROSS JOIN cn
+    ) WHERE r = 1
+),
+probes AS (
+    SELECT query_id, cent_id FROM (
+        SELECT n.vec_id AS query_id, cn.cent_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   CASE WHEN n.nrm > 0 AND cnrm > 0
+                        THEN list_dot_product(n.v, cv) / (n.nrm * cnrm) ELSE 0.0 END DESC,
+                   cent_id) AS r
+        FROM n CROSS JOIN cn WHERE n.vec_id < {qmax}
+    ) WHERE r <= {nprobe}
+),
+scored AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.nrm > 0 AND c.nrm > 0
+                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+    FROM probes p
+    JOIN n q ON q.vec_id = p.query_id
+    JOIN asg a ON a.cent_id = p.cent_id
+    JOIN n c ON c.vec_id = a.vec_id AND c.vec_id != p.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= {k}
 """
 
 
@@ -4514,6 +4644,8 @@ FROM documents d CROSS JOIN k
         # TRAINING is hash-verified, not just assignment
         "sim_pq_trained": _pq_trained_codes_sql(),
         "sim_pq_trained_recall": _recall_sql(_pq_trained_adc_sql()),
+        "sim_ivf_trained": _ivf_trained_topk_sql(5, 10, nprobe=2),
+        "sim_ivf_trained_recall": _recall_sql(_ivf_trained_topk_sql(10, 10, nprobe=2)),
         # ADC: per-query (s, cid) distance table joined onto the unpivoted
         # PQ codes — the same integer arithmetic, so ranks are exact
         "sim_pq_adc_topk": _pq_adc_sql(),

@@ -196,6 +196,35 @@ def bucketed_cosine_pairs(
     return scored.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """K-means refinement of the IVF coarse quantizer: literally
+    :func:`pq_train_codebook` with ``m=1`` — one subspace spanning the full
+    dimension is exactly full-vector Lloyd's, so IVF training inherits the
+    int64 micro-unit arithmetic (exact sums/counts, truncating-division
+    update, empty clusters keep their centroid) that makes the training
+    itself oracle-checkable, not just the search built on it.
+
+    Returns a metadata-sized DataFrame ``(cent_id, cvec)`` — the trained
+    centroids de-quantized to doubles (``civ / 1e6``: int64→double is
+    exact below 2^53 and the division is one deterministic IEEE op, so
+    both engines see bit-identical centroid components).  Feed it to
+    :func:`ivf_topk` via ``centroids=``.
+    """
+    cent_ids, cent_mat = pq_train_codebook(
+        emb, m=1, k=n_centroids, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    rows = [
+        (int(cid), [float(x) / 1e6 for x in row]) for cid, row in zip(cent_ids, cent_mat)
+    ]
+    return emb.sparkSession.createDataFrame(rows, "cent_id long, cvec array<double>")
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -204,6 +233,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the corpus
     into inverted lists; each query scores only its ``nprobe`` nearest
@@ -220,17 +250,26 @@ def ivf_topk(
     equi-join on the list id, linear like the LSH variant.  Memory per
     inverted list is bounded by the assignment balance, the knob being
     ``n_centroids`` (≈ sqrt(N) at scale).
+
+    ``centroids=`` swaps in an externally trained coarse quantizer
+    (``(cent_id, cvec)`` rows, e.g. :func:`ivf_train_centroids`) — the
+    dataflow is unchanged, only the broadcast list changes.
     """
-    cents = (
-        _with_norm(emb, id_col, vec_col)
-        .orderBy("vid")
-        .limit(n_centroids)
-        .select(
-            F.col("vid").alias("cent_id"),
-            F.col("vec").alias("cvec"),
-            F.col("nrm").alias("cnrm"),
+    if centroids is not None:
+        cents = centroids.select(
+            "cent_id", F.col("cvec"), norm(F.col("cvec")).alias("cnrm")
         )
-    )
+    else:
+        cents = (
+            _with_norm(emb, id_col, vec_col)
+            .orderBy("vid")
+            .limit(n_centroids)
+            .select(
+                F.col("vid").alias("cent_id"),
+                F.col("vec").alias("cvec"),
+                F.col("nrm").alias("cnrm"),
+            )
+        )
 
     def nearest_lists(side: DataFrame, out_id: str, n: int) -> DataFrame:
         scored = side.crossJoin(F.broadcast(cents)).select(

@@ -173,3 +173,29 @@ def test_multiprobe_finds_cross_hyperplane_neighbor(spark):
     multi = {r["neighbor_id"] for r in bucketed_topk(df, q, k=2, n_bits=4, nprobe=2).collect()}
     assert single == {51}          # cross-hyperplane neighbor invisible
     assert multi == {50, 51}       # one extra probe (lowest |dim0|) finds it
+
+def test_ivf_train_centroids_moves_and_searches(spark):
+    """Lloyd's refinement (pq_train_codebook with m=1) must actually move
+    at least one centroid off its init on a clusterable corpus, keep all
+    k rows (empty clusters retain their init), and the trained search
+    must keep the ivf_topk output contract."""
+    import math as m
+
+    # two tight clusters far apart, plus the 4 init vectors inside them
+    rows = []
+    for i in range(40):
+        base = [10.0, 0.0, 0.0, 0.0] if i % 2 else [0.0, 10.0, 0.0, 0.0]
+        rows.append((i, [base[j] + 0.01 * ((i * 7 + j) % 5) for j in range(4)]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = similarity.ivf_train_centroids(emb, n_centroids=4, n_iters=2)
+    got = {r.cent_id: r.cvec for r in cents.collect()}
+    assert set(got) == {0, 1, 2, 3}  # ids preserved, none dropped
+    init = {r.vec_id: r.embedding for r in emb.where(F.col("vec_id") < 4).collect()}
+    moved = [c for c in got if any(abs(a - b) > 1e-9 for a, b in zip(got[c], init[c]))]
+    assert moved, "training never moved a centroid"
+    out = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 2), k=3, nprobe=1, centroids=cents
+    ).collect()
+    assert {r.query_id for r in out} == {0, 1}
+    # with per-parity clusters, probe-1 neighbors share the query's parity
+    assert all(r.neighbor_id % 2 == r.query_id % 2 for r in out)
