@@ -50,9 +50,25 @@ def get_spark(app_name: str = "remote-tsdb-clickhouse-spark") -> SparkSession:
     never assumes local mode.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Workers must import this package (worker-side decoders/kernels) and
+    # the preloading daemon module below; `python -m` covers it when the
+    # JVM's cwd is the repo, PYTHONPATH covers it everywhere else.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
+        # Preload numpy/pandas/pyarrow in the worker daemon BEFORE forking:
+        # worker spawn drops from ~1 s (import chain) to fork-cost, which
+        # removes the import storm when the elastic pool re-expands after
+        # idle culls (see pydaemon module docstring for the measurements)
+        .config(
+            "spark.python.daemon.module", "remote_tsdb_clickhouse_spark.pydaemon"
+        )
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
