@@ -33,7 +33,11 @@ from pyspark.sql import functions as F
 
 from remote_tsdb_clickhouse_spark.functions import textfuncs as tx
 from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
+    count_values,
     delta,
+    deriv,
+    histogram_buckets,
+    histogram_quantile,
     increase,
     irate,
     label_join,
@@ -41,6 +45,7 @@ from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
     label_replace,
     label_value,
     per_second_rate,
+    predict_linear,
     quantile_over_time,
     range_aggregate,
     resets_changes,
@@ -463,6 +468,73 @@ def q_tsdb_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_error",
         "n_click",
         (F.col("n_error").cast("double") / F.col("n_click").cast("double")).alias("ratio"),
+    )
+
+
+def q_tsdb_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``count_values``: number of samples and series per distinct
+    (floored) gauge value — the cardinality-inversion move (the value
+    becomes the grouping key).  Flooring first keeps the key discrete, the
+    realistic use (Prometheus users count integer gauges like replica
+    counts).  One hash aggregation on (metric, value): output is bounded
+    by value cardinality, not sample count."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "view"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    floored = grouped.withColumn("max_0", F.floor(F.col("max_0")).cast("long"))
+    return count_values(floored)
+
+
+def q_tsdb_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``deriv``: per-series least-squares slope (micro-units/hour).
+    The five regression statistics are exact int64 sums (order-free,
+    map-side combinable — the 100 TB shape: one shuffle of per-series
+    partials); the slope is one IEEE division of two exactly-converted
+    integers, bit-identical to the DuckDB oracle."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    return deriv(grouped, T0 // 1000).select(
+        "metric_name", _lbl(), "n_samples", "slope_mu"
+    )
+
+
+def q_tsdb_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``predict_linear``: extrapolate each series one day past the
+    queried range (hour 480 after window start) via ``ȳ + slope·(tp − t̄)``
+    — a fixed double expression tree over exact integer statistics, so the
+    oracle comparison is raw-bit (see tsfuncs.predict_linear for why the
+    single-division closed form is avoided)."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    return predict_linear(grouped, T0 // 1000, 480).select(
+        "metric_name", _lbl(), "n_samples", "predicted_mu"
+    )
+
+
+_HIST_BOUNDS = [4, 16, 64, 256]  # purchase values span ~1..287
+
+
+def q_tsdb_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus histogram ingestion shape: cumulative ``le`` bucket
+    series built from raw samples — one conditional count per bound in a
+    SINGLE hash aggregation (no explode, no window), then a pure unpivot
+    to the (le, cum) wire format that ``histogram_quantile`` consumes."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    return histogram_buckets(grouped, _HIST_BOUNDS).select(
+        "metric_name", _lbl(), "le", "cum"
+    )
+
+
+def q_tsdb_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile(0.9, ...)`` in exact integer
+    micro-units: bucket search is a chained CASE over the wide cumulative
+    counts; in-bucket linear interpolation is pure int64 floor division
+    (Prometheus edge rules: first bucket interpolates from 0, +Inf bucket
+    returns the highest finite bound)."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    return histogram_quantile(grouped, 9, 10, _HIST_BOUNDS).select(
+        "metric_name", _lbl(), "n_samples", "q_mu"
     )
 
 
@@ -2914,10 +2986,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # JPEG decode, GIF frame sampling); then the 3 entries whose code or
     # oracle r5 touched (bucketed_topk gained nprobe, the LSH/IVF oracles
     # became shared generators, the PNG decoder gained palette support
-    # under multimodal_features); the 22 remaining slots go to the entries
-    # with the OLDEST rows (r3) — after this round every one of the 115
-    # queries has a driver row from r3 or later, and 108/115 from
-    # r4-or-later code.
+    # under multimodal_features); the remaining slots go to the entries
+    # with the OLDEST rows (r3) — after this round every one of the 126
+    # queries has a driver row from r3 or later, and the never-verified
+    # set (now including the 5 PromQL-depth entries) sits entirely inside
+    # the 50-entry window.
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -2956,6 +3029,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-verified: trained IVF pair, added mid-round-5 ---
         "sim_ivf_trained": q_sim_ivf_trained,
         "sim_ivf_trained_recall": q_sim_ivf_trained_recall,
+        # --- never driver-verified: PromQL depth, added mid-round-5
+        # (count_values, deriv, predict_linear, histogram ingestion +
+        # histogram_quantile in exact micro-units) ---
+        "tsdb_count_values": q_tsdb_count_values,
+        "tsdb_deriv": q_tsdb_deriv,
+        "tsdb_predict_linear": q_tsdb_predict_linear,
+        "tsdb_histogram_buckets": q_tsdb_histogram_buckets,
+        "tsdb_histogram_quantile": q_tsdb_histogram_quantile,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -2974,13 +3055,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats_by_source": q_doc_stats_by_source,
         "events_daily_pivot": q_events_daily_pivot,
         "customers_lapsed": q_customers_lapsed,
+        # --- driver 50-entry window ends BELOW this line
+        # (customers_lapsed is entry 50; events_retention/q1/q3 joined
+        # q4/q5/q7/q8/q9/q10 below it when the 5 PromQL-depth entries
+        # landed — all keep green r3/r4 rows on code unchanged since) ---
         "events_retention": q_events_retention,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
-        # --- driver 50-entry window ends BELOW this line
-        # (q3_shipping_priority is entry 50; q4/q5/q7/q8/q9/q10 dropped
-        # out when the 4 TPC-H completions + 2 trained-IVF entries landed
-        # — all six keep green r3/r4 rows on code unchanged since) ---
         "q4_late_shipment_priority": q4_late_shipment_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q7_nation_trade_volume": q7_nation_trade_volume,
@@ -4586,6 +4667,98 @@ SELECT metric_name, labels_str, count(*) AS n_samples,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1] AS p50,
        (list_sort(list(v)))[CAST(floor((count(*) - 1) * 0.95) AS INT) + 1] AS p95
 FROM grouped GROUP BY 1, 2
+""",
+        "tsdb_count_values": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'view'")}
+SELECT metric_name, CAST(floor(v) AS BIGINT) AS value,
+       count(*) AS n_samples, count(DISTINCT labels_str) AS n_series
+FROM grouped GROUP BY 1, 2
+""",
+        # least-squares slope from exact int64 regression sums; all doubles
+        # in the final expression are exact conversions of ints < 2^53, so
+        # the single division is bit-identical cross-engine
+        "tsdb_deriv": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'purchase'")},
+s AS (
+    SELECT metric_name, labels_str, count(*) AS n,
+           sum(th) AS st, sum(ymu) AS sy, sum(th*ymu) AS sty, sum(th*th) AS stt
+    FROM (
+        SELECT metric_name, labels_str,
+               (CAST(floor(epoch(tt)) AS BIGINT) - 1704067200) // 3600 AS th,
+               CAST(floor(v * 1000000) AS BIGINT) AS ymu
+        FROM grouped)
+    GROUP BY 1, 2
+)
+SELECT metric_name, labels_str, n AS n_samples,
+       CASE WHEN n*stt - st*st > 0
+            THEN CAST(n*sty - st*sy AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE)
+            ELSE NULL END AS slope_mu
+FROM s
+""",
+        "tsdb_predict_linear": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'purchase'")},
+s AS (
+    SELECT metric_name, labels_str, count(*) AS n,
+           sum(th) AS st, sum(ymu) AS sy, sum(th*ymu) AS sty, sum(th*th) AS stt
+    FROM (
+        SELECT metric_name, labels_str,
+               (CAST(floor(epoch(tt)) AS BIGINT) - 1704067200) // 3600 AS th,
+               CAST(floor(v * 1000000) AS BIGINT) AS ymu
+        FROM grouped)
+    GROUP BY 1, 2
+)
+SELECT metric_name, labels_str, n AS n_samples,
+       CASE WHEN n*stt - st*st > 0
+            THEN CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 + (CAST(n*sty - st*sy AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE))
+                   * (480.0 - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+            ELSE NULL END AS predicted_mu
+FROM s
+""",
+        "tsdb_histogram_buckets": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'purchase'")},
+wide AS (
+    SELECT metric_name, labels_str,
+           count(*) FILTER (WHERE v <= 4) AS c0,
+           count(*) FILTER (WHERE v <= 16) AS c1,
+           count(*) FILTER (WHERE v <= 64) AS c2,
+           count(*) FILTER (WHERE v <= 256) AS c3,
+           count(*) AS total
+    FROM grouped GROUP BY 1, 2
+)
+SELECT metric_name, labels_str, 4.0 AS le, c0 AS cum FROM wide
+UNION ALL SELECT metric_name, labels_str, 16.0, c1 FROM wide
+UNION ALL SELECT metric_name, labels_str, 64.0, c2 FROM wide
+UNION ALL SELECT metric_name, labels_str, 256.0, c3 FROM wide
+UNION ALL SELECT metric_name, labels_str, CAST('infinity' AS DOUBLE), total FROM wide
+""",
+        # q=9/10; `//` truncation == floor here (every operand positive in
+        # the matched bucket); Prometheus edge rules as in the Spark leg
+        "tsdb_histogram_quantile": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'purchase'")},
+wide AS (
+    SELECT metric_name, labels_str,
+           count(*) FILTER (WHERE v <= 4) AS c0,
+           count(*) FILTER (WHERE v <= 16) AS c1,
+           count(*) FILTER (WHERE v <= 64) AS c2,
+           count(*) FILTER (WHERE v <= 256) AS c3,
+           count(*) AS total
+    FROM grouped GROUP BY 1, 2
+)
+SELECT metric_name, labels_str, total AS n_samples,
+       CAST(CASE
+         WHEN 9*total <= 10*c0 THEN (4000000 * (9*total)) // (10*c0)
+         WHEN 9*total <= 10*c1 THEN 4000000 + (12000000 * (9*total - 10*c0)) // (10*(c1-c0))
+         WHEN 9*total <= 10*c2 THEN 16000000 + (48000000 * (9*total - 10*c1)) // (10*(c2-c1))
+         WHEN 9*total <= 10*c3 THEN 64000000 + (192000000 * (9*total - 10*c2)) // (10*(c3-c2))
+         ELSE 256000000
+       END AS BIGINT) AS q_mu
+FROM wide
 """,
         "events_salted_stats": """
 SELECT event_type, count(event_id) AS n_events,

@@ -244,6 +244,181 @@ def quantile_over_time(grouped: DataFrame, quantiles: list[float]) -> DataFrame:
     return agg.select(*cols)
 
 
+def count_values(grouped: DataFrame) -> DataFrame:
+    """PromQL ``count_values("value", v)``: number of samples per distinct
+    sample value, per metric — the cardinality-inversion move (value becomes
+    the key).  Double equality is exact (no arithmetic on the key), so the
+    grouping is engine-independent.  Plain hash aggregation: map-side
+    partials, one shuffle on (metric, value) — at 100 TB the output is
+    bounded by value cardinality, not sample count.
+    """
+    return grouped.groupBy("metric_name", F.col("max_0").alias("value")).agg(
+        F.count("*").alias("n_samples"),
+        F.countDistinct("slb").alias("n_series"),
+    )
+
+
+def deriv_sums(grouped: DataFrame, t0_s: int, t_unit_s: int = 3600) -> DataFrame:
+    """Exact per-series regression sums for ``deriv``/``predict_linear``.
+
+    Times are rebased to ``t0_s`` and floored to ``t_unit_s`` units; values
+    are quantized to integer micro-units (floor, values non-negative).  The
+    five sufficient statistics (n, Σt, Σy, Σty, Σt²) are exact int64 sums —
+    order-free, so partial aggregation combines map-side and the result is
+    bit-identical across engines and partitionings.  One shuffle on the
+    series key; at 100 TB the shuffled rows are pre-combined per-series
+    partials, never raw samples.
+    """
+    t = ((F.col("t").cast("long") - F.lit(t0_s)) / F.lit(t_unit_s)).cast("long")
+    y = F.floor(F.col("max_0") * 1_000_000).cast("long")
+    return (
+        grouped.select("metric_name", "slb", t.alias("_t"), y.alias("_y"))
+        .groupBy("metric_name", "slb")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum("_t").alias("st"),
+            F.sum("_y").alias("sy"),
+            F.sum(F.col("_t") * F.col("_y")).alias("sty"),
+            F.sum(F.col("_t") * F.col("_t")).alias("stt"),
+        )
+    )
+
+
+def deriv(grouped: DataFrame, t0_s: int, t_unit_s: int = 3600) -> DataFrame:
+    """PromQL ``deriv``: per-series least-squares slope over the range, in
+    micro-units per ``t_unit_s``.
+
+    ``slope = (nΣty − ΣtΣy) / (nΣt² − (Σt)²)`` — numerator and denominator
+    are computed in DECIMAL(38,0) (exact; the int64 sufficient statistics
+    can overflow a long when multiplied), each converted to double
+    (correctly-rounded, engine-independent), and divided once (single IEEE
+    division, bit-exact).  No interpolated float accumulates across rows.
+    Series with < 2 samples (or zero time variance) yield NULL.
+    """
+    d = deriv_sums(grouped, t0_s, t_unit_s)
+    dec = "decimal(38,0)"
+    n = F.col("n_samples").cast(dec)
+    num = n * F.col("sty").cast(dec) - F.col("st").cast(dec) * F.col("sy").cast(dec)
+    den = n * F.col("stt").cast(dec) - F.col("st").cast(dec) * F.col("st").cast(dec)
+    slope = F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(None).cast("double"))
+    return d.select("metric_name", "slb", "n_samples", slope.alias("slope_mu"))
+
+
+def predict_linear(
+    grouped: DataFrame, t0_s: int, tp_units: int, t_unit_s: int = 3600
+) -> DataFrame:
+    """PromQL ``predict_linear``: least-squares extrapolation of each series
+    to time ``tp_units`` (in ``t_unit_s`` units after ``t0_s``), in
+    micro-units.
+
+    ``ŷ(tp) = ȳ + slope·(tp − t̄)`` evaluated as a FIXED double expression
+    tree over exact integer statistics: n, Σt, Σy and the slope's
+    numerator/denominator all stay below 2⁵³ (so their double conversions
+    are exact in any engine), and every subsequent IEEE op is correctly
+    rounded — the same tree is emitted in the SQL oracle, so the result is
+    bit-identical cross-engine.  (The single-division closed form
+    ``(den·Σy + num·(n·tp − Σt)) / (n·den)`` is NOT used: its products
+    exceed 2⁵³, where DuckDB's two-step int128→double conversion and the
+    JVM's BigDecimal conversion can differ by 1 ulp.)
+    """
+    d = deriv_sums(grouped, t0_s, t_unit_s)
+    dec = "decimal(38,0)"
+    n = F.col("n_samples").cast(dec)
+    st, sy = F.col("st").cast(dec), F.col("sy").cast(dec)
+    num = n * F.col("sty").cast(dec) - st * sy
+    den = n * F.col("stt").cast(dec) - st * st
+    n_d = F.col("n_samples").cast("double")
+    slope = num.cast("double") / den.cast("double")
+    predicted = F.when(
+        den > 0,
+        F.col("sy").cast("double") / n_d
+        + slope * (F.lit(float(tp_units)) - F.col("st").cast("double") / n_d),
+    ).otherwise(F.lit(None).cast("double"))
+    return d.select(
+        "metric_name", "slb", "n_samples", predicted.alias("predicted_mu")
+    )
+
+
+def to_histogram(grouped: DataFrame, bounds: list[int]) -> DataFrame:
+    """Build Prometheus-style cumulative histogram series from raw samples:
+    one conditional count per ``le`` bound (finite ints + ``+Inf``), per
+    series — the ``<metric>_bucket`` family a Prometheus client would have
+    exported.
+
+    WIDE output (one row per series, one ``cum_<i>`` column per bound plus
+    ``total``): a single hash aggregation with map-side partials — no
+    window, no explode, one shuffle on the series key regardless of bucket
+    count.  :func:`histogram_buckets` unpivots to the (le, cum) wire shape;
+    :func:`histogram_quantile` consumes the wide shape directly.
+    """
+    aggs = [
+        F.count(F.when(F.col("max_0") <= F.lit(b), 1)).alias(f"cum_{i}")
+        for i, b in enumerate(bounds)
+    ]
+    aggs.append(F.count("*").alias("total"))
+    return grouped.groupBy("metric_name", "slb").agg(*aggs)
+
+
+def histogram_buckets(grouped: DataFrame, bounds: list[int]) -> DataFrame:
+    """The le-labeled cumulative bucket series (long format): per series,
+    one row per ``le`` in ``bounds + [+Inf]`` with the cumulative count —
+    exactly the shape ``histogram_quantile`` takes on the PromQL side.
+    Pure unpivot (stack) of the wide frame: no extra shuffle.
+    """
+    wide = to_histogram(grouped, bounds)
+    pairs: list[Column] = []
+    for i, b in enumerate(bounds):
+        pairs.append(F.struct(F.lit(float(b)).alias("le"), F.col(f"cum_{i}").alias("cum")))
+    pairs.append(F.struct(F.lit(float("inf")).alias("le"), F.col("total").alias("cum")))
+    return wide.select(
+        "metric_name", "slb", F.explode(F.array(*pairs)).alias("_b")
+    ).select("metric_name", "slb", F.col("_b.le").alias("le"), F.col("_b.cum").alias("cum"))
+
+
+def histogram_quantile(
+    grouped: DataFrame, q_num: int, q_den: int, bounds: list[int]
+) -> DataFrame:
+    """PromQL ``histogram_quantile(q, ...)`` with **exact integer
+    interpolation**: the quantile is returned in micro-units so the linear
+    interpolation inside the target bucket is pure int64 arithmetic
+    (``lo·10⁶ + (hi−lo)·10⁶·(q·total − cum_lo) div (q_den·bucket_n)``) —
+    floor division of non-negative ints, bit-identical in any engine.
+
+    Prometheus edge rules: a rank landing in the first bucket interpolates
+    from lower bound 0; a rank landing in the +Inf bucket returns the
+    highest finite bound.  ``q`` is the rational ``q_num/q_den``.
+
+    The bucket search is a chained CASE over the fixed (small) bounds list
+    on the wide histogram frame — per-row projection, zero shuffles beyond
+    the one inside :func:`to_histogram`.
+    """
+    wide = to_histogram(grouped, bounds)
+    rank = (F.lit(q_num) * F.col("total")).cast("long")  # vs q_den * cum
+
+    def interp(i: int) -> Column:
+        # In the matched bucket i, rank > q_den*cum_lo (an earlier bucket
+        # would have matched otherwise) and bucket_n > 0 (an empty bucket
+        # cannot be the first with cum >= rank), so num and den are strictly
+        # positive: `div` truncation == floor == DuckDB `//`.
+        lo = 0 if i == 0 else bounds[i - 1]
+        hi = bounds[i]
+        cum_lo = F.lit(0).cast("long") if i == 0 else F.col(f"cum_{i - 1}")
+        bucket_n = F.col(f"cum_{i}") - cum_lo
+        num = F.lit((hi - lo) * 1_000_000) * (rank - F.lit(q_den) * cum_lo)
+        den = F.lit(q_den) * bucket_n
+        return F.lit(lo * 1_000_000) + F.call_function("div", num, den)
+
+    result = F.lit(bounds[-1] * 1_000_000).cast("long")  # +Inf bucket rule
+    for i in reversed(range(len(bounds))):
+        in_bucket = rank <= F.lit(q_den) * F.col(f"cum_{i}")
+        result = F.when(in_bucket, interp(i).cast("long")).otherwise(result)
+    return wide.select(
+        "metric_name", "slb", F.col("total").alias("n_samples"), result.alias("q_mu")
+    )
+
+
 def label_project(labels: Column, prefix: str) -> Column:
     """X2: ``arrayFilter(x -> x LIKE 'name=%', labels)`` — keep one label."""
     return F.filter(labels, lambda x: x.like(f"{prefix}=%"))

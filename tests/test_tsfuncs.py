@@ -180,3 +180,68 @@ def test_label_join_fuses_sources(spark):
     assert ["tier=gold", "user=42", "ut=42|gold"] in out
     assert ["user=7", "ut=7|"] in out
     assert ["user=1", "ut=1|"] in out  # ut=old gone
+
+
+def test_count_values_inverts_value_to_key(spark):
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import count_values
+
+    rows = [
+        ("m", ["job=a"], _ts(10), 5.0),
+        ("m", ["job=a"], _ts(20), 5.0),
+        ("m", ["job=b"], _ts(10), 5.0),
+        ("m", ["job=b"], _ts(20), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+    got = {r["value"]: (r["n_samples"], r["n_series"]) for r in count_values(df).collect()}
+    assert got == {5.0: (3, 2), 9.0: (1, 1)}
+
+
+def test_deriv_exact_on_a_line(spark):
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import deriv, predict_linear
+
+    # y = 2 + 3*t_h (micro-exact): slope must be exactly 3e6 mu/hour and
+    # the t=10h extrapolation exactly 32e6
+    t0 = 1_000_000
+    rows = [("m", ["job=a"], _ts(t0 + 3600 * k), 2.0 + 3.0 * k) for k in range(3)]
+    rows += [("m", ["job=b"], _ts(t0), 1.0)]  # single sample: NULL slope
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+    d = {r["slb"][0]: r for r in deriv(df, t0).collect()}
+    assert d["job=a"]["slope_mu"] == 3_000_000.0
+    assert d["job=b"]["slope_mu"] is None
+    p = {r["slb"][0]: r for r in predict_linear(df, t0, 10).collect()}
+    assert p["job=a"]["predicted_mu"] == 32_000_000.0
+    assert p["job=b"]["predicted_mu"] is None
+
+
+def test_histogram_quantile_prometheus_rules(spark):
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
+        histogram_buckets,
+        histogram_quantile,
+    )
+
+    # values 1,2,5,20 with bounds [4,16]: cum = [2,3], total 4
+    rows = [("m", ["job=a"], _ts(10 * i), v) for i, v in enumerate([1.0, 2.0, 5.0, 20.0])]
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+    buckets = {
+        r["le"]: r["cum"] for r in histogram_buckets(df, [4, 16]).collect()
+    }
+    assert buckets == {4.0: 2, 16.0: 3, float("inf"): 4}
+    # q=1/2: rank lands exactly at the first bucket's upper edge -> 4.0
+    q50 = histogram_quantile(df, 1, 2, [4, 16]).collect()[0]
+    assert q50["q_mu"] == 4_000_000
+    # q=3/4: rank 3 is the last sample of the (4,16] bucket -> 16.0
+    q75 = histogram_quantile(df, 3, 4, [4, 16]).collect()[0]
+    assert q75["q_mu"] == 16_000_000
+    # q=1: rank lands in the +Inf bucket -> highest finite bound
+    q100 = histogram_quantile(df, 1, 1, [4, 16]).collect()[0]
+    assert q100["q_mu"] == 16_000_000
+    # first-bucket interpolation starts from lower bound 0: q=1/4 -> rank 1
+    # of 2 first-bucket samples -> 4 * (1/2) = 2.0
+    q25 = histogram_quantile(df, 1, 4, [4, 16]).collect()[0]
+    assert q25["q_mu"] == 2_000_000
