@@ -1674,6 +1674,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal (operators/dedup.py line_dedup):
+    segments appearing in >2 documents corpus-wide are dropped and each
+    document's surviving segments reassemble in order — explode, one
+    frequency aggregation, one equi-join, one reassembly groupBy; linear
+    at any corpus size."""
+    return dedup.line_dedup(_docs(spark, sf_dir), seg_tokens=8, max_doc_freq=2)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
@@ -3037,6 +3046,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_predict_linear": q_tsdb_predict_linear,
         "tsdb_histogram_buckets": q_tsdb_histogram_buckets,
         "tsdb_histogram_quantile": q_tsdb_histogram_quantile,
+        # --- never driver-verified: CCNet-style line-level dedup,
+        # added mid-round-5 ---
+        "dedup_lines": q_dedup_lines,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4136,6 +4148,28 @@ WITH {_TOKS_CTE}
 SELECT md5(array_to_string(toks, ' ')) AS content_hash,
        min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM toks GROUP BY 1
+""",
+        # CCNet-style boilerplate removal: non-overlapping 8-token segments,
+        # drop any appearing in >2 docs corpus-wide, reassemble in order
+        # (list slicing clamps at the tail in both engines)
+        "dedup_lines": f"""
+WITH {_TOKS_CTE},
+segs AS (
+    SELECT doc_id, i - 1 AS pos,
+           array_to_string(toks[(i-1)*8+1 : (i-1)*8+8], ' ') AS seg
+    FROM toks,
+         UNNEST(CASE WHEN len(toks) > 0
+                     THEN generate_series(1, CAST(ceil(len(toks) / 8.0) AS BIGINT))
+                     ELSE [] END) AS t(i)
+),
+freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+SELECT s.doc_id,
+       CAST(sum(CASE WHEN f.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN f.df > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       coalesce(array_to_string(list(s.seg ORDER BY s.pos) FILTER (WHERE f.df <= 2), ' '), '')
+           AS clean_text
+FROM segs s JOIN freq f USING (seg)
+GROUP BY 1
 """,
         "dedup_ngram_jaccard": f"""
 WITH {_TOKS_CTE}, {_SH_CTE},

@@ -68,6 +68,61 @@ def normalized_docs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    seg_tokens: int = 8,
+    max_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: drop every text segment
+    that appears in more than ``max_doc_freq`` documents corpus-wide, and
+    reassemble what remains in order.
+
+    The unit is a consecutive non-overlapping ``seg_tokens``-token segment
+    (this corpus has no newlines; a newline corpus passes lines directly).
+    Output: (doc_id, n_kept, n_dropped, clean_text).
+
+    Scale shape (the 100 TB path): posexplode -> one hash aggregation on
+    the segment key for global document frequency (map-side combine,
+    linear) -> one equi-join of frequencies back onto the segments -> one
+    groupBy(doc) to reassemble.  Three shuffles, all on keys whose
+    cardinality is corpus-proportional; no all-pairs stage, no driver
+    materialization.  The conditional aggregation keeps fully-boilerplate
+    documents in the output (clean_text = '') so downstream joins see
+    every input id.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+        # same materialization barrier as normalized_docs: segments are an
+        # array HOF over toks; keep the regexp tokenizer out of the lambda
+        .repartition(par, "doc_id")
+    )
+    k = seg_tokens
+    nseg = F.ceil(F.size("toks") / F.lit(k)).cast("int")
+    seg_arr = F.when(
+        F.size("toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice("toks", i * k + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = base.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
+    freq = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
+    joined = segs.join(freq, "seg")
+    keep = F.col("df") <= max_doc_freq
+    ordered = F.array_sort(
+        F.collect_list(F.when(keep, F.struct("pos", "seg")))  # nulls skipped
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum((~keep).cast("long")).alias("n_dropped"),
+        F.array_join(F.transform(ordered, lambda s: s["seg"]), " ").alias("clean_text"),
+    )
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on the md5 of the normalized token stream.
 

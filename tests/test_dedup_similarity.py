@@ -199,3 +199,44 @@ def test_ivf_train_centroids_moves_and_searches(spark):
     assert {r.query_id for r in out} == {0, 1}
     # with per-parity clusters, probe-1 neighbors share the query's parity
     assert all(r.neighbor_id % 2 == r.query_id % 2 for r in out)
+
+
+def test_line_dedup_drops_global_boilerplate(spark):
+    # segment unit = 2 tokens; "footer text" appears in 3 docs (> max 2)
+    # and must vanish from all of them; "unique words" stays
+    rows = [
+        (1, "alpha beta footer text"),
+        (2, "gamma delta footer text"),
+        (3, "epsilon zeta footer text"),
+        (4, "unique words only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(docs, seg_tokens=2, max_doc_freq=2).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (1, 1)
+    assert out[3]["clean_text"] == "epsilon zeta"
+    assert out[4]["clean_text"] == "unique words only here"
+    assert out[4]["n_dropped"] == 0
+
+
+def test_line_dedup_order_and_tail_segment(spark):
+    # 5 tokens at seg_tokens=2 -> segments (2,2,1); order must be preserved
+    # and a fully-boilerplate doc still appears with empty clean_text
+    rows = [
+        (1, "one two three four five"),
+        (2, "shared pair"),
+        (3, "shared pair"),
+        (4, "shared pair"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(docs, seg_tokens=2, max_doc_freq=2).collect()
+    }
+    assert out[1]["clean_text"] == "one two three four five"
+    assert out[1]["n_kept"] == 3
+    assert out[2]["clean_text"] == ""
+    assert out[2]["n_dropped"] == 1
