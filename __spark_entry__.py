@@ -1683,6 +1683,19 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup(_docs(spark, sf_dir), seg_tokens=8, max_doc_freq=2)
 
 
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership dedup (dedup.bloom_membership): docs with
+    id >= 250 probe the 4096-bit / 4-hash Bloom filter built from the
+    id < 250 corpus — the continuous-ingestion shape where the reference
+    corpus exists only as a bitmap, never as joinable rows.  False
+    positives are deterministic (md5 positions are bit-identical in the
+    oracle), so the flag itself hash-verifies."""
+    d = _docs(spark, sf_dir)
+    return dedup.bloom_membership(
+        d.where(F.col("doc_id") >= 250), d.where(F.col("doc_id") < 250), k=4, m=4096
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
 
@@ -3049,6 +3062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-verified: CCNet-style line-level dedup,
         # added mid-round-5 ---
         "dedup_lines": q_dedup_lines,
+        # --- never driver-verified: round-5 session-2 additions ---
+        "dedup_bloom": q_dedup_bloom,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4170,6 +4185,29 @@ SELECT s.doc_id,
            AS clean_text
 FROM segs s JOIN freq f USING (seg)
 GROUP BY 1
+""",
+        # Bloom membership: 4 salted-md5 bit positions per doc; ref corpus
+        # (id < 250) reduces to its distinct set bits; maybe_member iff all
+        # distinct probe positions are set (false positives included — they
+        # are hash-deterministic on both sides)
+        "dedup_bloom": f"""
+WITH {_TOKS_CTE},
+nrm AS (SELECT doc_id, array_to_string(toks, ' ') AS n FROM toks),
+pos AS (
+    SELECT doc_id,
+           [{", ".join(_H32.format(x=f"'bloom{i}:' || n") + " % 4096" for i in range(4))}] AS bits
+    FROM nrm
+),
+ref AS (SELECT DISTINCT unnest(bits) AS bit FROM pos WHERE doc_id < 250),
+probe AS (SELECT doc_id, list_distinct(bits) AS bits FROM pos WHERE doc_id >= 250),
+ex AS (SELECT doc_id, len(bits) AS n_bits, unnest(bits) AS bit FROM probe)
+SELECT e.doc_id,
+       CAST(e.n_bits AS BIGINT) AS n_bits,
+       CAST(sum(CASE WHEN r.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN r.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           = CAST(e.n_bits AS BIGINT) AS maybe_member
+FROM ex e LEFT JOIN ref r USING (bit)
+GROUP BY e.doc_id, e.n_bits
 """,
         "dedup_ngram_jaccard": f"""
 WITH {_TOKS_CTE}, {_SH_CTE},

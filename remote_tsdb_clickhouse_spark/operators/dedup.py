@@ -586,3 +586,68 @@ def simhash_pairs(
         cands.select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def bloom_positions(text_col, k: int = 4, m: int = 4096):
+    """The ``k`` Bloom bit positions of a document's normalized content.
+
+    Independent hash functions come from salting the md5 input
+    (``bloom{i}:`` prefix) rather than a (a*h+b) family: each position is
+    then a single :func:`hash32` the DuckDB oracle reproduces verbatim.
+    Duplicate positions (two salts colliding on one bit) are kept — the
+    membership test below counts *distinct* positions on both sides.
+    """
+    norm = F.concat_ws(" ", tokens(text_col))
+    return F.array(
+        *[hash32(F.concat(F.lit(f"bloom{i}:"), norm)) % m for i in range(k)]
+    )
+
+
+def bloom_membership(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    k: int = 4,
+    m: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Membership of ``new_docs`` against the Bloom filter of ``ref_docs``
+    — continuous-ingestion dedup/decontamination where the reference corpus
+    exists only as an ``m``-bit filter, never as joinable rows.
+
+    Scale shape (the 100 TB path): the filter side reduces to at most ``m``
+    distinct set-bit rows (bounded by the FILTER size, not the corpus — at
+    production scale m is sized to the corpus, e.g. 2^33 bits ≈ 1 GiB for
+    1e9 docs at 1% FPR, still a broadcastable bitmap).  Probing is one
+    explode of ``k`` positions per new doc, a broadcast equi-join onto the
+    set-bit table, and one doc-keyed count — linear in the probe stream,
+    with the classic Bloom guarantee: no false negatives, deterministic
+    (hash-identical in the oracle) false positives.
+
+    Output: (doc_id, n_bits, n_hit, maybe_member) for every new doc;
+    ``maybe_member`` iff all k (distinct) positions are set.
+    """
+    set_bits = (
+        spread(ref_docs)
+        .select(F.explode(bloom_positions(F.col(text_col), k, m)).alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probes = spread(new_docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(bloom_positions(F.col(text_col), k, m)).alias("bits"),
+    )
+    ex = probes.select(
+        "doc_id", F.size("bits").cast("long").alias("n_bits"), F.explode("bits").alias("bit")
+    )
+    return (
+        ex.join(F.broadcast(set_bits), "bit", "left")
+        .groupBy("doc_id", "n_bits")
+        .agg(F.sum(F.coalesce("present", F.lit(0))).cast("long").alias("n_hit"))
+        .select(
+            "doc_id",
+            "n_bits",
+            "n_hit",
+            (F.col("n_hit") == F.col("n_bits")).alias("maybe_member"),
+        )
+    )
