@@ -2580,6 +2580,93 @@ def q_streaming_windowed_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session -> {sf_dir: staging dir} for the streaming-dedup input chunks.
+_DEDUP_STREAM_STAGING: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def stage_dedup_stream_input(spark: SparkSession, sf_dir: str) -> str:
+    """Write the streaming-dedup input: the documents table as 4 ascending
+    ``doc_id``-range parquet chunks whose file mtimes pin the micro-batch
+    order (FileStreamSource orders new files by modification time;
+    ``maxFilesPerTrigger=1`` then yields one chunk per batch, in doc_id
+    order).  Memoized per (session, sf_dir) like the samples staging."""
+    import os
+    import shutil
+    import time
+
+    per = _DEDUP_STREAM_STAGING.setdefault(spark, {})
+    staging = per.get(sf_dir)
+    if staging is not None:
+        return staging
+    staging = tempfile.mkdtemp(prefix="graft_dedup_stream_")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.concat_ws(" ", tx.tokens(F.col("text")))).alias("content_hash")
+    )
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] + 1  # metadata-sized action
+    in_dir = f"{staging}/in"
+    os.makedirs(in_dir)
+    t0 = time.time() - 1000
+    for i in range(4):
+        chunk_dir = f"{staging}/chunk{i}"
+        (
+            docs.where(
+                (F.col("doc_id") >= i * hi / 4) & (F.col("doc_id") < (i + 1) * hi / 4)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(chunk_dir)
+        )
+        part = next(
+            f for f in os.listdir(chunk_dir) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = f"{in_dir}/chunk{i}.parquet"
+        shutil.move(f"{chunk_dir}/{part}", dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    per[sf_dir] = staging
+    return staging
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard oracle signal for the streaming dedup-on-ingest operator: a
+    real Structured Streaming run (file source, one ascending doc_id chunk
+    per micro-batch -> ``applyInPandasWithState`` keyed by content hash ->
+    memory sink, availableNow) whose per-doc duplicate indices must equal
+    the batch ``row_number() - 1`` over the full corpus — cross-batch
+    counting state is only correct if it reproduces the global order
+    statistics."""
+    import uuid
+
+    from remote_tsdb_clickhouse_spark.streaming.ingest import stateful_dedup_stream
+
+    ensure_query_confs(spark)
+    staging = stage_dedup_stream_input(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, content_hash STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging}/in")
+    )
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="graft_dedup_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stateful_dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("streaming dedup did not finish within 180s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname)
+
+
 def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 keywords with TF-IDF scores: term frequency via
     explode+groupBy, document frequency via a second aggregation on the same
@@ -3064,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         # --- never driver-verified: round-5 session-2 additions ---
         "dedup_bloom": q_dedup_bloom,
+        "streaming_dedup": q_streaming_dedup,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4513,6 +4601,20 @@ FROM b GROUP BY 1, 2
 """,
         # the streaming stateful-rate result must equal the batch lag window
         # over the same (series, second)-grouped history — state == lag
+        # streaming dedup: cross-batch counting state must equal the batch
+        # row_number() over the full corpus (batches arrive in ascending
+        # doc_id ranges by construction)
+        "streaming_dedup": f"""
+WITH {_TOKS_CTE},
+h AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS content_hash FROM toks),
+r AS (
+    SELECT content_hash, doc_id,
+           row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) - 1 AS nsb
+    FROM h
+)
+SELECT content_hash, doc_id, CAST(nsb AS BIGINT) AS n_seen_before, nsb = 0 AS is_first
+FROM r
+""",
         "streaming_stateful_rate": f"""
 WITH {SAMPLES_ORACLE_CTE},
 grouped AS (

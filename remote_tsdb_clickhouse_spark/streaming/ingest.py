@@ -189,3 +189,63 @@ def rate_demo_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFra
         )
         .withColumn("ts", F.date_trunc("second", "ts"))
     )
+
+
+#: Output schema of :func:`stateful_dedup_stream`.
+DEDUP_OUTPUT_SCHEMA = (
+    "content_hash STRING, doc_id BIGINT, n_seen_before BIGINT, is_first BOOLEAN"
+)
+#: Per-content-hash state: how many copies have been seen so far.
+DEDUP_STATE_SCHEMA = "n_seen BIGINT"
+
+
+def stateful_dedup_stream(doc_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: dedup-on-ingest
+    (``applyInPandasWithState``) — the streaming half of
+    ``operators/dedup.exact_dedup``.
+
+    A training-data pipeline ingesting a document firehose wants each
+    document tagged *as it arrives* with whether its content was already
+    seen — batch dedup would mean re-scanning the accumulated corpus every
+    cycle.  The state is the minimal sufficient statistic:
+
+    - group key: the content identity (md5 of the normalized token stream
+      — same key as the batch ``exact_dedup``);
+    - state: ``n_seen`` — 8 bytes per distinct content, bounded by corpus
+      cardinality, not throughput;
+    - per batch: the group's new docs in ``doc_id`` order get their
+      global duplicate index ``n_seen_before`` (state count + rank within
+      the batch); ``is_first`` marks the keeper;
+    - state update: the new count.
+
+    Emitted flags are deterministic when micro-batches arrive in ascending
+    ``doc_id`` ranges (the staging writer pins file order via mtime) —
+    then ``n_seen_before`` equals the batch ``row_number() - 1`` over the
+    full history, which is exactly what the oracle checks.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state) -> "pd.DataFrame":
+        (h,) = key
+        n = int(state.get[0]) if state.exists else 0
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        ids.sort()
+        state.update((n + len(ids),))
+        yield pd.DataFrame(
+            {
+                "content_hash": [h] * len(ids),
+                "doc_id": ids,
+                "n_seen_before": [n + i for i in range(len(ids))],
+                "is_first": [n + i == 0 for i in range(len(ids))],
+            }
+        )
+
+    return doc_stream.groupBy("content_hash").applyInPandasWithState(
+        update,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
