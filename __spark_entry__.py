@@ -1821,6 +1821,26 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_at_10(spark, sf_dir, approx)
 
 
+def q_sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncated exact search: cosine top-10 computed in the
+    first 16 of 64 dimensions (F.slice, zero data movement) — the MRL
+    serving trick where a prefix of the embedding is itself a valid
+    lower-rank embedding, giving a 4x cheaper scan with no index at all.
+    Same brute-force dataflow (broadcast queries, corpus never moves)."""
+    emb = _embs(spark, sf_dir).withColumn("embedding", F.slice("embedding", 1, 16))
+    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
+def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the 16-dim Matryoshka prefix against the full 64-dim
+    exact top-10 — the dimension/quality trade-off number, on the same
+    recall axis as the LSH/IVF/PQ diagnostics."""
+    tr = _embs(spark, sf_dir).withColumn("embedding", F.slice("embedding", 1, 16))
+    approx = similarity.brute_force_topk(tr, tr.where(F.col("vec_id") < 10), k=10)
+    return _recall_at_10(spark, sf_dir, approx)
+
+
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN: 16 deterministic coarse centroids, nprobe=2."""
     emb = _embs(spark, sf_dir)
@@ -3152,6 +3172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-verified: round-5 session-2 additions ---
         "dedup_bloom": q_dedup_bloom,
         "streaming_dedup": q_streaming_dedup,
+        "sim_matryoshka_topk": q_sim_matryoshka_topk,
+        "sim_matryoshka_recall": q_sim_matryoshka_recall,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -3431,6 +3453,28 @@ scored AS (
     JOIN n q ON q.vec_id = p.query_id
     JOIN asg a ON a.cent_id = p.cent_id
     JOIN n c ON c.vec_id = a.vec_id AND c.vec_id != p.query_id
+),
+r AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= {k}
+"""
+
+
+def _matryoshka_topk_sql(dims: int = 16, k: int = 10, qmax: int = 10) -> str:
+    """Exact cosine top-k in the first ``dims`` dims (list slice before the
+    norm) — the truncated-space twin of :func:`_brute_topk_sql`."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding[1:{dims}] AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+q AS (SELECT * FROM n WHERE vec_id < {qmax}),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.nrm > 0 AND c.nrm > 0
+                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+    FROM q JOIN n c ON c.vec_id != q.vec_id
 ),
 r AS (
     SELECT query_id, neighbor_id, cos,
@@ -4356,6 +4400,8 @@ WHERE a.nrm > 0 AND b.nrm > 0
         # the exact cosine top-10, all composed from the same generators —
         # the three index variants (LSH / multi-probe LSH / IVF) become
         # comparable on one axis, alongside the PQ pair
+        "sim_matryoshka_topk": _matryoshka_topk_sql(dims=16, k=10, qmax=10),
+        "sim_matryoshka_recall": _recall_sql(_matryoshka_topk_sql(dims=16, k=10, qmax=10)),
         "sim_lsh_recall": _recall_sql(_lsh_topk_sql(k=10, qmax=10, nprobe=1)),
         "sim_lsh_multiprobe_recall": _recall_sql(_lsh_topk_sql(k=10, qmax=10, nprobe=3)),
         "sim_ivf_recall": _recall_sql(_ivf_topk_sql(k=10, qmax=10, nprobe=2)),
