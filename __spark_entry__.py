@@ -317,6 +317,48 @@ def q_tsdb_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_stddev_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL stddev_over_time + last_over_time: per-series 1-hour buckets
+    with population stddev and the latest value.
+
+    Cross-engine exactness: values quantize to integer micro-units; the
+    square-sum runs in DECIMAL(18,0)x(18,0) (exact at any bucket size, no
+    int64 overflow at 5.6e8 micro-units squared), and the final
+    ``floor(sqrt((q - s²/n)/n))`` uses only IEEE-exact ops (sqrt/div are
+    correctly rounded — only libm transcendentals drift), so the emitted
+    ``stddev_micro`` is bit-identical in DuckDB.  One map-side-combinable
+    hash aggregation; last_v is max_by over the in-bucket timestamp
+    (unique per series after the A1 grouping)."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "view"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    flat = grouped.select("metric_name", _lbl(), _epoch(), "max_0")
+    iv = F.floor(F.col("max_0") * 1000000.0).cast("long")
+    bucket = (F.col("t") - F.col("t") % 3600).alias("bucket_t")
+    agg = (
+        flat.select("metric_name", "labels_str", bucket, "t", "max_0", iv.alias("iv"))
+        .groupBy("metric_name", "labels_str", "bucket_t")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("iv").alias("s"),
+            F.sum(F.col("iv").cast("decimal(18,0)") * F.col("iv").cast("decimal(18,0)")).alias("q"),
+            F.max_by("max_0", "t").alias("last_v"),
+        )
+    )
+    s = F.col("s").cast("double")
+    qq = F.col("q").cast("double")
+    nn = F.col("n").cast("double")
+    var = (qq - s * s / nn) / nn
+    return agg.select(
+        "metric_name",
+        "labels_str",
+        "bucket_t",
+        "n",
+        F.col("s").alias("sum_micro"),
+        F.floor(F.sqrt(F.greatest(var, F.lit(0.0)))).cast("long").alias("stddev_micro"),
+        "last_v",
+    )
+
+
 def q_tsdb_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series trailing 5-point moving average over the grouped-max
     samples (window frame over the series key — the smoothing companion to
@@ -3174,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "sim_matryoshka_topk": q_sim_matryoshka_topk,
         "sim_matryoshka_recall": q_sim_matryoshka_recall,
+        "tsdb_stddev_over_time": q_tsdb_stddev_over_time,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -3863,6 +3906,35 @@ SELECT metric_name, labels_str,
        CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_v,
        min(v) AS min_v, max(v) AS max_v, count(*) AS n
 FROM grouped GROUP BY 1, 2, 3
+""",
+        # stddev_over_time + last_over_time: micro-unit int squares summed
+        # in DECIMAL(18,0) products (exact), stddev via IEEE-exact
+        # sqrt/div only — bit-identical across engines
+        "tsdb_stddev_over_time": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'view'")},
+iv AS (
+    SELECT metric_name, labels_str, tt, v,
+           CAST(floor(epoch(tt)) AS BIGINT) AS t,
+           (CAST(floor(epoch(tt)) AS BIGINT) - CAST(floor(epoch(tt)) AS BIGINT) % 3600)
+               AS bucket_t,
+           CAST(floor(v * 1000000.0) AS BIGINT) AS ivv
+    FROM grouped
+),
+agg AS (
+    SELECT metric_name, labels_str, bucket_t,
+           count(*) AS n,
+           CAST(sum(ivv) AS BIGINT) AS s,
+           sum(CAST(ivv AS DECIMAL(18,0)) * CAST(ivv AS DECIMAL(18,0))) AS q,
+           max_by(v, t) AS last_v
+    FROM iv GROUP BY 1, 2, 3
+)
+SELECT metric_name, labels_str, bucket_t, n, s AS sum_micro,
+       CAST(floor(sqrt(greatest(
+           (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(n AS DOUBLE), 0.0))) AS BIGINT) AS stddev_micro,
+       last_v
+FROM agg
 """,
         "tsdb_moving_avg": f"""
 WITH {SAMPLES_ORACLE_CTE},
