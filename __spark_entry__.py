@@ -2009,6 +2009,92 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training: shard = content-
+    independent md5 hash of the id, position = rank of a second salted hash
+    within the shard.  The 100 TB shape of "shuffle the corpus": hash-
+    partition once, sort only WITHIN each shard (per-partition sort, no
+    global ordering stage) — re-runs and other engines agree row-for-row,
+    unlike ``df.orderBy(rand())``."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("pos:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("h2", "doc_id")
+    return (
+        d.select("doc_id", (h % 8).alias("shard"), h2.alias("h2"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-style vocabulary induction: corpus-wide top-100 terms by
+    frequency (count desc, term asc).  The global cut uses orderBy+limit —
+    Catalyst's TakeOrderedAndProject, a per-partition heap merged on one
+    node, NOT a global sort — then ranks the bounded result."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(tx.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term"))
+    return counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+def q_tsdb_offset_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``offset`` modifier: per-series hourly sum now vs the same
+    hour one day earlier, as a day-over-day ratio.  Both legs come from ONE
+    scan/aggregation (self-join on the shifted bucket key — at scale the
+    join is an equi-join on (series, hour), shuffle-partitioned once);
+    sums stay in exact micro-units and the ratio quantizes to micro-units
+    (IEEE-exact division + floor) for cross-engine stability."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "view"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    flat = grouped.select("metric_name", _lbl(), _epoch(), "max_0")
+    hourly = (
+        flat.select(
+            "metric_name",
+            "labels_str",
+            (F.col("t") - F.col("t") % 3600).alias("bucket_t"),
+            F.floor(F.col("max_0") * 1000000.0).cast("long").alias("iv"),
+        )
+        .groupBy("metric_name", "labels_str", "bucket_t")
+        .agg(F.sum("iv").alias("s"))
+    )
+    prev = hourly.select(
+        "metric_name",
+        "labels_str",
+        (F.col("bucket_t") + 86400).alias("bucket_t"),
+        F.col("s").alias("s_prev"),
+    )
+    ratio = F.floor(
+        F.col("s").cast("double") / F.col("s_prev").cast("double") * 1000000.0
+    ).cast("long")
+    return (
+        hourly.join(prev, ["metric_name", "labels_str", "bucket_t"])
+        .where(F.col("s_prev") > 0)
+        .select(
+            "metric_name",
+            "labels_str",
+            "bucket_t",
+            F.col("s").alias("sum_micro"),
+            F.col("s_prev").alias("prev_sum_micro"),
+            ratio.alias("dod_ratio_micro"),
+        )
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.langid_frame(_docs(spark, sf_dir))
 
@@ -3217,6 +3303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_matryoshka_topk": q_sim_matryoshka_topk,
         "sim_matryoshka_recall": q_sim_matryoshka_recall,
         "tsdb_stddev_over_time": q_tsdb_stddev_over_time,
+        "tsdb_offset_ratio": q_tsdb_offset_ratio,
+        "dataset_shuffle_shards": q_dataset_shuffle_shards,
+        "text_vocab": q_text_vocab,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -3906,6 +3995,48 @@ SELECT metric_name, labels_str,
        CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_v,
        min(v) AS min_v, max(v) AS max_v, count(*) AS n
 FROM grouped GROUP BY 1, 2, 3
+""",
+        # deterministic global shuffle: shard by id-hash, rank by a second
+        # salted hash within the shard
+        "dataset_shuffle_shards": f"""
+WITH h AS (
+    SELECT doc_id,
+           {_H32.format(x="CAST(doc_id AS VARCHAR)")} AS h1,
+           {_H32.format(x="'pos:' || CAST(doc_id AS VARCHAR)")} AS h2
+    FROM documents
+)
+SELECT doc_id, h1 % 8 AS shard,
+       CAST(row_number() OVER (PARTITION BY h1 % 8 ORDER BY h2, doc_id) AS BIGINT) AS pos
+FROM h
+""",
+        # vocabulary induction: corpus-wide top-100 terms by frequency
+        "text_vocab": f"""
+WITH {_TOKS_CTE},
+c AS (SELECT unnest(toks) AS term FROM toks),
+f AS (SELECT term, count(*) AS cnt FROM c GROUP BY 1)
+SELECT term, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rnk
+FROM f ORDER BY cnt DESC, term LIMIT 100
+""",
+        # PromQL offset modifier: hourly sums self-joined on the
+        # day-shifted bucket key, ratio in exact micro-units
+        "tsdb_offset_ratio": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'view'")},
+hourly AS (
+    SELECT metric_name, labels_str,
+           (CAST(floor(epoch(tt)) AS BIGINT) - CAST(floor(epoch(tt)) AS BIGINT) % 3600)
+               AS bucket_t,
+           CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+    FROM grouped GROUP BY 1, 2, 3
+)
+SELECT c.metric_name, c.labels_str, c.bucket_t,
+       c.s AS sum_micro, p.s AS prev_sum_micro,
+       CAST(floor(CAST(c.s AS DOUBLE) / CAST(p.s AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS dod_ratio_micro
+FROM hourly c JOIN hourly p
+  ON c.metric_name = p.metric_name AND c.labels_str = p.labels_str
+ AND c.bucket_t = p.bucket_t + 86400
+WHERE p.s > 0
 """,
         # stddev_over_time + last_over_time: micro-unit int squares summed
         # in DECIMAL(18,0) products (exact), stddev via IEEE-exact
