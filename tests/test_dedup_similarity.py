@@ -240,3 +240,25 @@ def test_line_dedup_order_and_tail_segment(spark):
     assert out[1]["n_kept"] == 3
     assert out[2]["clean_text"] == ""
     assert out[2]["n_dropped"] == 1
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Every new doc whose exact content exists in the reference corpus
+    must test maybe_member (Bloom guarantee); a doc sharing no content is
+    not a member at this filter density."""
+    from remote_tsdb_clickhouse_spark.operators.dedup import bloom_membership
+
+    ref = spark.createDataFrame(
+        [(i, f"shared text number {i % 3}") for i in range(6)], "doc_id LONG, text STRING"
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "shared text number 1"),  # exact content match -> member
+            (101, "completely unrelated content xyzzy"),  # no match
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in bloom_membership(new, ref, k=4, m=65536).collect()}
+    assert out[100].maybe_member  # no false negatives, ever
+    assert out[100].n_hit == out[100].n_bits
+    assert not out[101].maybe_member  # 6 docs * 4 bits in 65536: FP ~ 1e-13

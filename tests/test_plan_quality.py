@@ -246,3 +246,52 @@ def test_q20_date_and_name_filters_pushed(spark):
     plan = _plan(spark, "q20_promotable_suppliers")
     assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in plan, plan
     assert "StringStartsWith(p_name,small)" in plan, plan
+
+
+def test_bloom_broadcast_probe_no_shuffle_join(spark):
+    # the Bloom set-bit side is bounded by the filter size (<= m rows):
+    # its join onto the probe stream must be broadcast, never a shuffle
+    # of the probe side on the bit key
+    plan = _plan(spark, "dedup_bloom")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_vocab_global_topk_is_heap_not_sort(spark):
+    # the corpus-wide top-100 cut must plan as TakeOrderedAndProject
+    # (per-partition heaps merged once), not a global Sort of all terms
+    plan = _plan(spark, "text_vocab")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_shuffle_shards_single_partition_free(spark):
+    # the deterministic shuffle ranks within hash shards only — there
+    # must be no single-partition global window (Exchange SinglePartition
+    # feeding a Window would serialize the corpus through one task)
+    plan = _plan(spark, "dataset_shuffle_shards")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_offset_ratio_equi_join_no_cartesian(spark):
+    # the day-over-day self-join is an equi-join on (series, hour)
+    plan = _plan(spark, "tsdb_offset_ratio")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_matryoshka_corpus_never_moves(spark):
+    # truncated-dim brute force keeps the brute-force shape: queries are
+    # broadcast, the corpus side joins with zero shuffle
+    plan = _plan(spark, "sim_matryoshka_topk")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stddev_over_time_mapside_partial_agg(spark):
+    # one hash aggregation with a map-side partial (two HashAggregate
+    # nodes around one exchange), no window operator
+    plan = _plan(spark, "tsdb_stddev_over_time")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" not in plan, plan

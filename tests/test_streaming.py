@@ -125,3 +125,45 @@ def test_stateful_rate_across_restarts(spark, tmp_path):
     assert rows[datetime(2024, 1, 1, 0, 0, 30)] == 5.0  # (250-150)/(30-10)
     assert rows[datetime(2024, 1, 1, 0, 0, 40)] is None  # counter reset -> NULL
     assert rows[datetime(2024, 1, 1, 0, 0, 10)] == 5.0  # run1's, not the late 999
+
+
+def test_stateful_dedup_stream_cross_batch(spark, tmp_path):
+    """Cross-batch dedup state: a content hash seen in batch 1 must mark
+    batch-2 arrivals as duplicates with the continued global count."""
+    from remote_tsdb_clickhouse_spark.streaming.ingest import stateful_dedup_stream
+
+    staging = str(tmp_path / "dedup_staging")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    out_dir = str(tmp_path / "dedup_out")
+    schema = "doc_id BIGINT, content_hash STRING"
+
+    def run():
+        # parquet sink (memory sink cannot resume from a checkpoint)
+        stream = spark.readStream.schema(schema).parquet(staging)
+        q = (
+            stateful_dedup_stream(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+
+    spark.createDataFrame([(1, "h1"), (2, "h1"), (3, "h2")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(staging)
+    out1 = run()
+    assert out1[1].is_first and out1[1].n_seen_before == 0
+    assert not out1[2].is_first and out1[2].n_seen_before == 1
+    assert out1[3].is_first
+
+    spark.createDataFrame([(4, "h1"), (5, "h3")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(staging)
+    out2 = run()
+    assert len(out2) == 5  # checkpoint: batch 1 emitted once, not reprocessed
+    assert not out2[4].is_first and out2[4].n_seen_before == 2  # state crossed batches
+    assert out2[5].is_first and out2[5].n_seen_before == 0
