@@ -3226,8 +3226,9 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
         # continuous-aggregate maintenance job, not the serve path
         _rollup_store(spark, sf_dir)
     elif family == "streaming":
-        # the staging write is the batch-ingest setup the stream tails
+        # the staging writes are the batch-ingest setup the streams tail
         stage_streaming_input(spark, sf_dir)
+        stage_dedup_stream_input(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3244,10 +3245,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle r5 touched (bucketed_topk gained nprobe, the LSH/IVF oracles
     # became shared generators, the PNG decoder gained palette support
     # under multimodal_features); the remaining slots go to the entries
-    # with the OLDEST rows (r3) — after this round every one of the 126
+    # with the OLDEST rows (r3) — after this round every one of the 135
     # queries has a driver row from r3 or later, and the never-verified
-    # set (now including the 5 PromQL-depth entries) sits entirely inside
-    # the 50-entry window.
+    # set (the r4 16, the r5 PromQL/ANN/codec/TPC-H additions, and the
+    # r5 session-2 block: Bloom membership, streaming dedup, Matryoshka
+    # pair, stddev/offset PromQL, shuffle-shards, vocab) sits entirely
+    # inside the 50-entry window (45 never-verified + 3 r5-touched + 2
+    # oldest-row fills).
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
