@@ -454,45 +454,70 @@ def connected_components(
     # twice, and without this the (possibly expensive) upstream pipeline
     # producing the pairs would be evaluated once per direction
     pairs = pairs.persist()
-    edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .persist()
+    both = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).union(
+        pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
-    # initialization fused with the first propagation round: each node
-    # starts at min(self, direct neighbors) — one aggregate instead of a
-    # distinct + a full loop iteration
-    labels = (
-        edges.select(F.col("src").alias("node"), F.col("dst").alias("lbl"))
-        .union(edges.select(F.col("src").alias("node"), F.col("src").alias("lbl")))
-        .groupBy("node")
-        .agg(F.min("lbl").alias("lbl"))
-        .localCheckpoint()
-    )
-    pairs.unpersist()
+    # Size the per-round shuffles to the EDGE count, not the session
+    # default: the pair graph is sparse (near-dup pairs << corpus), and
+    # the per-round fixed cost (task launch per partition, one job per
+    # round) dominates when 32-partition frames hold a few hundred edges.
+    # The count is one job over the already-persisted pair frame; the same
+    # sizing keeps working at 100 TB where n_edges picks many partitions.
+    spark = pairs.sparkSession
+    # count the (persisted, usually caller-materialized) pair frame, not
+    # the doubled edge union — one cache-served job instead of a fresh scan
+    n_edges = 2 * pairs.count()
+    default_par = spark.sparkContext.defaultParallelism
+    round_par = max(1, min(default_par, n_edges // 50_000 + 1))
+    # co-partition the edge frame on the join key at the round width so
+    # every round's join probes round_par cached partitions, not the
+    # upstream pipeline's layout; materialization is folded into the
+    # first round's action (no standalone count job)
+    edges = both.repartition(round_par, "src").persist()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(round_par))
+    try:
+        # initialization fused with the first propagation round: each node
+        # starts at min(self, direct neighbors) — one aggregate instead of a
+        # distinct + a full loop iteration
+        def _lbl_sum(df: DataFrame) -> object:
+            # decimal sum: overflow-safe at any id range / node count
+            return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
 
-    def _lbl_sum(df: DataFrame) -> object:
-        # decimal sum: overflow-safe at any id range / node count
-        return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
-
-    prev_sum = _lbl_sum(labels)
-    for _ in range(max_iters):
-        nbr = edges.join(labels, edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), F.col("lbl")
-        )
+        # initialization fused with the first propagation round: each node
+        # starts at min(self, direct neighbors) — one aggregate instead of
+        # a distinct + a full loop iteration.  Checkpoints are LAZY: the
+        # convergence sum is the materializing action, so each round is
+        # exactly ONE Spark job (eager checkpoints + a separate sum were
+        # two, and the per-round job overhead dominates on sparse graphs).
         labels = (
-            nbr.union(labels.select("node", "lbl"))
+            edges.select(F.col("src").alias("node"), F.col("dst").alias("lbl"))
+            .union(edges.select(F.col("src").alias("node"), F.col("src").alias("lbl")))
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        # min-label propagation strictly decreases the label sum until the
-        # fixpoint — a join-free convergence test (one tiny aggregate over
-        # the already-checkpointed frame)
-        new_sum = _lbl_sum(labels)
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        prev_sum = _lbl_sum(labels)
+        pairs.unpersist()
+        for _ in range(max_iters):
+            nbr = edges.join(labels, edges["src"] == labels["node"]).select(
+                F.col("dst").alias("node"), F.col("lbl")
+            )
+            labels = (
+                nbr.union(labels.select("node", "lbl"))
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint(eager=False)
+            )
+            # min-label propagation strictly decreases the label sum until
+            # the fixpoint — a join-free convergence test that doubles as
+            # the checkpoint's materializing action
+            new_sum = _lbl_sum(labels)
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("group_id"))
 
