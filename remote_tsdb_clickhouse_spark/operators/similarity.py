@@ -491,6 +491,8 @@ def pq_train_codebook(
     """
     import numpy as np
 
+    from remote_tsdb_clickhouse_spark.util import spread
+
     cent_ids, cent_mat = _pq_centroids(emb, k, id_col, vec_col)
     d = cent_mat.shape[1]
     if d % m:
@@ -499,6 +501,13 @@ def pq_train_codebook(
     cent_sub = cent_mat.reshape(len(cent_ids), m, sub)
     spark = emb.sparkSession
     kk = len(cent_ids)
+
+    # spread + persist the training scan ONCE: a single-file corpus would
+    # otherwise run every Lloyd's iteration single-partition (the Arrow
+    # pass is the iteration cost), and each iteration would re-read the
+    # source.  Persisting the projected vector column across fixed
+    # iterations is the standard iterative-training shape at any scale.
+    data = spread(emb.select(vec_col)).persist()
 
     for _ in range(n_iters):
         bc = spark.sparkContext.broadcast(cent_sub)
@@ -537,7 +546,7 @@ def pq_train_codebook(
                 )
 
         agg = (
-            emb.select(vec_col)
+            data
             .mapInPandas(partials, schema="s LONG, cl LONG, j LONG, sm LONG, cnt LONG")
             .groupBy("s", "cl", "j")
             .agg(F.sum("sm").alias("sm"), F.sum("cnt").alias("cnt"))
@@ -557,6 +566,7 @@ def pq_train_codebook(
                 new[c, s, j] = q if sm >= 0 else -q
         cent_sub = new
 
+    data.unpersist()
     return cent_ids, cent_sub.reshape(kk, d)
 
 
