@@ -2817,15 +2817,22 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_query_confs(spark)
     staging = stage_dedup_stream_input(spark, sf_dir)
+    # two chunks per micro-batch: batch 1 = quartiles 0-1, batch 2 =
+    # quartiles 2-3 — still a REAL cross-batch state boundary (ascending
+    # doc_id ranges preserved; within-batch order is restored by the
+    # operator's sort), at half the micro-batch planning overhead
     stream = (
         spark.readStream.schema("doc_id BIGINT, content_hash STRING")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(f"{staging}/in")
     )
     qname = f"dedup_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="graft_dedup_ckpt_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # one state store per shuffle partition per batch: size to the live
+    # key cardinality / core count, not the session default (same knob
+    # note as the stateful-rate query above)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q = (
             stateful_dedup_stream(stream)
