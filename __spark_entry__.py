@@ -359,6 +359,47 @@ def q_tsdb_stddev_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_exp_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (the level term of PromQL ``holt_winters``
+    at alpha = 0.5) over each series' trailing 21 samples, EXACT in
+    integers: with alpha = 1/2 the unrolled recurrence
+    ``s_T = sum_j x_{T-j} / 2^(j+1) + x_oldest / 2^(K-1)`` has
+    power-of-two weights only, so scaling by 2^20 turns the whole
+    computation into int64 shift-adds (max ~6e14 at this value range, no
+    overflow) — bit-identical cross-engine where a float ``pow`` chain
+    would drift.  Output per series: samples used and the scaled level
+    (micro-units x 2^20).  One ranking window + one aggregation, both on
+    the series key (exchange reused); at scale the trailing window is
+    bounded by a pushed time filter, not a full-history sort."""
+    from pyspark.sql import Window
+
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    flat = grouped.select("metric_name", _lbl(), _epoch(), "max_0")
+    w = Window.partitionBy("metric_name", "labels_str").orderBy(F.col("t").desc())
+    ranked = (
+        flat.select(
+            "metric_name",
+            "labels_str",
+            F.floor(F.col("max_0") * 1000000.0).cast("long").alias("iv"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 21)
+    )
+    wk = Window.partitionBy("metric_name", "labels_str")
+    term = F.when(
+        F.col("rn") < F.col("k"), F.expr("shiftleft(iv, 20 - rn)")
+    ).otherwise(F.expr("shiftleft(iv, 21 - k)"))
+    return (
+        ranked.withColumn("k", F.max("rn").over(wk))
+        .groupBy("metric_name", "labels_str")
+        .agg(
+            F.max("k").cast("long").alias("n_used"),
+            F.sum(term).cast("long").alias("smooth_scaled"),
+        )
+    )
+
+
 def q_tsdb_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series trailing 5-point moving average over the grouped-max
     samples (window frame over the series key — the smoothing companion to
@@ -1954,6 +1995,17 @@ def q_sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_at_10(spark, sf_dir, approx)
 
 
+def q_sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF list-balance diagnostic: corpus rows per inverted list under
+    the smallest-id coarse quantizer — the skew number an index builder
+    watches (the largest list bounds worst-case probe cost; the trained
+    quantizer's balance is quoted in sim_ivf_trained_recall's docstring).
+    One broadcast assignment pass + one count aggregation; the corpus
+    never shuffles (similarity.ivf_assignments)."""
+    asg = similarity.ivf_assignments(_embs(spark, sf_dir), n_centroids=16)
+    return asg.groupBy("cent_id").agg(F.count("*").cast("long").alias("n_vectors"))
+
+
 def q_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: quality-score -> keep only exact-dedup
     keepers -> per-language corpus stats.  One chained DataFrame plan: the
@@ -3281,13 +3333,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle r5 touched (bucketed_topk gained nprobe, the LSH/IVF oracles
     # became shared generators, the PNG decoder gained palette support
     # under multimodal_features); the remaining slots go to the entries
-    # with the OLDEST rows (r3) — after this round every one of the 135
+    # with the OLDEST rows (r3) — after this round every one of the 137
     # queries has a driver row from r3 or later, and the never-verified
     # set (the r4 16, the r5 PromQL/ANN/codec/TPC-H additions, and the
     # r5 session-2 block: Bloom membership, streaming dedup, Matryoshka
-    # pair, stddev/offset PromQL, shuffle-shards, vocab) sits entirely
-    # inside the 50-entry window (45 never-verified + 3 r5-touched + 2
-    # oldest-row fills).
+    # pair, stddev/offset/exp-smooth PromQL, shuffle-shards, vocab, IVF
+    # balance) sits entirely inside the 50-entry window (47
+    # never-verified + 3 r5-touched — the window is exactly full; the
+    # oldest remaining rows below it are r3 protocol/tsdb entries whose
+    # code r5 did not touch).
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -3346,6 +3400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_offset_ratio": q_tsdb_offset_ratio,
         "dataset_shuffle_shards": q_dataset_shuffle_shards,
         "text_vocab": q_text_vocab,
+        "sim_ivf_balance": q_sim_ivf_balance,
+        "tsdb_exp_smooth": q_tsdb_exp_smooth,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4077,6 +4133,43 @@ FROM hourly c JOIN hourly p
   ON c.metric_name = p.metric_name AND c.labels_str = p.labels_str
  AND c.bucket_t = p.bucket_t + 86400
 WHERE p.s > 0
+""",
+        # IVF list balance: the assignment CTE of the ivf_topk oracle,
+        # grouped
+        "sim_ivf_balance": f"""
+WITH {_EMB_NORM_CTE},
+cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n ORDER BY vec_id LIMIT 16),
+asg AS (
+    SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cents.cent_id,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   CASE WHEN n.nrm > 0 AND cnrm > 0
+                        THEN list_dot_product(n.v, cv) / (n.nrm * cnrm) ELSE 0.0 END DESC,
+                   cent_id) AS r
+        FROM n CROSS JOIN cents
+    ) WHERE r = 1
+)
+SELECT cent_id, count(*) AS n_vectors FROM asg GROUP BY 1
+""",
+        # exponential smoothing at alpha=1/2: power-of-two weights scaled
+        # by 2^20 = pure int64 shift-adds, exact in both engines
+        "tsdb_exp_smooth": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'purchase'")},
+r AS (
+    SELECT metric_name, labels_str,
+           CAST(floor(v * 1000000.0) AS BIGINT) AS iv,
+           row_number() OVER (PARTITION BY metric_name, labels_str ORDER BY tt DESC) AS rn
+    FROM grouped
+),
+t AS (SELECT * FROM r WHERE rn <= 21),
+kk AS (SELECT metric_name, labels_str, max(rn) AS k FROM t GROUP BY 1, 2)
+SELECT t.metric_name, t.labels_str,
+       CAST(max(k) AS BIGINT) AS n_used,
+       CAST(sum(CASE WHEN rn < k THEN t.iv << (20 - rn)
+                     ELSE t.iv << (21 - k) END) AS BIGINT) AS smooth_scaled
+FROM t JOIN kk USING (metric_name, labels_str)
+GROUP BY 1, 2
 """,
         # stddev_over_time + last_over_time: micro-unit int squares summed
         # in DECIMAL(18,0) products (exact), stddev via IEEE-exact

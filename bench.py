@@ -200,15 +200,18 @@ def main() -> None:
             sf1 = steal_frac(steal_ticks() - s0, t1)
             trials[name] = [round(t1, 3)]
             steals[name] = round(sf1, 3)
-            # This VM shows double-digit %steal (/proc/stat): the host
-            # randomly preempts vCPUs for multi-second stretches, which
-            # lands 8-20 s spikes on 1-2 arbitrary queries per run.  Re-time
-            # ONLY when steal actually spiked during the trial (vs the idle
-            # baseline) — a blanket >2s retry would systematically report
-            # warm-path timings for queries whose first trial materializes
-            # the family's persisted frames.  Both trials go to the
-            # BENCH_DETAIL JSON so the raw data stays visible.
-            if t1 > 2.0 and sf1 > max(0.10, 2.0 * base_steal):
+            # This host randomly preempts vCPUs for multi-second stretches
+            # and the stalls are NOT visible in /proc/stat steal (measured:
+            # 0.37 s queries spiking to 6.6 s with steal ticks at zero), so
+            # a steal-gated retry never fires and 1-3 arbitrary queries per
+            # run carry 5-20 s of hypervisor noise.  Re-time every slow
+            # first trial instead.  The warm-cache bias this used to risk
+            # (first trial materializing the family's persisted frames,
+            # min() then reporting the warm path) is closed structurally:
+            # family_warmup pre-materializes shared frames before the
+            # timer, so trial 1 and trial 2 see the same cache state.  Both
+            # trials stay visible in the BENCH_DETAIL JSON.
+            if t1 > 1.5:
                 t0 = time.perf_counter()
                 len(qs[name](spark, sf_dir).collect())
                 t2 = time.perf_counter() - t0

@@ -225,6 +225,62 @@ def ivf_train_centroids(
     return emb.sparkSession.createDataFrame(rows, "cent_id long, cvec array<double>")
 
 
+def _coarse_cents(
+    emb: DataFrame,
+    n_centroids: int,
+    centroids: DataFrame | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The IVF coarse-quantizer centroid frame: externally trained rows
+    (``(cent_id, cvec)``) when given, else the ``n_centroids`` smallest-id
+    corpus vectors (deterministic init; selection is a distributed top-n,
+    planned as TakeOrderedAndProject — no global sort)."""
+    if centroids is not None:
+        return centroids.select("cent_id", F.col("cvec"), norm(F.col("cvec")).alias("cnrm"))
+    return (
+        _with_norm(emb, id_col, vec_col)
+        .orderBy("vid")
+        .limit(n_centroids)
+        .select(
+            F.col("vid").alias("cent_id"),
+            F.col("vec").alias("cvec"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+
+
+def _nearest_lists(side: DataFrame, cents: DataFrame, out_id: str, n: int) -> DataFrame:
+    """Top-``n`` coarse lists per vector by cosine (ties to the lower
+    centroid id).  The centroid side is metadata-sized and broadcast; the
+    vector side never shuffles for this stage."""
+    scored = side.crossJoin(F.broadcast(cents)).select(
+        F.col("vid").alias(out_id),
+        "cent_id",
+        cosine_with_norms(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")).alias(
+            "_ccos"
+        ),
+    )
+    w = Window.partitionBy(out_id).orderBy(F.col("_ccos").desc(), F.col("cent_id"))
+    return scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= n)
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus → inverted-list assignment: the index-BUILD half of
+    :func:`ivf_topk`, exposed for list-balance diagnostics and external
+    index materialization.  Output: (vid, cent_id), one row per corpus
+    vector; same broadcast-centroid dataflow (the corpus never shuffles)."""
+    cents = _coarse_cents(emb, n_centroids, centroids, id_col, vec_col)
+    corpus = _with_norm(emb, id_col, vec_col)
+    return _nearest_lists(corpus, cents, "vid", 1).select("vid", "cent_id")
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -255,39 +311,14 @@ def ivf_topk(
     (``(cent_id, cvec)`` rows, e.g. :func:`ivf_train_centroids`) — the
     dataflow is unchanged, only the broadcast list changes.
     """
-    if centroids is not None:
-        cents = centroids.select(
-            "cent_id", F.col("cvec"), norm(F.col("cvec")).alias("cnrm")
-        )
-    else:
-        cents = (
-            _with_norm(emb, id_col, vec_col)
-            .orderBy("vid")
-            .limit(n_centroids)
-            .select(
-                F.col("vid").alias("cent_id"),
-                F.col("vec").alias("cvec"),
-                F.col("nrm").alias("cnrm"),
-            )
-        )
-
-    def nearest_lists(side: DataFrame, out_id: str, n: int) -> DataFrame:
-        scored = side.crossJoin(F.broadcast(cents)).select(
-            F.col("vid").alias(out_id),
-            "cent_id",
-            cosine_with_norms(F.col("vec"), F.col("cvec"), F.col("nrm"), F.col("cnrm")).alias(
-                "_ccos"
-            ),
-        )
-        w = Window.partitionBy(out_id).orderBy(F.col("_ccos").desc(), F.col("cent_id"))
-        return scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") <= n)
+    cents = _coarse_cents(emb, n_centroids, centroids, id_col, vec_col)
 
     corpus = _with_norm(emb, id_col, vec_col)
-    assignment = nearest_lists(corpus, "vid", 1).select("vid", "cent_id")
+    assignment = _nearest_lists(corpus, cents, "vid", 1).select("vid", "cent_id")
     lists = corpus.join(assignment, "vid")
 
     qn = _with_norm(queries, id_col, vec_col)
-    probes = nearest_lists(qn, "query_id", nprobe).select("query_id", "cent_id")
+    probes = _nearest_lists(qn, cents, "query_id", nprobe).select("query_id", "cent_id")
     qside = qn.select(
         F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm")
     ).join(probes, "query_id")
