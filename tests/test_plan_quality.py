@@ -295,3 +295,23 @@ def test_stddev_over_time_mapside_partial_agg(spark):
     plan = _plan(spark, "tsdb_stddev_over_time")
     assert plan.count("HashAggregate") >= 2, plan
     assert "Window" not in plan, plan
+
+
+def test_bucketed_join_zero_exchange_zero_sort(spark):
+    # both fact sides are 16-bucket tables bucketed on the join key: when
+    # the planner picks a sort-merge join (as it would for two tables too
+    # big to broadcast — forced here by disabling the auto-broadcast that
+    # sf-scale aggregates otherwise trigger), the write-time layout must
+    # remove the shuffles entirely (the in-partition Sorts remain: Spark
+    # no longer derives scan ordering from sorted buckets without the
+    # legacy flag, and a sort of pre-sorted in-bucket data is the cheap
+    # part — the shuffles are the 100 TB cost)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "events_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
