@@ -262,3 +262,23 @@ def test_bloom_membership_no_false_negatives(spark):
     assert out[100].maybe_member  # no false negatives, ever
     assert out[100].n_hit == out[100].n_bits
     assert not out[101].maybe_member  # 6 docs * 4 bits in 65536: FP ~ 1e-13
+
+
+def test_bloom_no_false_negatives_property(spark):
+    """Universal Bloom guarantee across filter densities: probing the
+    reference corpus against its own filter is all-members for every
+    (k, m) — including m small enough that false positives abound."""
+    from remote_tsdb_clickhouse_spark.operators.dedup import bloom_membership
+
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(words, k=12))) for i in range(40)],
+        "doc_id LONG, text STRING",
+    ).cache()
+    for k, m in [(2, 256), (4, 1024), (6, 65536)]:
+        out = bloom_membership(docs, docs, k=k, m=m).collect()
+        assert len(out) == 40
+        assert all(r.maybe_member for r in out), (k, m)
