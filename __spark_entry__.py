@@ -2203,7 +2203,11 @@ def q_dataset_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike ``df.orderBy(rand())``."""
     from pyspark.sql import Window
 
-    d = _docs(spark, sf_dir)
+    ensure_query_confs(spark)
+    # no spread(): the per-row work is two md5s of the id — the window's
+    # own hash exchange on `shard` is the one shuffle this query needs,
+    # and a pre-repartition would just add a second
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
     h2 = F.conv(
         F.substring(F.md5(F.concat(F.lit("pos:"), F.col("doc_id").cast("string"))), 1, 8),
