@@ -2284,6 +2284,86 @@ def q_tsdb_offset_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: a corpus bigram language model scored
+    back over each document — the perplexity-filter shape (docs whose
+    bigrams are corpus-typical score high; gibberish scores low) without
+    an external KenLM.  One explode feeds BOTH the LM aggregation and the
+    scoring join (same linear equi-join dataflow as tf-idf); per-bigram
+    log-probs quantize to micro-units BEFORE the per-doc aggregation so
+    the sum is exact int64 (a float avg would be summation-order-
+    dependent across engines), and the mean is integer floor division.
+    Docs with <2 tokens carry no bigrams and are excluded on both sides."""
+    d = _docs(spark, sf_dir)
+    toks = tx.tokens(F.col("text"))
+    sz = F.size("toks")
+    bgs = F.zip_with(
+        F.slice("toks", 1, sz - 1),
+        F.slice("toks", 2, sz - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(sz >= 2)
+        .select("doc_id", F.explode(bgs).alias("bg"))
+    )
+    lm = ex.groupBy("bg").agg(F.count("*").alias("c"))
+    tot = ex.agg(F.count("*").alias("t"))
+    lp = F.floor(F.log(F.col("c").cast("double") / F.col("t")) * 1000000.0).cast("long")
+    return (
+        ex.join(lm, "bg")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("sum_lp_micro"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_lp_micro",
+            F.floor(F.col("sum_lp_micro").cast("double") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("lm_score_micro"),
+        )
+    )
+
+
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact oracle for the REAL 16-bit PCM WAV path: per document a
+    square wave alternating +A / -(A+1) (A = doc_id-derived) round-trips
+    encode_wav -> decode_wav, and the decoded PCM's integer energy
+    (sum of squares), sample count, and peak must equal the closed form
+    ceil(n/2)*A^2 + floor(n/2)*(A+1)^2 — drift anywhere in the codec or
+    the [-1,1) float normalization hash-mismatches.  One mapInPandas
+    pass, no shuffle; energy math is exact int64 (PCM values are exact
+    k/32768 doubles, so rint recovers the integers)."""
+    import numpy as np
+    import pandas as pd
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def roundtrip(it):
+        for pdf in it:
+            ids, ns, energies, peaks = [], [], [], []
+            for did in pdf["doc_id"]:
+                i = int(did)
+                a = (i % 1000) * 16
+                n = 200 + i % 100
+                samples = np.where(np.arange(n) % 2 == 0, a, -(a + 1)) / 32768.0
+                rate, decoded = multimodal.decode_wav(multimodal.encode_wav(samples, 8000))
+                pcm = np.rint(np.asarray(decoded) * 32768.0).astype(np.int64)
+                ids.append(i)
+                ns.append(len(pcm))
+                energies.append(int((pcm * pcm).sum()))
+                peaks.append(int(np.abs(pcm).max()) if len(pcm) else 0)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_samples": ns, "energy": energies, "peak": peaks}
+            )
+
+    return d.mapInPandas(
+        roundtrip, schema="media_id LONG, n_samples LONG, energy LONG, peak LONG"
+    )
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.langid_frame(_docs(spark, sf_dir))
 
@@ -3451,13 +3531,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # set (the r4 16, the r5 PromQL/ANN/codec/TPC-H additions, and the
     # r5 session-2 block: Bloom membership, streaming dedup, Matryoshka
     # pair, stddev/offset/exp-smooth PromQL, shuffle-shards, vocab, IVF
-    # balance, bucketed co-located join, compacted-store serving) sits
-    # entirely inside the 50-entry window: 49 never-verified + 1
-    # r5-touched (sim_topk_lsh).  sim_topk_ivf and multimodal_features
-    # (both r5-touched: bucketed_topk nprobe / palette PNG) overflow to
-    # positions 51-52 — front-load them in r6 alongside whatever r6
-    # adds; their local oracle parity is green and their r4 rows cover
-    # the pre-r5 behavior.
+    # balance, bucketed co-located join, compacted-store serving, bigram
+    # LM quality score, WAV round-trip energy) fills the 50-entry window
+    # with 50 never-verified entries.  Overflowing to positions 51-54:
+    # multimodal_audio_energy (never-verified, closed-form oracle, local
+    # parity green) and the 3 r5-touched entries (sim_topk_lsh,
+    # sim_topk_ivf, multimodal_features — r4 rows cover their pre-r5
+    # behavior) — front-load those four in r6 alongside whatever r6
+    # adds.
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -3520,6 +3601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_exp_smooth": q_tsdb_exp_smooth,
         "events_bucketed_join": q_events_bucketed_join,
         "tsdb_compact_serve": q_tsdb_compact_serve,
+        "text_bigram_lm": q_text_bigram_lm,
+        "multimodal_audio_energy": q_multimodal_audio_energy,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4255,6 +4338,41 @@ FROM hourly c JOIN hourly p
   ON c.metric_name = p.metric_name AND c.labels_str = p.labels_str
  AND c.bucket_t = p.bucket_t + 86400
 WHERE p.s > 0
+""",
+        # corpus bigram LM scored back over each doc; per-bigram log-probs
+        # quantize to micro-ints BEFORE the per-doc sum (exact int64 agg;
+        # a float avg would be summation-order-dependent)
+        "text_bigram_lm": f"""
+WITH {_TOKS_CTE},
+bg AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+    FROM toks WHERE len(toks) >= 2
+),
+ex AS (SELECT doc_id, unnest(bgs) AS bg FROM bg),
+lm AS (SELECT bg, count(*) AS c FROM ex GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM ex),
+sc AS (
+    SELECT e.doc_id,
+           CAST(floor(ln(CAST(lm.c AS DOUBLE) / t) * 1000000.0) AS BIGINT) AS lp
+    FROM ex e JOIN lm USING (bg) CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_bigrams, CAST(sum(lp) AS BIGINT) AS sum_lp_micro,
+       CAST(floor(CAST(sum(lp) AS DOUBLE) / count(*)) AS BIGINT) AS lm_score_micro
+FROM sc GROUP BY 1
+""",
+        # WAV round-trip energy: closed form of the synthesized square
+        # wave (ceil(n/2) copies of +A, floor(n/2) of -(A+1))
+        "multimodal_audio_energy": """
+WITH p AS (
+    SELECT doc_id, (doc_id % 1000) * 16 AS a, 200 + doc_id % 100 AS n
+    FROM documents
+)
+SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+       CAST(((n + 1) // 2) * a * a + (n // 2) * (a + 1) * (a + 1) AS BIGINT) AS energy,
+       CAST(a + 1 AS BIGINT) AS peak
+FROM p
 """,
         # bucketed co-located join: the oracle proves the write-time
         # layout trick changes nothing semantically (plan gate proves the
