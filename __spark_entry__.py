@@ -2308,11 +2308,17 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(bgs).alias("bg"))
     )
     lm = ex.groupBy("bg").agg(F.count("*").alias("c"))
-    tot = ex.agg(F.count("*").alias("t"))
-    lp = F.floor(F.log(F.col("c").cast("double") / F.col("t")) * 1000000.0).cast("long")
+    # the corpus total is ONE scalar: materialize it eagerly from the LM
+    # aggregate (sum of per-bigram counts) instead of leaving a lazy
+    # 1-row frame — Catalyst has no common-subplan reuse without cache,
+    # so a lazy `lm.agg(...)` would replay the whole explode+aggregate a
+    # third time (plan-gated at two Generates, like tf-idf; the 1-int
+    # driver materialization is the same metadata-sized precedent as the
+    # k-means centroid collect)
+    t = lm.agg(F.sum("c")).first()[0]
+    lp = F.floor(F.log(F.col("c").cast("double") / F.lit(float(t))) * 1000000.0).cast("long")
     return (
         ex.join(lm, "bg")
-        .crossJoin(F.broadcast(tot))
         .select("doc_id", lp.alias("lp"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("sum_lp_micro"))

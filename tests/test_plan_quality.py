@@ -315,3 +315,14 @@ def test_bucketed_join_zero_exchange_zero_sort(spark):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange" not in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_bigram_lm_two_explodes_only(spark):
+    # the LM aggregation and the scoring join each need the exploded
+    # bigrams (no shared cache by design — persist would outlive the
+    # query); the corpus total is an eagerly-materialized scalar, so no
+    # third explode subtree appears, and the scoring join is an equi-join
+    # on the bigram key
+    plan = _plan(spark, "text_bigram_lm")
+    assert plan.count("Generate explode") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
