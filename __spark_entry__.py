@@ -188,6 +188,10 @@ def _rollup_store(spark: SparkSession, sf_dir: str):
         base.append(events_to_samples(spark, sf_dir))
         rs = RollupStore(spark, base, f"{root}/rollups")
         rs.build(60)
+        # hierarchy: 1 h built FROM the 1 min rollup (60x less input than
+        # raw; exact because max composes) — q_tsdb_rollup_hierarchy
+        # serves from it via coarsest-exact routing
+        rs.build(3600, source_interval_s=60)
         per[sf_dir] = rs
     return rs
 
@@ -244,6 +248,25 @@ def q_tsdb_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = _compacted_store(spark, sf_dir)
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "click"),))
     return _flat_grouped(read_query_grouped(st.read(with_partition_col=False), q))
+
+
+def q_tsdb_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup serving: the store holds BOTH a 1 min and a
+    1 h rollup (the hour built FROM the minute — 60x less input, exact
+    because max composes), and a 2 h-downsample read must route to the
+    COARSEST exact resolution (3600 | 7200), union mid-bucket raw edges,
+    and still hash-match the plain raw-scan oracle.  Completes the
+    continuous-aggregate story beyond tsdb_rollup_serve's single level:
+    at 100 TB the dashboard-range query reads the hour table (~3600x less
+    than raw), not the minute table."""
+    rs = _rollup_store(spark, sf_dir)
+    q = ReadQuery(
+        start_ms=T5 + 1_800_000,  # mid-bucket: leading raw edge
+        end_ms=T20 + 1_800_000,  # mid-bucket: trailing raw edge
+        matchers=(LabelMatcher(EQ, "__name__", "click"),),
+        hints=ReadHints(step_ms=14_400_000),  # -> 7200 s buckets; 3600 | 7200
+    )
+    return _flat_grouped(rs.read_query_grouped(q))
 
 
 def q_tsdb_downsample_range_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3539,12 +3562,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair, stddev/offset/exp-smooth PromQL, shuffle-shards, vocab, IVF
     # balance, bucketed co-located join, compacted-store serving, bigram
     # LM quality score, WAV round-trip energy) fills the 50-entry window
-    # with 50 never-verified entries.  Overflowing to positions 51-54:
-    # multimodal_audio_energy (never-verified, closed-form oracle, local
-    # parity green) and the 3 r5-touched entries (sim_topk_lsh,
-    # sim_topk_ivf, multimodal_features — r4 rows cover their pre-r5
-    # behavior) — front-load those four in r6 alongside whatever r6
-    # adds.
+    # with 50 never-verified entries.  Overflowing below the window:
+    # multimodal_audio_energy and tsdb_rollup_hierarchy (never-verified,
+    # local parity green; the first has a closed-form oracle) and the 3
+    # r5-touched entries (sim_topk_lsh, sim_topk_ivf, multimodal_features
+    # — r4 rows cover their pre-r5 behavior).  Front-load those five in
+    # r6 alongside whatever r6 adds.
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -3609,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_compact_serve": q_tsdb_compact_serve,
         "text_bigram_lm": q_text_bigram_lm,
         "multimodal_audio_energy": q_multimodal_audio_energy,
+        "tsdb_rollup_hierarchy": q_tsdb_rollup_hierarchy,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4197,6 +4221,12 @@ FROM f GROUP BY 1, 2, 3
             "WHERE ts >= TIMESTAMP '2024-01-05 00:00:30' "
             "AND ts <= TIMESTAMP '2024-01-20 00:00:30' AND metric_name = 'view'",
             bucket_s=120,
+        ),
+        # hierarchy serving must equal the raw scan at 2 h buckets
+        "tsdb_rollup_hierarchy": _tsdb_oracle(
+            "WHERE ts >= TIMESTAMP '2024-01-05 00:30:00' "
+            "AND ts <= TIMESTAMP '2024-01-20 00:30:00' AND metric_name = 'click'",
+            bucket_s=7200,
         ),
         "tsdb_downsample_range_clamp": _tsdb_oracle(
             f"WHERE ts >= {t5} AND ts <= {t20}", bucket_s=5

@@ -326,3 +326,12 @@ def test_bigram_lm_two_explodes_only(spark):
     plan = _plan(spark, "text_bigram_lm")
     assert plan.count("Generate explode") <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_rollup_hierarchy_routes_to_coarsest(spark):
+    # the 2h-downsample read must serve its interior from the 1h rollup
+    # (res=3600), not the 1min one, and prune partitions on the edges
+    plan = _plan(spark, "tsdb_rollup_hierarchy")
+    assert "res=3600" in plan, plan
+    assert "res=60/" not in plan, plan
+    assert "PartitionFilters" in plan, plan
