@@ -3539,6 +3539,18 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
         # the staging writes are the batch-ingest setup the streams tail
         stage_streaming_input(spark, sf_dir)
         stage_dedup_stream_input(spark, sf_dir)
+    elif family == "multimodal":
+        # first use of the worker-side codec modules (zlib/wave/struct
+        # imports + the numpy kernels) otherwise lands on whichever
+        # multimodal query runs first; warm them on a 4-doc frame
+        tiny = spark.sql(
+            "SELECT id AS media_id, 'image' AS modality, "
+            "CAST('x' AS BINARY) AS content, "
+            "named_struct('format', 'fake', 'width', CAST(NULL AS INT), "
+            "'height', CAST(NULL AS INT), 'sample_rate', CAST(NULL AS INT), "
+            "'duration_ms', CAST(1000 AS BIGINT)) AS meta FROM range(4)"
+        )
+        multimodal.extract_features(tiny).collect()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
