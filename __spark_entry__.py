@@ -19,6 +19,7 @@ Conventions keeping the hash comparison stable across engines:
 
 from __future__ import annotations
 
+import hashlib
 import os
 import sys
 import tempfile
@@ -730,7 +731,10 @@ def _bucketed_user_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .agg(F.count("*").alias("n_purchases"), F.sum(micro).alias("purchase_micro"))
     )
     base = tempfile.mkdtemp(prefix="graft_bucketed_")
-    ct, pt = "graft_clicks_bucketed", "graft_purchases_bucketed"
+    # table names carry an sf_dir tag: catalog names are session-global,
+    # so two scale dirs in one session must not overwrite each other
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ct, pt = f"graft_clicks_bucketed_{tag}", f"graft_purchases_bucketed_{tag}"
     # repartition on the bucket key at the bucket count before writing:
     # Spark's bucket id uses the same Murmur3 hash as repartition, so this
     # yields exactly ONE file per bucket — the condition under which the
