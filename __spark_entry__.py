@@ -37,6 +37,7 @@ from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
     count_values,
     delta,
     deriv,
+    exp_smooth,
     histogram_buckets,
     histogram_quantile,
     increase,
@@ -50,6 +51,7 @@ from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
     quantile_over_time,
     range_aggregate,
     resets_changes,
+    stddev_over_time,
 )
 from remote_tsdb_clickhouse_spark.operators import (
     decontaminate,
@@ -379,84 +381,27 @@ def q_tsdb_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tsdb_stddev_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL stddev_over_time + last_over_time: per-series 1-hour buckets
-    with population stddev and the latest value.
-
-    Cross-engine exactness: values quantize to integer micro-units; the
-    square-sum runs in DECIMAL(18,0)x(18,0) (exact at any bucket size, no
-    int64 overflow at 5.6e8 micro-units squared), and the final
-    ``floor(sqrt((q - s²/n)/n))`` uses only IEEE-exact ops (sqrt/div are
-    correctly rounded — only libm transcendentals drift), so the emitted
-    ``stddev_micro`` is bit-identical in DuckDB.  One map-side-combinable
-    hash aggregation; last_v is max_by over the in-bucket timestamp
-    (unique per series after the A1 grouping)."""
+    with population stddev and the latest value
+    (functions/tsfuncs.stddev_over_time — decimal-exact square sums,
+    IEEE-exact sqrt/div only, so ``stddev_micro`` is bit-identical in
+    DuckDB)."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "view"),))
     grouped = read_query_grouped(_samples(spark, sf_dir), q)
-    flat = grouped.select("metric_name", _lbl(), _epoch(), "max_0")
-    iv = F.floor(F.col("max_0") * 1000000.0).cast("long")
-    bucket = (F.col("t") - F.col("t") % 3600).alias("bucket_t")
-    agg = (
-        flat.select("metric_name", "labels_str", bucket, "t", "max_0", iv.alias("iv"))
-        .groupBy("metric_name", "labels_str", "bucket_t")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("iv").alias("s"),
-            F.sum(F.col("iv").cast("decimal(18,0)") * F.col("iv").cast("decimal(18,0)")).alias("q"),
-            F.max_by("max_0", "t").alias("last_v"),
-        )
-    )
-    s = F.col("s").cast("double")
-    qq = F.col("q").cast("double")
-    nn = F.col("n").cast("double")
-    var = (qq - s * s / nn) / nn
-    return agg.select(
-        "metric_name",
-        "labels_str",
-        "bucket_t",
-        "n",
-        F.col("s").alias("sum_micro"),
-        F.floor(F.sqrt(F.greatest(var, F.lit(0.0)))).cast("long").alias("stddev_micro"),
-        "last_v",
+    return stddev_over_time(grouped, 3600).select(
+        "metric_name", _lbl(), "bucket_t", "n", "sum_micro", "stddev_micro", "last_v"
     )
 
 
 def q_tsdb_exp_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential smoothing (the level term of PromQL ``holt_winters``
-    at alpha = 0.5) over each series' trailing 21 samples, EXACT in
-    integers: with alpha = 1/2 the unrolled recurrence
-    ``s_T = sum_j x_{T-j} / 2^(j+1) + x_oldest / 2^(K-1)`` has
-    power-of-two weights only, so scaling by 2^20 turns the whole
-    computation into int64 shift-adds (max ~6e14 at this value range, no
-    overflow) — bit-identical cross-engine where a float ``pow`` chain
-    would drift.  Output per series: samples used and the scaled level
-    (micro-units x 2^20).  One ranking window + one aggregation, both on
-    the series key (exchange reused); at scale the trailing window is
-    bounded by a pushed time filter, not a full-history sort."""
-    from pyspark.sql import Window
-
+    at alpha = 0.5) over each series' trailing 21 samples
+    (functions/tsfuncs.exp_smooth — alpha = 1/2 makes the unrolled
+    recurrence pure int64 shift-adds scaled by 2^20, bit-identical
+    cross-engine where a float ``pow`` chain would drift)."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
     grouped = read_query_grouped(_samples(spark, sf_dir), q)
-    flat = grouped.select("metric_name", _lbl(), _epoch(), "max_0")
-    w = Window.partitionBy("metric_name", "labels_str").orderBy(F.col("t").desc())
-    ranked = (
-        flat.select(
-            "metric_name",
-            "labels_str",
-            F.floor(F.col("max_0") * 1000000.0).cast("long").alias("iv"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .where(F.col("rn") <= 21)
-    )
-    wk = Window.partitionBy("metric_name", "labels_str")
-    term = F.when(
-        F.col("rn") < F.col("k"), F.expr("shiftleft(iv, 20 - rn)")
-    ).otherwise(F.expr("shiftleft(iv, 21 - k)"))
-    return (
-        ranked.withColumn("k", F.max("rn").over(wk))
-        .groupBy("metric_name", "labels_str")
-        .agg(
-            F.max("k").cast("long").alias("n_used"),
-            F.sum(term).cast("long").alias("smooth_scaled"),
-        )
+    return exp_smooth(grouped, window_n=21).select(
+        "metric_name", _lbl(), "n_used", "smooth_scaled"
     )
 
 

@@ -431,3 +431,84 @@ def label_value(labels: Column, name: str) -> Column:
     return F.when(
         F.size(matches) > 0, F.substring(F.element_at(matches, 1), len(name) + 2, 2**30)
     ).otherwise(F.lit(None).cast("string"))
+
+
+def stddev_over_time(grouped: DataFrame, bucket_s: int) -> DataFrame:
+    """PromQL ``stddev_over_time`` + ``last_over_time`` over fixed buckets,
+    exact cross-engine: values quantize to integer micro-units, the
+    square-sum runs in DECIMAL(18,0) products (exact at any bucket size,
+    no int64 overflow below ~9.2e9 micro-units squared), and the final
+    ``floor(sqrt((q - s²/n)/n))`` uses only IEEE-exact ops (sqrt/div are
+    correctly rounded; only libm transcendentals drift), so the emitted
+    ``stddev_micro`` is bit-identical in any engine.  One map-side-
+    combinable hash aggregation; ``last_v`` is max_by over the in-bucket
+    timestamp (unique per series after the A1 grouping).
+
+    Output: (metric_name, slb, bucket_t, n, sum_micro, stddev_micro,
+    last_v).
+    """
+    epoch = F.col("t").cast("long")
+    bucket = (epoch - epoch % bucket_s).alias("bucket_t")
+    iv = F.floor(F.col("max_0") * 1000000.0).cast("long")
+    agg = (
+        grouped.select("metric_name", "slb", bucket, "t", "max_0", iv.alias("iv"))
+        .groupBy("metric_name", "slb", "bucket_t")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("iv").alias("sum_micro"),
+            F.sum(
+                F.col("iv").cast("decimal(18,0)") * F.col("iv").cast("decimal(18,0)")
+            ).alias("q"),
+            F.max_by("max_0", "t").alias("last_v"),
+        )
+    )
+    s = F.col("sum_micro").cast("double")
+    qq = F.col("q").cast("double")
+    nn = F.col("n").cast("double")
+    var = (qq - s * s / nn) / nn
+    return agg.select(
+        "metric_name",
+        "slb",
+        "bucket_t",
+        "n",
+        "sum_micro",
+        F.floor(F.sqrt(F.greatest(var, F.lit(0.0)))).cast("long").alias("stddev_micro"),
+        "last_v",
+    )
+
+
+def exp_smooth(grouped: DataFrame, window_n: int = 21) -> DataFrame:
+    """Simple exponential smoothing at alpha = 1/2 (the level term of
+    PromQL ``holt_winters``) over each series' trailing ``window_n``
+    samples, EXACT in integers: with alpha = 1/2 the unrolled recurrence
+    ``s_T = sum_j x_{T-j}/2^(j+1) + x_oldest/2^(K-1)`` has power-of-two
+    weights only, so scaling by ``2^(window_n-1)`` turns the whole
+    computation into int64 shift-adds — bit-identical cross-engine where
+    a float ``pow`` chain would drift.  One ranking window + one
+    aggregation, both on the series key (exchange reused); at scale the
+    trailing window is bounded by a pushed time filter, not a
+    full-history sort.
+
+    Output: (metric_name, slb, n_used, smooth_scaled) with
+    ``smooth_scaled`` = level in micro-units x 2^(window_n-1).
+    """
+    S = window_n - 1
+    w = Window.partitionBy("metric_name", "slb").orderBy(F.col("t").desc())
+    ranked = grouped.select(
+        "metric_name",
+        "slb",
+        F.floor(F.col("max_0") * 1000000.0).cast("long").alias("iv"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= window_n)
+    wk = Window.partitionBy("metric_name", "slb")
+    term = F.when(
+        F.col("rn") < F.col("k"), F.expr(f"shiftleft(iv, {S} - rn)")
+    ).otherwise(F.expr(f"shiftleft(iv, {window_n} - k)"))
+    return (
+        ranked.withColumn("k", F.max("rn").over(wk))
+        .groupBy("metric_name", "slb")
+        .agg(
+            F.max("k").cast("long").alias("n_used"),
+            F.sum(term).cast("long").alias("smooth_scaled"),
+        )
+    )

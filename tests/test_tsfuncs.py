@@ -245,3 +245,36 @@ def test_histogram_quantile_prometheus_rules(spark):
     # of 2 first-bucket samples -> 4 * (1/2) = 2.0
     q25 = histogram_quantile(df, 1, 4, [4, 16]).collect()[0]
     assert q25["q_mu"] == 2_000_000
+
+
+def test_exp_smooth_constant_series_identity(spark):
+    """Weights sum to exactly 1: a constant series' scaled level equals
+    value_micro << 20 bit-exactly, at every history length (including
+    shorter than the window)."""
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import exp_smooth
+
+    rows = []
+    for n, val in [(3, 2.5), (21, 0.125), (40, 7.0)]:
+        rows += [(f"m{n}", ["k=v"], float(t), val) for t in range(n)]
+    grouped = spark.createDataFrame(
+        rows, "metric_name STRING, slb ARRAY<STRING>, t DOUBLE, max_0 DOUBLE"
+    )
+    out = {r.metric_name: r for r in exp_smooth(grouped, window_n=21).collect()}
+    assert out["m3"].n_used == 3 and out["m21"].n_used == 21 and out["m40"].n_used == 21
+    for n, val in [(3, 2.5), (21, 0.125), (40, 7.0)]:
+        assert out[f"m{n}"].smooth_scaled == (int(val * 1_000_000) << 20), n
+
+
+def test_stddev_over_time_exactness(spark):
+    """Hand-checkable bucket: values {1, 3} -> mean 2, variance 1,
+    stddev_micro exactly 1_000_000; last_v is the latest value."""
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import stddev_over_time
+
+    grouped = spark.createDataFrame(
+        [("m", ["k=v"], 10.0, 1.0), ("m", ["k=v"], 20.0, 3.0)],
+        "metric_name STRING, slb ARRAY<STRING>, t DOUBLE, max_0 DOUBLE",
+    )
+    (r,) = stddev_over_time(grouped, 3600).collect()
+    assert r.n == 2 and r.sum_micro == 4_000_000
+    assert r.stddev_micro == 1_000_000
+    assert r.last_v == 3.0
