@@ -2279,14 +2279,14 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(sz >= 2)
         .select("doc_id", F.explode(bgs).alias("bg"))
     )
-    lm = ex.groupBy("bg").agg(F.count("*").alias("c"))
-    # the corpus total is ONE scalar: materialize it eagerly from the LM
-    # aggregate (sum of per-bigram counts) instead of leaving a lazy
-    # 1-row frame — Catalyst has no common-subplan reuse without cache,
-    # so a lazy `lm.agg(...)` would replay the whole explode+aggregate a
-    # third time (plan-gated at two Generates, like tf-idf; the 1-int
-    # driver materialization is the same metadata-sized precedent as the
-    # k-means centroid collect)
+    # persist the vocab-sized LM table: the eager scalar total (sum of
+    # per-bigram counts — the 1-int driver materialization has the same
+    # metadata-sized precedent as the k-means centroid collect) then
+    # doubles as the cache materialization, and the scoring join reads
+    # the cached LM instead of replaying its explode+aggregate.  Plan-
+    # gated at two Generates like tf-idf; the persist lives until the
+    # bench family boundary clearCache (dedup-family precedent).
+    lm = ex.groupBy("bg").agg(F.count("*").alias("c")).persist()
     t = lm.agg(F.sum("c")).first()[0]
     lp = F.floor(F.log(F.col("c").cast("double") / F.lit(float(t))) * 1000000.0).cast("long")
     return (
