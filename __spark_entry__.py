@@ -3488,6 +3488,16 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
         # the staging writes are the batch-ingest setup the streams tail
         stage_streaming_input(spark, sf_dir)
         stage_dedup_stream_input(spark, sf_dir)
+    elif family == "dedup":
+        # the token-shingle inverted index and the MinHash signature table
+        # are the family's shared persisted frames (plan-identical across
+        # ngram/minhash/groups/incremental — the CacheManager dedupes
+        # them); materialize once here so the first consumer's timing
+        # measures its query, not the family's shared build
+        base = dedup.normalized_docs(_docs(spark, sf_dir))
+        exploded = base.select("doc_id", F.explode("shingles").alias("sh")).persist()
+        dedup.minhash_signatures_from(exploded).persist().count()
+        exploded.count()
     elif family == "multimodal":
         # first use of the worker-side codec modules (zlib/wave/struct
         # imports + the numpy kernels) otherwise lands on whichever
