@@ -2172,7 +2172,10 @@ def q_dataset_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the shard.  The 100 TB shape of "shuffle the corpus": hash-
     partition once, sort only WITHIN each shard (per-partition sort, no
     global ordering stage) — re-runs and other engines agree row-for-row,
-    unlike ``df.orderBy(rand())``."""
+    unlike ``df.orderBy(rand())``.  The shard count is the parallelism
+    knob: each shard ranks on one reducer, so production sizes it to
+    corpus_bytes / target_shard_bytes (thousands at 100 TB); 8 here keeps
+    the oracle output small."""
     from pyspark.sql import Window
 
     ensure_query_confs(spark)
