@@ -320,6 +320,26 @@ def q_tsdb_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rated.select("metric_name", _lbl(), _epoch(), "rate")
 
 
+def q_tsdb_subquery_maxrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL subquery composition ``max_over_time(rate(m[..])[1h:])``:
+    the instantaneous per-second rate (X1, reset-aware) re-aggregated in
+    1-hour buckets — the alerting idiom "worst rate this hour".  Pure
+    composition of two oracled operators (per_second_rate -> bucket max);
+    max of doubles adds no float-summation drift, and the reset-NULL
+    convention is made explicit (NULL rates excluded on both sides).
+    One window + one hash aggregation, both keyed on the series."""
+    q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "view"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    rated = per_second_rate(grouped)
+    epoch = F.col("t").cast("long")
+    return (
+        rated.where(F.col("rate").isNotNull())
+        .groupBy("metric_name", "slb", (epoch - epoch % 3600).alias("bucket_t"))
+        .agg(F.max("rate").alias("max_rate"), F.count("*").alias("n_rates"))
+        .select("metric_name", _lbl(), "bucket_t", "max_rate", "n_rates")
+    )
+
+
 def q_tsdb_label_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # X2: project the user=* label out of the labelset, value*8 (bits example)
     s = _samples(spark, sf_dir)
@@ -3537,11 +3557,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # balance, bucketed co-located join, compacted-store serving, bigram
     # LM quality score, WAV round-trip energy) fills the 50-entry window
     # with 50 never-verified entries.  Overflowing below the window:
-    # multimodal_audio_energy and tsdb_rollup_hierarchy (never-verified,
-    # local parity green; the first has a closed-form oracle) and the 3
-    # r5-touched entries (sim_topk_lsh, sim_topk_ivf, multimodal_features
-    # — r4 rows cover their pre-r5 behavior).  Front-load those five in
-    # r6 alongside whatever r6 adds.
+    # multimodal_audio_energy, tsdb_rollup_hierarchy, and
+    # tsdb_subquery_maxrate (never-verified, local parity green; the
+    # first has a closed-form oracle) and the 3 r5-touched entries
+    # (sim_topk_lsh, sim_topk_ivf, multimodal_features — r4 rows cover
+    # their pre-r5 behavior).  Front-load those six in r6 alongside
+    # whatever r6 adds.
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -3607,6 +3628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "multimodal_audio_energy": q_multimodal_audio_energy,
         "tsdb_rollup_hierarchy": q_tsdb_rollup_hierarchy,
+        "tsdb_subquery_maxrate": q_tsdb_subquery_maxrate,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4221,6 +4243,29 @@ FROM grouped GROUP BY 1, 2
             f"WHERE ts >= {t5} AND ts <= {t20} AND metric_name = 'error' "
             "AND list_contains(labels, 'k=42')"
         ),
+        # subquery composition: the rate CTE re-aggregated per hour;
+        # NULL (reset) rates excluded explicitly on both sides
+        "tsdb_subquery_maxrate": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= " + t0 + " AND metric_name = 'view'")},
+r AS (
+    SELECT metric_name, labels_str, tt, v,
+           lag(v) OVER w AS pv, lag(tt) OVER w AS pt
+    FROM grouped
+    WINDOW w AS (PARTITION BY metric_name, labels_str ORDER BY tt)
+),
+rates AS (
+    SELECT metric_name, labels_str, CAST(floor(epoch(tt)) AS BIGINT) AS t,
+           CASE WHEN v - pv < 0 THEN NULL
+                ELSE (v - pv) / (CAST(floor(epoch(tt)) AS BIGINT) - CAST(floor(epoch(pt)) AS BIGINT))
+                END AS rate
+    FROM r WHERE pv IS NOT NULL
+)
+SELECT metric_name, labels_str, (t - t % 3600) AS bucket_t,
+       max(rate) AS max_rate, count(*) AS n_rates
+FROM rates WHERE rate IS NOT NULL
+GROUP BY 1, 2, 3
+""",
         "tsdb_rate": f"""
 WITH {SAMPLES_ORACLE_CTE},
 {_GROUPED.format(where="WHERE ts >= " + t0 + " AND metric_name = 'purchase'")},
