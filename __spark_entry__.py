@@ -1975,6 +1975,25 @@ def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
+def q_sim_pq_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite PQ: a stride-4 dimension interleave
+    (similarity.interleave_permute) before codebook training and ADC
+    search, so each subspace quantizes a SPREAD of the original
+    dimensions instead of a contiguous block — the structured special
+    case of OPQ's learned rotation, integer-exactness intact (a
+    permutation is orthogonal).  recall@10 against the exact top-10 in
+    the ORIGINAL space (which a permutation leaves unchanged) isolates
+    what the subspace regrouping does to PQ quality, on the same recall
+    axis as sim_pq_recall / sim_pq_trained_recall."""
+    emb2 = similarity.interleave_permute(_embs(spark, sf_dir))
+    per = _TRAIN_CACHE.setdefault(spark, {})
+    key = ("pq_opq", sf_dir)
+    if key not in per:
+        per[key] = similarity.pq_train_codebook(emb2, m=4, k=16, n_iters=2)
+    adc = similarity.pq_adc_topk(emb2, n_queries=10, topk=10, codebook=per[key])
+    return _recall_at_10(spark, sf_dir, adc)
+
+
 def q_sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k: the query's sign-bucket plus its two
     lowest-|component| bit-flip neighbors (nprobe=3) — the recall knob on
@@ -3557,12 +3576,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # balance, bucketed co-located join, compacted-store serving, bigram
     # LM quality score, WAV round-trip energy) fills the 50-entry window
     # with 50 never-verified entries.  Overflowing below the window:
-    # multimodal_audio_energy, tsdb_rollup_hierarchy, and
-    # tsdb_subquery_maxrate (never-verified, local parity green; the
-    # first has a closed-form oracle) and the 3 r5-touched entries
-    # (sim_topk_lsh, sim_topk_ivf, multimodal_features — r4 rows cover
-    # their pre-r5 behavior).  Front-load those six in r6 alongside
-    # whatever r6 adds.
+    # multimodal_audio_energy, tsdb_rollup_hierarchy,
+    # tsdb_subquery_maxrate, and sim_pq_opq_recall (never-verified,
+    # local parity green; the first has a closed-form oracle) and the 3
+    # r5-touched entries (sim_topk_lsh, sim_topk_ivf, multimodal_features
+    # — r4 rows cover their pre-r5 behavior).  Front-load those seven in
+    # r6 alongside whatever r6 adds.
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -3629,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_energy": q_multimodal_audio_energy,
         "tsdb_rollup_hierarchy": q_tsdb_rollup_hierarchy,
         "tsdb_subquery_maxrate": q_tsdb_subquery_maxrate,
+        "sim_pq_opq_recall": q_sim_pq_opq_recall,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4047,17 +4067,27 @@ SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= {k}
 """
 
 
-def _pq_trained_cte(n_iters: int = 2) -> str:
+#: DuckDB expression for the OPQ-lite stride-4 interleave of the 64-dim
+#: embedding (1-based twin of similarity.interleave_permute's
+#: ``perm[i] = (i % 16) * 4 + i // 16``).
+_OPQ_EMB_EXPR = (
+    "list_transform(generate_series(1, 64), "
+    "i -> embedding[((i - 1) % 16) * 4 + (i - 1) // 16 + 1])"
+)
+
+
+def _pq_trained_cte(n_iters: int = 2, emb_expr: str = "embedding") -> str:
     """CTE chain unrolling ``n_iters`` Lloyd's iterations in exact integer
     micro-units — the DuckDB replica of similarity.pq_train_codebook.
     Defines ``subv`` (per-vector subspace int vectors) and ``cent{n}`` (the
     trained codebook, per (s, cl) 16-element int lists).  ``//`` is
     DuckDB's truncating integer division, mirrored exactly by the Spark
-    side's sign-reapplied ``abs(sm) // cnt``."""
+    side's sign-reapplied ``abs(sm) // cnt``.  ``emb_expr`` swaps in a
+    transformed input vector (e.g. the OPQ interleave)."""
     parts = [
-        """q AS (
+        f"""q AS (
     SELECT vec_id,
-           list_transform(embedding,
+           list_transform({emb_expr},
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
     FROM embeddings
 )""",
@@ -4118,11 +4148,11 @@ FROM fin WHERE rk = 1 GROUP BY vec_id
 """
 
 
-def _pq_trained_adc_sql(n_iters: int = 2) -> str:
+def _pq_trained_adc_sql(n_iters: int = 2, emb_expr: str = "embedding") -> str:
     """ADC search oracle under the trained codebook: per-query subspace
     distance tables vs cent{n}, joined onto the trained codes."""
     return f"""
-WITH {_pq_trained_cte(n_iters)},
+WITH {_pq_trained_cte(n_iters, emb_expr)},
 fin AS (
     SELECT vec_id, s, cl, dist,
            row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rk
@@ -5688,6 +5718,9 @@ FROM documents d CROSS JOIN k
         # TRAINING is hash-verified, not just assignment
         "sim_pq_trained": _pq_trained_codes_sql(),
         "sim_pq_trained_recall": _recall_sql(_pq_trained_adc_sql()),
+        # OPQ interleave: same trained-ADC chain over the permuted input;
+        # the exact side stays in the original space (permutation-invariant)
+        "sim_pq_opq_recall": _recall_sql(_pq_trained_adc_sql(emb_expr=_OPQ_EMB_EXPR)),
         "sim_ivf_trained": _ivf_trained_topk_sql(5, 10, nprobe=2),
         "sim_ivf_trained_recall": _recall_sql(_ivf_trained_topk_sql(10, 10, nprobe=2)),
         # ADC: per-query (s, cid) distance table joined onto the unpivoted

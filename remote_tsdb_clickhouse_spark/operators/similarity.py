@@ -792,3 +792,18 @@ def pq_adc_topk(
         .where(F.col("rk") <= topk)
         .select("query_id", "neighbor_id", "adc", "rk")
     )
+
+
+def interleave_permute(emb: DataFrame, vec_col: str = "embedding", m: int = 4) -> DataFrame:
+    """OPQ-lite dimension permutation before PQ: a stride-``m`` interleave
+    (``perm[i] = (i % (d/m)) * m + i // (d/m)``) so each subspace sees a
+    spread of the original dimensions instead of a contiguous block —
+    the structured special case of OPQ's learned rotation that keeps the
+    integer-exact arithmetic intact (a permutation IS an orthogonal
+    transform, so distances and recall semantics are preserved while the
+    subspace variance balance changes).  Pure projection, zero shuffle.
+    """
+    d = 64
+    sub = d // m
+    perm = [(i % sub) * m + i // sub for i in range(d)]
+    return emb.withColumn(vec_col, F.array(*[F.col(vec_col)[p] for p in perm]))
