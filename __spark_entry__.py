@@ -240,6 +240,31 @@ def _compacted_store(spark: SparkSession, sf_dir: str):
     return st
 
 
+def q_tsdb_retention_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 as a retention sweep: the TTL job deletes days 3-6 (mid-range,
+    exercising both whole-partition drops and edge-partition rewrites in
+    ``delete_time_range``) from a store built off the purchase series;
+    serving the FULL range afterwards must hash-match the raw-scan oracle
+    with the deleted window excluded — the delete is proven
+    semantics-exact, not just file-count-plausible.  Store build + sweep
+    are memoized setup; the timed query is the serve."""
+    from remote_tsdb_clickhouse_spark.sources.samples_store import SamplesStore
+
+    per = _RETENTION_STORES.setdefault(spark, {})
+    st = per.get(sf_dir)
+    if st is None:
+        ensure_query_confs(spark)
+        root = tempfile.mkdtemp(prefix="graft_retention_")
+        st = SamplesStore(spark, f"{root}/samples")
+        st.append(
+            events_to_samples(spark, sf_dir).where(F.col("metric_name") == "purchase")
+        )
+        st.delete_time_range("2024-01-03 12:00:00", "2024-01-06 12:00:00")
+        per[sf_dir] = st
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
+    return _flat_grouped(read_query_grouped(st.read(with_partition_col=False), q))
+
+
 def q_tsdb_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 serving from a COMPACTED store: three micro-batch appends leave
     the date partitions as small-file stacks, ``compact()`` (the OPTIMIZE
@@ -1946,6 +1971,33 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-family quality diagnostic on the ANN-recall model: MinHash-LSH
+    pairs vs the exact n-gram-Jaccard >= 0.8 ground truth, as one
+    (n_exact, n_hit, n_lsh) row.  Both operators are already
+    individually oracled; this row pins the RELATIONSHIP — every LSH pair
+    must appear in the exact set (n_hit = n_lsh: the post-banding exact-
+    Jaccard verification guarantees no false positives), and the miss
+    count is the band-collision recall loss an operator owner tunes
+    BANDS/ROWS_PER_BAND against.  At 100 TB the exact side is the audit
+    run on a sample; the LSH side is the production path."""
+    d = _docs(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    approx = dedup.minhash_lsh_pairs(d, threshold=0.8).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    joined = exact.join(approx, ["doc_a", "doc_b"], "left")
+    return (
+        joined.agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .crossJoin(
+            F.broadcast(approx.agg(F.count("*").cast("long").alias("n_lsh")))
+        )
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.45)
 
@@ -2888,6 +2940,10 @@ _ROLLUP_STORES: WeakKeyDictionary = WeakKeyDictionary()
 #: like the rollup store above.
 _COMPACT_STORES: WeakKeyDictionary = WeakKeyDictionary()
 
+#: session -> {sf_dir: SamplesStore} — the retention-swept store for
+#: q_tsdb_retention_serve (append + delete_time_range), same memo shape.
+_RETENTION_STORES: WeakKeyDictionary = WeakKeyDictionary()
+
 
 def stage_streaming_input(spark: SparkSession, sf_dir: str) -> str:
     """Write the streaming query's pre-aggregated staging input, memoized
@@ -3575,13 +3631,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pair, stddev/offset/exp-smooth PromQL, shuffle-shards, vocab, IVF
     # balance, bucketed co-located join, compacted-store serving, bigram
     # LM quality score, WAV round-trip energy) fills the 50-entry window
-    # with 50 never-verified entries.  Overflowing below the window:
+    # with 50 never-verified entries.  Overflowing below the window, all
+    # local-parity green and flagged for r6 front-loading:
     # multimodal_audio_energy, tsdb_rollup_hierarchy,
-    # tsdb_subquery_maxrate, and sim_pq_opq_recall (never-verified,
-    # local parity green; the first has a closed-form oracle) and the 3
-    # r5-touched entries (sim_topk_lsh, sim_topk_ivf, multimodal_features
-    # — r4 rows cover their pre-r5 behavior).  Front-load those seven in
-    # r6 alongside whatever r6 adds.
+    # tsdb_subquery_maxrate, sim_pq_opq_recall, dedup_minhash_recall,
+    # tsdb_retention_serve (never driver-verified) and the 3 r5-touched
+    # entries (sim_topk_lsh, sim_topk_ivf, multimodal_features — r4 rows
+    # cover their pre-r5 behavior).
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -3649,6 +3705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_rollup_hierarchy": q_tsdb_rollup_hierarchy,
         "tsdb_subquery_maxrate": q_tsdb_subquery_maxrate,
         "sim_pq_opq_recall": q_sim_pq_opq_recall,
+        "dedup_minhash_recall": q_dedup_minhash_recall,
+        "tsdb_retention_serve": q_tsdb_retention_serve,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4221,6 +4279,13 @@ FROM f GROUP BY 1, 2, 3
         # serving from the compacted store must equal the plain raw scan
         "tsdb_compact_serve": _tsdb_oracle(
             f"WHERE ts >= {t0} AND ts <= {t20} AND metric_name = 'click'"
+        ),
+        # retention sweep: full-range serve equals the raw scan minus the
+        # deleted (exclusive-start, inclusive-end) window
+        "tsdb_retention_serve": _tsdb_oracle(
+            f"WHERE ts >= {t0} AND ts <= {t20} AND metric_name = 'purchase' "
+            "AND NOT (ts > TIMESTAMP '2024-01-03 12:00:00' "
+            "AND ts <= TIMESTAMP '2024-01-06 12:00:00')"
         ),
         "tsdb_read_name_regex": _tsdb_oracle(
             f"WHERE ts >= {t0} AND ts <= {t20} "
@@ -5035,6 +5100,26 @@ FROM pairs
 WHERE la + lb - i > 0 AND CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
 """,
         "dedup_minhash_lsh": _minhash_oracle(),
+        # LSH-vs-exact relationship: every LSH pair is in the exact set
+        # (post-banding verification), misses = band-collision recall loss
+        "dedup_minhash_recall": f"""
+WITH exact AS (
+    WITH {_TOKS_CTE}, {_SH_CTE},
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.shingles, b.shingles)) AS i,
+               len(a.shingles) AS la, len(b.shingles) AS lb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b FROM pairs
+    WHERE la + lb - i > 0 AND CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
+),
+approx AS ({_minhash_oracle()})
+SELECT count(*) AS n_exact,
+       CAST(sum(CASE WHEN a.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       (SELECT count(*) FROM approx) AS n_lsh
+FROM exact e LEFT JOIN approx a USING (doc_a, doc_b)
+""",
         "dedup_simhash": _simhash_oracle(),
         "dedup_incremental": _incremental_oracle(),
         "dedup_groups": f"""
