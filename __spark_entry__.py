@@ -3172,6 +3172,45 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard oracle signal for the BUILT-IN streaming session window: a
+    real Structured Streaming run (file source -> ``session_window`` with
+    a 30-minute gap -> memory sink, availableNow, complete mode) over the
+    same staged input as the other streaming rows; every emitted session
+    must equal the batch gap-sessionization SQL (new session iff
+    t - prev >= gap; end = last event + gap — the engine's own session
+    convention, reproduced independently by the oracle's lag/running-sum
+    construction)."""
+    import uuid
+
+    from remote_tsdb_clickhouse_spark.model import SAMPLES_SCHEMA
+    from remote_tsdb_clickhouse_spark.streaming.ingest import sessionized_stream
+
+    ensure_query_confs(spark)
+    staging = stage_streaming_input(spark, sf_dir)
+    stream = spark.readStream.schema(SAMPLES_SCHEMA).parquet(f"{staging}/in")
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="graft_sess_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessionized_stream(stream, gap="30 minutes")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("streaming sessionize did not finish within 180s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname)
+
+
 def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 keywords with TF-IDF scores: term frequency via
     explode+groupBy, document frequency via a second aggregation on the same
@@ -3635,7 +3674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local-parity green and flagged for r6 front-loading:
     # multimodal_audio_energy, tsdb_rollup_hierarchy,
     # tsdb_subquery_maxrate, sim_pq_opq_recall, dedup_minhash_recall,
-    # tsdb_retention_serve (never driver-verified) and the 3 r5-touched
+    # tsdb_retention_serve, streaming_sessionize (never driver-verified)
+    # and the 3 r5-touched
     # entries (sim_topk_lsh, sim_topk_ivf, multimodal_features — r4 rows
     # cover their pre-r5 behavior).
     return {
@@ -3707,6 +3747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_opq_recall": q_sim_pq_opq_recall,
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "tsdb_retention_serve": q_tsdb_retention_serve,
+        "streaming_sessionize": q_streaming_sessionize,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -5919,6 +5960,38 @@ FROM grouped GROUP BY 1, 2
 """,
         # the streaming run must emit exactly the batch GROUP BY over the
         # same staged slice (stage_streaming_input derivation replicated)
+        # built-in session window vs batch gap sessionization: new session
+        # iff t - prev >= 1800 s; session end = last event + gap
+        "streaming_sessionize": f"""
+WITH {SAMPLES_ORACLE_CTE},
+staged AS (
+    SELECT metric_name,
+           list_sort(list_filter(labels, x -> NOT (x LIKE 'k=%'))) AS labels,
+           ts, max(value) AS value
+    FROM samples
+    WHERE metric_name = 'purchase' AND ts < TIMESTAMP '2024-01-10 00:00:00'
+    GROUP BY 1, 2, 3
+),
+m AS (
+    SELECT metric_name, array_to_string(labels, ',') AS labels_str,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+    FROM staged
+),
+g AS (
+    SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w >= 1800
+                   THEN 1 ELSE 0 END AS new_s
+    FROM m WINDOW w AS (PARTITION BY metric_name, labels_str ORDER BY t)
+),
+s AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY metric_name, labels_str ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM g
+)
+SELECT metric_name, labels_str,
+       min(t) AS s_start, max(t) + 1800 AS s_end,
+       count(*) AS n_samples, max(value) AS max_v
+FROM s GROUP BY metric_name, labels_str, sid
+""",
         "streaming_windowed_max": f"""
 WITH {SAMPLES_ORACLE_CTE},
 staged AS (

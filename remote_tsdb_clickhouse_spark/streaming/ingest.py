@@ -249,3 +249,37 @@ def stateful_dedup_stream(doc_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def sessionized_stream(
+    samples_stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization via the BUILT-IN session window: per-series
+    dynamic-gap windows that merge while events arrive within ``gap`` of
+    the session end (Spark's native stateful session operator — no custom
+    state function needed; contrast ``stateful_rate_stream``, which exists
+    precisely because no built-in expresses cross-batch lag).  Session end
+    is last-event + gap, the engine's own convention.  The watermark
+    bounds session state in a continuous deployment; the batch-equivalence
+    oracle runs under ``complete`` mode where it is not load-bearing.
+    """
+    return (
+        samples_stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"),
+            "metric_name",
+            F.array_join(F.array_sort("labels"), ",").alias("labels_str"),
+        )
+        .agg(F.count("*").alias("n_samples"), F.max("value").alias("max_v"))
+        .select(
+            "metric_name",
+            "labels_str",
+            F.col("w.start").cast("long").alias("s_start"),
+            F.col("w.end").cast("long").alias("s_end"),
+            "n_samples",
+            "max_v",
+        )
+    )
