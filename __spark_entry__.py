@@ -539,6 +539,19 @@ def q_tsdb_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tsdb_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``mad_over_time``: per-series median absolute deviation with
+    discrete medians at both stages (tsfuncs.mad_over_time — sorted-array
+    indexing + one exact IEEE subtraction, bit-exact cross-engine)."""
+    q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "click"),))
+    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import mad_over_time
+
+    return mad_over_time(grouped).select(
+        "metric_name", _lbl(), "n_samples", "median_v", "mad_v"
+    )
+
+
 def q_tsdb_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL ``quantile_over_time``: per-series discrete p50/p95 over the
     queried range (type-1 quantile — sorted-array indexing, bit-exact
@@ -3674,7 +3687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local-parity green and flagged for r6 front-loading:
     # multimodal_audio_energy, tsdb_rollup_hierarchy,
     # tsdb_subquery_maxrate, sim_pq_opq_recall, dedup_minhash_recall,
-    # tsdb_retention_serve, streaming_sessionize (never driver-verified)
+    # tsdb_retention_serve, streaming_sessionize, tsdb_mad_over_time
     # and the 3 r5-touched
     # entries (sim_topk_lsh, sim_topk_ivf, multimodal_features — r4 rows
     # cover their pre-r5 behavior).
@@ -3748,6 +3761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_recall": q_dedup_minhash_recall,
         "tsdb_retention_serve": q_tsdb_retention_serve,
         "streaming_sessionize": q_streaming_sessionize,
+        "tsdb_mad_over_time": q_tsdb_mad_over_time,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -5686,6 +5700,21 @@ SELECT metric_name,
        CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sum_v,
        count(*) AS n_samples
 FROM rv GROUP BY 1, 2
+""",
+        # discrete-median MAD: both stages index sorted arrays; the only
+        # arithmetic is one exact IEEE subtraction per element
+        "tsdb_mad_over_time": f"""
+WITH {SAMPLES_ORACLE_CTE},
+{_GROUPED.format(where="WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00' AND metric_name = 'click'")},
+a AS (
+    SELECT metric_name, labels_str, list_sort(list(v)) AS vs, count(*) AS n
+    FROM grouped GROUP BY 1, 2
+),
+b AS (SELECT *, vs[CAST(floor((n - 1) * 0.5) AS INT) + 1] AS med FROM a)
+SELECT metric_name, labels_str, n AS n_samples, med AS median_v,
+       (list_sort(list_transform(vs, x -> abs(x - med))))
+           [CAST(floor((n - 1) * 0.5) AS INT) + 1] AS mad_v
+FROM b
 """,
         "tsdb_quantile_over_time": f"""
 WITH {SAMPLES_ORACLE_CTE},

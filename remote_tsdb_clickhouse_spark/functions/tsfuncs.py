@@ -512,3 +512,31 @@ def exp_smooth(grouped: DataFrame, window_n: int = 21) -> DataFrame:
             F.sum(term).cast("long").alias("smooth_scaled"),
         )
     )
+
+
+def mad_over_time(grouped: DataFrame) -> DataFrame:
+    """PromQL ``mad_over_time`` (median absolute deviation, Prometheus
+    2.42+) per series, with DISCRETE (type-1) medians at both stages:
+    every intermediate is either an actual sample value (sorted-array
+    indexing) or a single exact IEEE subtraction, so the result is
+    bit-identical cross-engine — the same determinism rule as
+    :func:`quantile_over_time`, which interpolated medians would break.
+    One object-hash aggregation; per-series arrays are range-bounded.
+
+    Output: (metric_name, slb, n_samples, median_v, mad_v).
+    """
+    arr = F.sort_array(F.collect_list("max_0"))
+    agg = grouped.groupBy("metric_name", "slb").agg(
+        arr.alias("_vs"), F.count("*").alias("n_samples")
+    )
+    n = F.col("n_samples")
+    mid = F.floor((n - 1).cast("double") * F.lit(0.5)).cast("int")
+    med = F.get("_vs", mid)
+    devs = F.sort_array(F.transform("_vs", lambda x: F.abs(x - med)))
+    return agg.select(
+        "metric_name",
+        "slb",
+        "n_samples",
+        med.alias("median_v"),
+        F.get(devs, mid).alias("mad_v"),
+    )
