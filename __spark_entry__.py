@@ -2011,6 +2011,28 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup report a pipeline owner actually reads: the near-dup
+    cluster-size histogram (cluster_size, n_clusters, n_docs) over the
+    connected components of the MinHash-LSH pair graph — "how much of the
+    corpus is duplicated, and in how big clumps".  Two tiny aggregations
+    on the component output (group-size count, then size histogram);
+    oracled against the recursive-CTE transitive closure like
+    dedup_groups."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("group_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(_embs(spark, sf_dir), threshold=0.45)
 
@@ -3687,10 +3709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # local-parity green and flagged for r6 front-loading:
     # multimodal_audio_energy, tsdb_rollup_hierarchy,
     # tsdb_subquery_maxrate, sim_pq_opq_recall, dedup_minhash_recall,
-    # tsdb_retention_serve, streaming_sessionize, tsdb_mad_over_time
-    # and the 3 r5-touched
-    # entries (sim_topk_lsh, sim_topk_ivf, multimodal_features — r4 rows
-    # cover their pre-r5 behavior).
+    # tsdb_retention_serve, streaming_sessionize, tsdb_mad_over_time,
+    # dedup_cluster_stats, and the 3 r5-touched entries (sim_topk_lsh,
+    # sim_topk_ivf, multimodal_features — r4 rows cover their pre-r5
+    # behavior).
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -3762,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsdb_retention_serve": q_tsdb_retention_serve,
         "streaming_sessionize": q_streaming_sessionize,
         "tsdb_mad_over_time": q_tsdb_mad_over_time,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -5191,6 +5214,26 @@ reach(a, b) AS (
     SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
 )
 SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+""",
+        # cluster-size histogram over the same transitive closure
+        "dedup_cluster_stats": f"""
+WITH RECURSIVE
+lsh AS ({_minhash_oracle()}),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM lsh
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM lsh
+),
+reach(a, b) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS (SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a),
+sizes AS (SELECT group_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
 """,
         "dedup_embedding_cosine": f"""
 WITH {_EMB_NORM_CTE}
