@@ -1507,6 +1507,39 @@ def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof`` semantics,
+    the feature-store freshness rule): the prevailing click is attached
+    only if it is at most 1 hour old at purchase time — staler matches
+    null out.  Same union-and-scan dataflow (one shuffle); the tolerance
+    is a post-carry projection, not a range join.  DuckDB has no ASOF
+    tolerance, so the oracle applies the same null-out CASE on top of its
+    native ASOF JOIN — the convention is pinned, not assumed."""
+    ensure_query_confs(spark)
+    from remote_tsdb_clickhouse_spark.sources.events import read_events
+
+    e = read_events(spark, sf_dir)
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_v"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases, clicks, on=["user_id"], right_cols=["click_v"], tolerance_s=3600
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("t"),
+        "value",
+        F.col("ts_right").cast("long").alias("click_t"),
+        F.col("click_v_right").alias("click_v"),
+    )
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window per event type (batch twin of the
     streaming windowed aggregation in streaming/ingest.py)."""
@@ -3594,6 +3627,47 @@ def _ch_fake_transport():
     return transport
 
 
+def q_ch_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sink under the driver hash: a deterministic samples
+    slice flows through the partition-parallel JSONEachRow encoder
+    (``ClickHouseSink.write`` — the reference's bulk insert path,
+    ``write.go:25-60``) into a spool-capturing transport, and the spooled
+    payloads parse back to EXACTLY the source multiset — proving the wire
+    encoding lossless (json float repr round-trips doubles bit-exactly;
+    DateTime truncates to whole seconds, which the samples schema already
+    guarantees).  The spool is executor-local files (valid single-node;
+    the cluster deployment posts to real ClickHouse — same code path, the
+    transport is the injection point)."""
+    import glob
+
+    from remote_tsdb_clickhouse_spark.sources.clickhouse import ClickHouseSink
+
+    ensure_query_confs(spark)
+    spool = tempfile.mkdtemp(prefix="graft_ch_spool_")
+
+    def post(url: str, payload: bytes) -> None:
+        import os
+        import uuid as _uuid
+
+        with open(os.path.join(spool, f"{_uuid.uuid4().hex}.jsonl"), "wb") as f:
+            f.write(payload)
+
+    src = events_to_samples(spark, sf_dir).where(
+        (F.col("metric_name") == "signup") & (F.col("ts") < F.lit("2024-01-03 00:00:00"))
+    )
+    ClickHouseSink(post=post, batch_rows=500).write(src)
+    assert glob.glob(f"{spool}/*.jsonl"), "sink produced no payloads"
+    parsed = spark.read.schema(
+        "updated_at STRING, metric_name STRING, labels ARRAY<STRING>, value DOUBLE"
+    ).json(f"{spool}/*.jsonl")
+    return parsed.select(
+        "metric_name",
+        F.array_join(F.array_sort("labels"), ",").alias("labels_str"),
+        F.to_timestamp("updated_at").cast("long").alias("t"),
+        "value",
+    )
+
+
 def q_ch_pushdown_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ClickHouse serving leg end-to-end under bench/driver watch:
     partition-parallel range-split scan through the injectable transport
@@ -3710,9 +3784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multimodal_audio_energy, tsdb_rollup_hierarchy,
     # tsdb_subquery_maxrate, sim_pq_opq_recall, dedup_minhash_recall,
     # tsdb_retention_serve, streaming_sessionize, tsdb_mad_over_time,
-    # dedup_cluster_stats, and the 3 r5-touched entries (sim_topk_lsh,
-    # sim_topk_ivf, multimodal_features — r4 rows cover their pre-r5
-    # behavior).
+    # dedup_cluster_stats, ch_sink_roundtrip, events_asof_tolerance, and
+    # the 3 r5-touched entries (sim_topk_lsh, sim_topk_ivf,
+    # multimodal_features — r4 rows cover their pre-r5 behavior).
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -3785,6 +3859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize": q_streaming_sessionize,
         "tsdb_mad_over_time": q_tsdb_mad_over_time,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "ch_sink_roundtrip": q_ch_sink_roundtrip,
+        "events_asof_tolerance": q_events_asof_tolerance,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4335,6 +4411,15 @@ def oracle_sql() -> dict[str, str]:
         # serving-leg row: the oracle regenerates the deterministic fake
         # transport's corpus (values i/4.0 are dyadic -> exact in JSON and
         # both engines) and applies the same matcher + 300 s downsample
+        # sink round-trip: the spooled JSONEachRow payloads must parse
+        # back to exactly the source multiset
+        "ch_sink_roundtrip": f"""
+WITH {SAMPLES_ORACLE_CTE}
+SELECT metric_name, array_to_string(list_sort(labels), ',') AS labels_str,
+       CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+FROM samples
+WHERE metric_name = 'signup' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+""",
         "ch_pushdown_read": f"""
 WITH src AS (
     SELECT 'm' || CAST(i % 3 AS VARCHAR) AS metric_name,
@@ -5038,6 +5123,25 @@ p AS (
 SELECT p.user_id, p.event_id,
        CAST(floor(epoch(p.ts)) AS BIGINT) AS t, p.value,
        CAST(floor(epoch(clicks.ts)) AS BIGINT) AS click_t, clicks.click_v
+FROM p ASOF LEFT JOIN clicks
+  ON p.user_id = clicks.user_id AND p.ts >= clicks.ts
+""",
+        # tolerance as-of: same ASOF JOIN, matches staler than 1 h null out
+        "events_asof_tolerance": """
+WITH clicks AS (
+    SELECT user_id, ts, max(value) AS click_v
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+    SELECT event_id, user_id, ts, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS t, p.value,
+       CASE WHEN epoch(p.ts) - epoch(clicks.ts) <= 3600
+            THEN CAST(floor(epoch(clicks.ts)) AS BIGINT) END AS click_t,
+       CASE WHEN epoch(p.ts) - epoch(clicks.ts) <= 3600
+            THEN clicks.click_v END AS click_v
 FROM p ASOF LEFT JOIN clicks
   ON p.user_id = clicks.user_id AND p.ts >= clicks.ts
 """,
