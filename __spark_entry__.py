@@ -1540,6 +1540,60 @@ def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (asof_join(direction="forward")): each purchase
+    annotated with the user's next click at-or-after it, plus the
+    conversion latency in seconds — the time-to-next-event shape.  Same
+    single-shuffle union-and-scan with the carry running from the frame
+    end; DuckDB's ASOF JOIN with the inequality flipped is the oracle."""
+    ensure_query_confs(spark)
+    from remote_tsdb_clickhouse_spark.sources.events import read_events
+
+    e = read_events(spark, sf_dir)
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_v"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases, clicks, on=["user_id"], right_cols=["click_v"], direction="forward"
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("t"),
+        F.col("ts_right").cast("long").alias("next_click_t"),
+        (F.col("ts_right").cast("long") - F.col("ts").cast("long")).alias("latency_s"),
+        F.col("click_v_right").alias("click_v"),
+    )
+
+
+def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over lineitem: unordered part pairs
+    appearing together in >= 2 orders, with support counts.  Scale
+    shape: the per-order item list is bounded (<= 7 lineitems in TPC-H),
+    so the within-order pair explode is linear in orders, and the support
+    aggregation is one hash shuffle on the pair key — the standard
+    frequent-itemset counting pass, no corpus-wide self-join."""
+    ensure_query_confs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(b, "l_orderkey").where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window per event type (batch twin of the
     streaming windowed aggregation in streaming/ingest.py)."""
@@ -3784,9 +3838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # multimodal_audio_energy, tsdb_rollup_hierarchy,
     # tsdb_subquery_maxrate, sim_pq_opq_recall, dedup_minhash_recall,
     # tsdb_retention_serve, streaming_sessionize, tsdb_mad_over_time,
-    # dedup_cluster_stats, ch_sink_roundtrip, events_asof_tolerance, and
-    # the 3 r5-touched entries (sim_topk_lsh, sim_topk_ivf,
-    # multimodal_features — r4 rows cover their pre-r5 behavior).
+    # dedup_cluster_stats, ch_sink_roundtrip, events_asof_tolerance,
+    # events_asof_next, orders_market_basket, and the 3 r5-touched
+    # entries (sim_topk_lsh, sim_topk_ivf, multimodal_features — r4 rows
+    # cover their pre-r5 behavior).
     return {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -3861,6 +3916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "ch_sink_roundtrip": q_ch_sink_roundtrip,
         "events_asof_tolerance": q_events_asof_tolerance,
+        "events_asof_next": q_events_asof_next,
+        "orders_market_basket": q_orders_market_basket,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -5125,6 +5182,34 @@ SELECT p.user_id, p.event_id,
        CAST(floor(epoch(clicks.ts)) AS BIGINT) AS click_t, clicks.click_v
 FROM p ASOF LEFT JOIN clicks
   ON p.user_id = clicks.user_id AND p.ts >= clicks.ts
+""",
+        # forward as-of: the same ASOF JOIN with the inequality flipped
+        "events_asof_next": """
+WITH clicks AS (
+    SELECT user_id, ts, max(value) AS click_v
+    FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+p AS (
+    SELECT event_id, user_id, ts, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS t,
+       CAST(floor(epoch(clicks.ts)) AS BIGINT) AS next_click_t,
+       CAST(floor(epoch(clicks.ts)) AS BIGINT)
+           - CAST(floor(epoch(p.ts)) AS BIGINT) AS latency_s,
+       clicks.click_v
+FROM p ASOF LEFT JOIN clicks
+  ON p.user_id = clicks.user_id AND p.ts <= clicks.ts
+""",
+        # within-order pair explode + support count (distinct orders)
+        "orders_market_basket": """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(DISTINCT a.l_orderkey) AS support
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(DISTINCT a.l_orderkey) >= 2
 """,
         # tolerance as-of: same ASOF JOIN, matches staler than 1 h null out
         "events_asof_tolerance": """

@@ -42,17 +42,24 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     suffix: str = "_right",
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join (left join semantics: unmatched left
-    rows keep NULL right columns).
+    """Inclusive as-of join (left join semantics: unmatched left rows keep
+    NULL right columns).  ``direction="backward"`` (default) attaches the
+    most recent right row with ``right_ts <= left_ts``;
+    ``direction="forward"`` the earliest with ``right_ts >= left_ts``
+    (time-to-next-event / conversion-latency shape) — same single-shuffle
+    union-and-scan, with the carry running from the other frame end.
 
     ``right`` must be unique per ``(on..., right_ts)`` — pre-aggregate it
     otherwise, or the carried "most recent" row among equal timestamps is
     nondeterministic.
 
-    ``tolerance_s``: if set, matches older than this many seconds before
+    ``tolerance_s``: if set, matches further than this many seconds from
     the left timestamp are nulled out (pandas ``merge_asof`` tolerance).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
@@ -77,19 +84,29 @@ def asof_join(
     r2 = r2.withColumn("__lrow", F.lit(None).cast(l2.schema["__lrow"].dataType))
 
     u = l2.unionByName(r2)
-    # right rows sort before left rows at the same timestamp -> inclusive
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
+    # right rows sort toward the carry origin at equal timestamps ->
+    # inclusive semantics in either direction
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = u.withColumn("__match", F.last("__rv", ignorenulls=True).over(w))
+        gap = F.col("__t").cast("double") - F.col("__match.__rts").cast("double")
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__t").asc(), F.col("__is_right").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = u.withColumn("__match", F.first("__rv", ignorenulls=True).over(w))
+        gap = F.col("__match.__rts").cast("double") - F.col("__t").cast("double")
     out = carried.where(F.col("__is_right") == 0)
     if tolerance_s is not None:
-        in_tol = (
-            F.col("__t").cast("double") - F.col("__match.__rts").cast("double")
-        ) <= F.lit(float(tolerance_s))
-        out = out.withColumn("__match", F.when(in_tol, F.col("__match")))
+        out = out.withColumn(
+            "__match", F.when(gap <= F.lit(float(tolerance_s)), F.col("__match"))
+        )
     sel = [F.col(f"__lrow.{c}").alias(c) for c in left_cols]
     sel.append(F.col("__match.__rts").alias(f"{left_ts}{suffix}"))
     sel.extend(F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols)

@@ -83,3 +83,32 @@ def test_single_shuffle_plan(frames):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: earliest right row at-or-after the left timestamp;
+    inclusive at equality; tolerance nulls out matches too far ahead."""
+    from remote_tsdb_clickhouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 10.0, "p1"), ("u", 25.0, "p2"), ("u", 100.0, "p3")],
+        "k STRING, ts DOUBLE, tag STRING",
+    )
+    right = spark.createDataFrame(
+        [("u", 10.0, 1.0), ("u", 30.0, 2.0)], "k STRING, ts DOUBLE, v DOUBLE"
+    )
+    out = {
+        r.tag: r
+        for r in asof_join(left, right, on=["k"], direction="forward").collect()
+    }
+    assert out["p1"].ts_right == 10.0  # inclusive at equality
+    assert out["p2"].ts_right == 30.0
+    assert out["p3"].ts_right is None  # nothing after
+    tol = {
+        r.tag: r
+        for r in asof_join(
+            left, right, on=["k"], direction="forward", tolerance_s=4
+        ).collect()
+    }
+    assert tol["p1"].ts_right == 10.0
+    assert tol["p2"].ts_right is None  # 30 - 25 = 5 > 4
