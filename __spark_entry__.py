@@ -2098,6 +2098,16 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment |A∩B|/|A| >= 0.9
+    (dedup.containment_pairs): the sub-document dedup signal symmetric
+    Jaccard misses — a doc quoted wholesale inside a larger one scores
+    ~1 from the small side while its Jaccard stays low.  Same inverted-
+    index dataflow as the Jaccard baseline; the directed fan-out is a
+    projection, not a second join."""
+    return dedup.containment_pairs(_docs(spark, sf_dir), threshold=0.9)
+
+
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup report a pipeline owner actually reads: the near-dup
     cluster-size histogram (cluster_size, n_clusters, n_docs) over the
@@ -3839,7 +3849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tsdb_subquery_maxrate, sim_pq_opq_recall, dedup_minhash_recall,
     # tsdb_retention_serve, streaming_sessionize, tsdb_mad_over_time,
     # dedup_cluster_stats, ch_sink_roundtrip, events_asof_tolerance,
-    # events_asof_next, orders_market_basket, and the 3 r5-touched
+    # events_asof_next, orders_market_basket, dedup_containment, and
+    # the 3 r5-touched
     # entries (sim_topk_lsh, sim_topk_ivf, multimodal_features — r4 rows
     # cover their pre-r5 behavior).
     return {
@@ -3918,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_tolerance": q_events_asof_tolerance,
         "events_asof_next": q_events_asof_next,
         "orders_market_basket": q_orders_market_basket,
+        "dedup_containment": q_dedup_containment,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -5367,6 +5379,24 @@ FROM pairs
 WHERE la + lb - i > 0 AND CAST(i AS DOUBLE) / (la + lb - i) >= 0.8
 """,
         "dedup_minhash_lsh": _minhash_oracle(),
+        # directed containment: each undirected intersection row fans out
+        # to its two directions
+        "dedup_containment": f"""
+WITH {_TOKS_CTE}, {_SH_CTE},
+pairs AS (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           len(list_intersect(a.shingles, b.shingles)) AS i,
+           len(a.shingles) AS la, len(b.shingles) AS lb
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+d AS (
+    SELECT da AS doc_inner, db AS doc_outer, CAST(i AS DOUBLE) / la AS containment
+    FROM pairs WHERE la > 0
+    UNION ALL
+    SELECT db, da, CAST(i AS DOUBLE) / lb FROM pairs WHERE lb > 0
+)
+SELECT * FROM d WHERE containment >= 0.9
+""",
         # LSH-vs-exact relationship: every LSH pair is in the exact set
         # (post-banding verification), misses = band-collision recall loss
         "dedup_minhash_recall": f"""

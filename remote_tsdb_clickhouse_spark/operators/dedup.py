@@ -676,3 +676,49 @@ def bloom_membership(
             (F.col("n_hit") == F.col("n_bits")).alias("maybe_member"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directed shingle-set containment ``|A ∩ B| / |A|`` — the
+    sub-document dedup signal symmetric Jaccard misses: a short document
+    quoted wholesale inside a much larger one has low Jaccard (union is
+    dominated by the big doc) but containment ≈ 1 from the small doc's
+    side.  Output: (doc_inner, doc_outer, containment) for every ordered
+    pair at or above ``threshold``.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (shingle
+    equi-join -> pair count -> size join), so it shares the family's
+    exploded-shingle materialization; each undirected pair fans out to
+    its two directed rows in a final projection — no second join.
+    """
+    base = normalized_docs(docs, id_col, text_col)
+    exploded = base.select("doc_id", F.explode("shingles").alias("sh"))
+    inter = (
+        exploded.alias("x")
+        .join(exploded.alias("y"), "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = _sizes(base)
+    a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("la"))
+    b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("lb"))
+    j = inter.join(a, "doc_a").join(b, "doc_b")
+    fwd = j.where(F.col("la") > 0).select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        (F.col("inter").cast("double") / F.col("la")).alias("containment"),
+    )
+    rev = j.where(F.col("lb") > 0).select(
+        F.col("doc_b").alias("doc_inner"),
+        F.col("doc_a").alias("doc_outer"),
+        (F.col("inter").cast("double") / F.col("lb")).alias("containment"),
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)
