@@ -2232,6 +2232,22 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_at_10(spark, sf_dir, approx)
 
 
+def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the vector-DB feature ANN papers
+    skip): exact cosine top-10 restricted to corpus vectors with
+    label = 3 — the predicate composes into the corpus scan BEFORE
+    scoring (filter pushdown into the parquet read, broadcast queries,
+    corpus never moves), not as a post-filter that silently returns fewer
+    than k.  Queries themselves are unfiltered vectors."""
+    emb = _embs(spark, sf_dir)
+    out = similarity.brute_force_topk(
+        emb.where(F.col("label") == 3),
+        emb.where(F.col("vec_id") < 10),
+        k=10,
+    )
+    return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
+
+
 def q_sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncated exact search: cosine top-10 computed in the
     first 16 of 64 dimensions (F.slice, zero data movement) — the MRL
@@ -2478,6 +2494,42 @@ def q_tsdb_offset_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").alias("sum_micro"),
             F.col("s_prev").alias("prev_sum_micro"),
             ratio.alias("dod_ratio_micro"),
+        )
+    )
+
+
+def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source interleave for training order: documents rank
+    within their source by a salted id-hash, and the global training
+    position is ``rank * n_sources + source_index`` — round-robin across
+    the 20 sources, so a training run never sees a long single-source
+    streak (the data-ordering twin of dataset_mixture_sample's selection).
+    One rank window partitioned by source (linear, shard-parallel); the
+    global position is arithmetic, NOT a global sort.  Source index comes
+    from a dense_rank over the (bounded) source list."""
+    from pyspark.sql import Window
+
+    ensure_query_confs(spark)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    srcs = d.select("source").distinct()
+    n_src = srcs.count()  # bounded by the source catalog, metadata-sized
+    w_src = Window.orderBy("source")
+    idx = srcs.select("source", (F.dense_rank().over(w_src) - 1).alias("src_idx"))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = d.select("doc_id", "source", h.alias("h")).withColumn(
+        "rnk", F.row_number().over(w) - 1
+    )
+    return (
+        ranked.join(F.broadcast(idx), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("rnk") * n_src + F.col("src_idx")).cast("long").alias("position"),
         )
     )
 
@@ -3849,8 +3901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tsdb_subquery_maxrate, sim_pq_opq_recall, dedup_minhash_recall,
     # tsdb_retention_serve, streaming_sessionize, tsdb_mad_over_time,
     # dedup_cluster_stats, ch_sink_roundtrip, events_asof_tolerance,
-    # events_asof_next, orders_market_basket, dedup_containment, and
-    # the 3 r5-touched
+    # events_asof_next, orders_market_basket, dedup_containment,
+    # sim_topk_filtered, dataset_interleave, and the 3 r5-touched
     # entries (sim_topk_lsh, sim_topk_ivf, multimodal_features — r4 rows
     # cover their pre-r5 behavior).
     return {
@@ -3930,6 +3982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_next": q_events_asof_next,
         "orders_market_basket": q_orders_market_basket,
         "dedup_containment": q_dedup_containment,
+        "sim_topk_filtered": q_sim_topk_filtered,
+        "dataset_interleave": q_dataset_interleave,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4678,6 +4732,26 @@ SELECT metric_name, labels_str,
        CAST(sum(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_v,
        min(v) AS min_v, max(v) AS max_v, count(*) AS n
 FROM grouped GROUP BY 1, 2, 3
+""",
+        # deterministic round-robin source interleave: per-source rank by
+        # salted hash, position = rank * n_sources + source_index
+        "dataset_interleave": f"""
+WITH s AS (
+    SELECT source, dense_rank() OVER (ORDER BY source) - 1 AS src_idx
+    FROM (SELECT DISTINCT source FROM documents)
+),
+n AS (SELECT count(*) AS n_src FROM s),
+r AS (
+    SELECT doc_id, source,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_H32.format(x="'ord:' || CAST(doc_id AS VARCHAR)")}, doc_id
+           ) - 1 AS rnk
+    FROM documents
+)
+SELECT r.doc_id, r.source,
+       CAST(r.rnk * n.n_src + s.src_idx AS BIGINT) AS position
+FROM r JOIN s USING (source) CROSS JOIN n
 """,
         # deterministic global shuffle: shard by id-hash, rank by a second
         # salted hash within the shard
@@ -5483,6 +5557,24 @@ WHERE a.nrm > 0 AND b.nrm > 0
         # the exact cosine top-10, all composed from the same generators —
         # the three index variants (LSH / multi-probe LSH / IVF) become
         # comparable on one axis, alongside the PQ pair
+        # filtered search: the label predicate restricts the CORPUS side
+        "sim_topk_filtered": f"""
+WITH {_EMB_NORM_CTE},
+flt AS (SELECT n.* FROM n JOIN embeddings e ON e.vec_id = n.vec_id WHERE e.label = 3),
+q AS (SELECT * FROM n WHERE vec_id < 10),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CASE WHEN q.nrm > 0 AND c.nrm > 0
+                THEN list_dot_product(q.v, c.v) / (q.nrm * c.nrm) ELSE 0.0 END AS cos
+    FROM q JOIN flt c ON c.vec_id != q.vec_id
+),
+r AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= 10
+""",
         "sim_matryoshka_topk": _matryoshka_topk_sql(dims=16, k=10, qmax=10),
         "sim_matryoshka_recall": _recall_sql(_matryoshka_topk_sql(dims=16, k=10, qmax=10)),
         "sim_lsh_recall": _recall_sql(_lsh_topk_sql(k=10, qmax=10, nprobe=1)),
