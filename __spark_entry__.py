@@ -750,8 +750,20 @@ def _bucketed_user_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         purchases.repartition(16, "user_id"), pt, ["user_id"], 16,
         sort_cols=["user_id"], path=f"{base}/p",
     )
-    per[sf_dir] = (ct, pt)
-    return ct, pt
+    # a third table at (user, day) grain, still bucketed by user_id only:
+    # the zero-exchange AGGREGATION demo needs multiple rows per bucket key
+    daily = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n_clicks"), F.sum(micro).alias("click_micro"))
+    )
+    dt = f"graft_clicks_daily_bucketed_{tag}"
+    write_bucketed(
+        daily.repartition(16, "user_id"), dt, ["user_id"], 16,
+        sort_cols=["user_id", "day"], path=f"{base}/d",
+    )
+    per[sf_dir] = (ct, pt, dt)
+    return per[sf_dir]
 
 
 def q_events_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,7 +779,7 @@ def q_events_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     none; the oracle hash proves the layout trick changes nothing
     semantically.  Values join in exact micro-units."""
     ensure_query_confs(spark)
-    ct, pt = _bucketed_user_tables(spark, sf_dir)
+    ct, pt, _dt = _bucketed_user_tables(spark, sf_dir)
     c = spark.table(ct)
     p = spark.table(pt)
     return c.join(p, "user_id").select(
@@ -3395,6 +3407,65 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(qname)
 
 
+def q_streaming_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN streaming dedup beside the custom one: Spark's own
+    ``dropDuplicates`` on the content hash over the same ordered staging
+    as streaming_dedup — the first arrival per hash survives, which under
+    the mtime-pinned ascending chunks is exactly the min doc_id (the same
+    keeper convention as batch exact_dedup).  Complements the
+    applyInPandasWithState operator: built-in state where a built-in
+    expresses the semantics, custom state only where it doesn't."""
+    import uuid
+
+    ensure_query_confs(spark)
+    staging = stage_dedup_stream_input(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, content_hash STRING")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{staging}/in")
+    )
+    qname = f"ddup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="graft_ddup_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.dropDuplicates(["content_hash"])
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("streaming dropDuplicates did not finish within 180s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(qname).select("content_hash", "doc_id")
+
+
+def q_events_bucketed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-exchange aggregation off the bucketed layout: a groupBy on the
+    bucket key of a 16-bucket table needs NO shuffle (the scan's reported
+    bucketing satisfies the aggregation's distribution requirement —
+    plan-gated), completing the write-time-layout story beside the
+    zero-exchange join.  Decimal-exact value stats per user over the
+    bucketed click aggregates."""
+    ensure_query_confs(spark)
+    _ct, _pt, dt = _bucketed_user_tables(spark, sf_dir)
+    d = spark.table(dt)
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum("n_clicks").cast("long").alias("n_clicks"),
+            F.sum("click_micro").cast("long").alias("click_micro"),
+            F.count("*").cast("long").alias("n_active_days"),
+        )
+    )
+
+
 def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 keywords with TF-IDF scores: term frequency via
     explode+groupBy, document frequency via a second aggregation on the same
@@ -3902,7 +3973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tsdb_retention_serve, streaming_sessionize, tsdb_mad_over_time,
     # dedup_cluster_stats, ch_sink_roundtrip, events_asof_tolerance,
     # events_asof_next, orders_market_basket, dedup_containment,
-    # sim_topk_filtered, dataset_interleave, and the 3 r5-touched
+    # sim_topk_filtered, dataset_interleave, streaming_dropduplicates,
+    # events_bucketed_agg, and the 3 r5-touched
     # entries (sim_topk_lsh, sim_topk_ivf, multimodal_features — r4 rows
     # cover their pre-r5 behavior).
     return {
@@ -3984,6 +4056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "sim_topk_filtered": q_sim_topk_filtered,
         "dataset_interleave": q_dataset_interleave,
+        "streaming_dropduplicates": q_streaming_dropduplicates,
+        "events_bucketed_agg": q_events_bucketed_agg,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -5822,6 +5896,20 @@ FROM b GROUP BY 1, 2
 """,
         # the streaming stateful-rate result must equal the batch lag window
         # over the same (series, second)-grouped history — state == lag
+        # built-in streaming dropDuplicates: first arrival per hash = min
+        # doc_id under the mtime-pinned ascending staging
+        "streaming_dropduplicates": f"""
+WITH {_TOKS_CTE},
+h AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS content_hash FROM toks)
+SELECT content_hash, min(doc_id) AS doc_id FROM h GROUP BY 1
+""",
+        # zero-exchange bucketed aggregation = plain per-user click stats
+        "events_bucketed_agg": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS click_micro,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days
+FROM events WHERE event_type = 'click' GROUP BY 1
+""",
         # streaming dedup: cross-batch counting state must equal the batch
         # row_number() over the full corpus (batches arrive in ascending
         # doc_id ranges by construction)

@@ -335,3 +335,12 @@ def test_rollup_hierarchy_routes_to_coarsest(spark):
     assert "res=3600" in plan, plan
     assert "res=60/" not in plan, plan
     assert "PartitionFilters" in plan, plan
+
+
+def test_bucketed_agg_zero_exchange(spark):
+    # aggregation on the bucket key of the daily-grain bucketed table:
+    # the scan's bucketing satisfies the distribution requirement, so no
+    # Exchange appears anywhere in the plan
+    plan = _plan(spark, "events_bucketed_agg")
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
