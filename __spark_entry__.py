@@ -2244,6 +2244,30 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_at_10(spark, sf_dir, approx)
 
 
+def q_sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search (similarity.ivf_pq_topk): the FAISS-standard
+    composite — coarse inverted lists route by exact int64 L2, product
+    quantization encodes the RESIDUAL from the list centroid, serving
+    probes 2 lists with per-(query, list) ADC tables.  Every stage is
+    integer micro-unit exact, so the whole index — routing, residual
+    encoding, table lookups, ranking — hash-verifies against the DuckDB
+    unroll."""
+    return similarity.ivf_pq_topk(
+        _embs(spark, sf_dir), n_queries=10, topk=10, n_centroids=16, nprobe=2
+    )
+
+
+def q_sim_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of IVF-PQ against the exact cosine top-10 — the
+    composite index joins the shared ANN quality axis (compare
+    sim_ivf_recall for routing alone and sim_pq_recall for quantization
+    alone: this row shows their composition)."""
+    approx = similarity.ivf_pq_topk(
+        _embs(spark, sf_dir), n_queries=10, topk=10, n_centroids=16, nprobe=2
+    )
+    return _recall_at_10(spark, sf_dir, approx)
+
+
 def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-FILTERED vector search (the vector-DB feature ANN papers
     skip): exact cosine top-10 restricted to corpus vectors with
@@ -3974,7 +3998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_cluster_stats, ch_sink_roundtrip, events_asof_tolerance,
     # events_asof_next, orders_market_basket, dedup_containment,
     # sim_topk_filtered, dataset_interleave, streaming_dropduplicates,
-    # events_bucketed_agg, and the 3 r5-touched
+    # events_bucketed_agg, sim_ivf_pq_topk, sim_ivf_pq_recall, and the 3
+    # r5-touched
     # entries (sim_topk_lsh, sim_topk_ivf, multimodal_features — r4 rows
     # cover their pre-r5 behavior).
     return {
@@ -4058,6 +4083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_interleave": q_dataset_interleave,
         "streaming_dropduplicates": q_streaming_dropduplicates,
         "events_bucketed_agg": q_events_bucketed_agg,
+        "sim_ivf_pq_topk": q_sim_ivf_pq_topk,
+        "sim_ivf_pq_recall": q_sim_ivf_pq_recall,
         # --- code or oracle touched by round 5 (3) ---
         "sim_topk_lsh": q_sim_topk_lsh,
         "sim_topk_ivf": q_sim_topk_ivf,
@@ -4344,6 +4371,93 @@ r AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, round(cos, 4) AS cos, rnk FROM r WHERE rnk <= {k}
+"""
+
+
+def _ivf_pq_sql(n_centroids: int = 16, nprobe: int = 2, kq: int = 16, topk: int = 10, qmax: int = 10) -> str:
+    """IVF-PQ oracle: int-L2 coarse assignment -> residuals -> positional
+    residual-codebook codes -> per-(query, probed list) ADC tables ->
+    top-k.  Every stage is exact int64 arithmetic, the DuckDB replica of
+    similarity.ivf_pq_topk."""
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS iv
+    FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, iv AS civ FROM q WHERE vec_id < {n_centroids}),
+ad AS (
+    SELECT q.vec_id, cent.cid,
+           list_sum(list_transform(generate_series(1, 64),
+               j -> (q.iv[j] - cent.civ[j]) * (q.iv[j] - cent.civ[j]))) AS cd
+    FROM q CROSS JOIN cent
+),
+asg AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cd, cid) AS r
+        FROM ad
+    ) WHERE r = 1
+),
+res AS (
+    SELECT q.vec_id, a.cid,
+           list_transform(generate_series(1, 64), j -> q.iv[j] - c.civ[j]) AS rv
+    FROM q JOIN asg a ON a.vec_id = q.vec_id JOIN cent c ON c.cid = a.cid
+),
+rcb AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv AS cbv
+    FROM res WHERE vec_id < {kq}
+),
+sp AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(s)),
+cdist AS (
+    SELECT r.vec_id, sp.s, rcb.code,
+           list_sum(list_transform(generate_series(1, 16),
+               j -> (r.rv[sp.s * 16 + j] - rcb.cbv[sp.s * 16 + j])
+                    * (r.rv[sp.s * 16 + j] - rcb.cbv[sp.s * 16 + j]))) AS dd
+    FROM res r CROSS JOIN sp CROSS JOIN rcb
+),
+codes AS (
+    SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dd, code) AS r
+        FROM cdist
+    ) WHERE r = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cd, cid) AS r
+        FROM ad WHERE vec_id < {qmax}
+    ) WHERE r <= {nprobe}
+),
+qres AS (
+    SELECT p.query_id, p.cid,
+           list_transform(generate_series(1, 64), j -> q.iv[j] - c.civ[j]) AS qrv
+    FROM probes p JOIN q ON q.vec_id = p.query_id JOIN cent c ON c.cid = p.cid
+),
+dt AS (
+    SELECT qr.query_id, qr.cid, sp.s, rcb.code,
+           list_sum(list_transform(generate_series(1, 16),
+               j -> (qr.qrv[sp.s * 16 + j] - rcb.cbv[sp.s * 16 + j])
+                    * (qr.qrv[sp.s * 16 + j] - rcb.cbv[sp.s * 16 + j]))) AS dd
+    FROM qres qr CROSS JOIN sp CROSS JOIN rcb
+),
+cl AS (
+    SELECT c.vec_id, a.cid, c.s, c.code
+    FROM codes c JOIN asg a ON a.vec_id = c.vec_id
+),
+adc AS (
+    SELECT dt.query_id, cl.vec_id AS neighbor_id, CAST(sum(dt.dd) AS BIGINT) AS adc
+    FROM cl JOIN dt ON cl.cid = dt.cid AND cl.s = dt.s AND cl.code = dt.code
+    WHERE cl.vec_id != dt.query_id
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rk
+    FROM adc
+)
+SELECT query_id, neighbor_id, adc, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {topk}
 """
 
 
@@ -5631,6 +5745,8 @@ WHERE a.nrm > 0 AND b.nrm > 0
         # the exact cosine top-10, all composed from the same generators —
         # the three index variants (LSH / multi-probe LSH / IVF) become
         # comparable on one axis, alongside the PQ pair
+        "sim_ivf_pq_topk": _ivf_pq_sql(),
+        "sim_ivf_pq_recall": _recall_sql(_ivf_pq_sql()),
         # filtered search: the label predicate restricts the CORPUS side
         "sim_topk_filtered": f"""
 WITH {_EMB_NORM_CTE},

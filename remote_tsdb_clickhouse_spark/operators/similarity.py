@@ -807,3 +807,144 @@ def interleave_permute(emb: DataFrame, vec_col: str = "embedding", m: int = 4) -
     sub = d // m
     perm = [(i % sub) * m + i // sub for i in range(d)]
     return emb.withColumn(vec_col, F.array(*[F.col(vec_col)[p] for p in perm]))
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    topk: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the FAISS-standard composite index — a coarse quantizer
+    routes vectors into inverted lists, and product quantization encodes
+    each vector's RESIDUAL from its list centroid (residuals are smaller
+    than raw vectors, so the same code budget quantizes finer).  Serving
+    probes the query's ``nprobe`` nearest lists, builds one ADC table per
+    (query, probed list) from the query's per-list residual, and scores
+    candidates with ``m`` table lookups.
+
+    Exactness: everything runs in integer micro-units — coarse assignment
+    is argmin int64 L2 (ties to the lowest centroid id; L2 is the FAISS
+    convention, unlike ivf_topk's cosine routing), residuals are int
+    subtractions, PQ codes are positional argmins against a residual
+    codebook built from the first ``k`` vectors' residuals, and every ADC
+    distance is an exact int64 sum — rank order is engine-independent,
+    and the DuckDB oracle unrolls the identical arithmetic.
+
+    Scale shape: centroids and the residual codebook are metadata-sized
+    (driver-built from k+n_centroids rows, shipped in closures); encoding
+    is one linear no-shuffle numpy pass; per-(query, list) tables are
+    nprobe * m * k ints per query; scoring gathers per Arrow batch with
+    per-batch partial top-k, so the ranking shuffle carries
+    ≤ topk * n_queries rows per batch — the corpus never shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from remote_tsdb_clickhouse_spark.util import spread
+
+    c_ids, c_mat = _pq_centroids(emb, n_centroids, id_col, vec_col)
+    d = c_mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    sub = d // m
+
+    # residual codebook: the first k vectors' residuals from their own
+    # coarse lists, in vec_id order (driver-side int math on k rows)
+    init_rows = emb.where(F.col(id_col) < k).select(id_col, vec_col).collect()
+    ivs = {
+        int(r[0]): np.floor(np.asarray(r[1], dtype=np.float64) * PQ_SCALE).astype(
+            np.int64
+        )
+        for r in init_rows
+    }
+    if len(ivs) != k:
+        raise ValueError(f"residual codebook init needs ids 0..{k-1} present")
+
+    def _coarse_pos(iv: "np.ndarray") -> int:
+        # argmin int L2; first occurrence = lowest position = lowest
+        # cent id (c_ids is sorted)
+        return int(((c_mat - iv) ** 2).sum(axis=1).argmin())
+
+    cb = np.stack([ivs[i] - c_mat[_coarse_pos(ivs[i])] for i in sorted(ivs)])
+    cb_sub = cb.reshape(k, m, sub)
+
+    def encode(it):
+        for pdf in it:
+            X = np.stack(
+                [
+                    np.floor(np.asarray(v, dtype=np.float64) * PQ_SCALE).astype(np.int64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            dists = ((X[:, None, :] - c_mat[None, :, :]) ** 2).sum(axis=2)
+            pos = dists.argmin(axis=1)
+            R = (X - c_mat[pos]).reshape(len(X), m, sub)
+            out = {"vid": pdf[id_col].to_numpy(), "lst": c_ids[pos]}
+            for s in range(m):
+                dd = ((R[:, None, s, :] - cb_sub[None, :, s, :]) ** 2).sum(axis=2)
+                out[f"code{s}"] = dd.argmin(axis=1)
+            yield pd.DataFrame(out)
+
+    code_schema = "vid LONG, lst LONG, " + ", ".join(f"code{s} LONG" for s in range(m))
+    codes_df = spread(emb.select(id_col, vec_col)).mapInPandas(encode, schema=code_schema)
+
+    # per-query probes + per-(query, probed list) ADC tables (driver-side,
+    # metadata-sized: n_queries rows in, nprobe*m*k ints per query out)
+    q_rows = emb.where(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
+    probe_lists: dict[int, list[int]] = {}
+    tables: dict[tuple[int, int], "np.ndarray"] = {}
+    for r in q_rows:
+        qid = int(r[0])
+        qiv = np.floor(np.asarray(r[1], dtype=np.float64) * PQ_SCALE).astype(np.int64)
+        dists = ((c_mat - qiv) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(c_ids)), dists))
+        sel = order[:nprobe]
+        probe_lists[qid] = [int(c_ids[p]) for p in sel]
+        for p in sel:
+            qr = (qiv - c_mat[p]).reshape(m, sub)
+            diff = qr[:, None, :] - np.transpose(cb_sub, (1, 0, 2))
+            tables[(qid, int(c_ids[p]))] = (diff * diff).sum(axis=2)  # (m, k)
+
+    qids_sorted = sorted(probe_lists)
+    code_cols = [f"code{s}" for s in range(m)]
+
+    def score(it):
+        for pdf in it:
+            nids = pdf["vid"].to_numpy()
+            lsts = pdf["lst"].to_numpy()
+            codes = np.stack([pdf[c].to_numpy() for c in code_cols], axis=1)
+            out_q, out_n, out_a = [], [], []
+            for qid in qids_sorted:
+                for lst in probe_lists[qid]:
+                    sel = np.nonzero((lsts == lst) & (nids != qid))[0]
+                    if not len(sel):
+                        continue
+                    table = tables[(qid, lst)]
+                    adc = np.zeros(len(sel), dtype=np.int64)
+                    for s in range(m):
+                        adc += table[s, codes[sel, s]]
+                    cand_n, cand_a = nids[sel], adc
+                    if len(cand_a) > topk:
+                        kth = np.partition(cand_a, topk - 1)[topk - 1]
+                        keep = np.nonzero(cand_a <= kth)[0]
+                        ordk = np.lexsort((cand_n[keep], cand_a[keep]))[:topk]
+                        keep = keep[ordk]
+                        cand_n, cand_a = cand_n[keep], cand_a[keep]
+                    out_q.extend([qid] * len(cand_n))
+                    out_n.extend(int(x) for x in cand_n)
+                    out_a.extend(int(x) for x in cand_a)
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "adc": out_a})
+
+    scored = codes_df.mapInPandas(score, schema="query_id LONG, neighbor_id LONG, adc LONG")
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= topk)
+        .select("query_id", "neighbor_id", "adc", F.col("rk").cast("long").alias("rk"))
+    )
