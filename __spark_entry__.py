@@ -1983,6 +1983,31 @@ def _trained_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per[key]
 
 
+def _ivf_coarse_rows(spark: SparkSession, sf_dir: str) -> list:
+    """Collected smallest-id coarse-quantizer rows, memoized per
+    session/sf like the k-means training above: the collect is the IVF
+    index BUILD (one corpus top-n job), and the topk/recall/balance
+    serving queries share one build instead of re-collecting per call."""
+    per = _TRAIN_CACHE.setdefault(spark, {})
+    key = ("ivf_coarse_rows", sf_dir)
+    if key not in per:
+        per[key] = similarity.coarse_cent_rows(_embs(spark, sf_dir), n_centroids=16)
+    return per[key]
+
+
+def _trained_ivf_rows(spark: SparkSession, sf_dir: str) -> list:
+    """Collected rows of the TRAINED coarse quantizer (same memo shape)."""
+    per = _TRAIN_CACHE.setdefault(spark, {})
+    key = ("ivf_trained_rows", sf_dir)
+    if key not in per:
+        per[key] = similarity.coarse_cent_rows(
+            _embs(spark, sf_dir),
+            n_centroids=16,
+            centroids=_trained_ivf_centroids(spark, sf_dir),
+        )
+    return per[key]
+
+
 def q_sim_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ assignment under a k-means-REFINED codebook: two Lloyd's
     iterations in exact integer micro-units (int64 cluster sums, exact
@@ -2239,7 +2264,12 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared ANN quality axis beside the LSH and PQ diagnostics."""
     emb = _embs(spark, sf_dir)
     approx = similarity.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=10, n_centroids=16, nprobe=2
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=10,
+        n_centroids=16,
+        nprobe=2,
+        cent_rows=_ivf_coarse_rows(spark, sf_dir),
     )
     return _recall_at_10(spark, sf_dir, approx)
 
@@ -2307,7 +2337,14 @@ def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF inverted-list ANN: 16 deterministic coarse centroids, nprobe=2."""
     emb = _embs(spark, sf_dir)
-    out = similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=2)
+    out = similarity.ivf_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        nprobe=2,
+        cent_rows=_ivf_coarse_rows(spark, sf_dir),
+    )
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
@@ -2320,9 +2357,12 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of the index-builder toolbox for IVF as sim_pq_trained did for
     PQ."""
     emb = _embs(spark, sf_dir)
-    cents = _trained_ivf_centroids(spark, sf_dir)
     out = similarity.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5, nprobe=2, centroids=cents
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        nprobe=2,
+        cent_rows=_trained_ivf_rows(spark, sf_dir),
     )
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
@@ -2339,9 +2379,12 @@ def q_sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus HAS clusters; this row verifies the machinery, not a
     universal recall win."""
     emb = _embs(spark, sf_dir)
-    cents = _trained_ivf_centroids(spark, sf_dir)
     approx = similarity.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=10, nprobe=2, centroids=cents
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=10,
+        nprobe=2,
+        cent_rows=_trained_ivf_rows(spark, sf_dir),
     )
     return _recall_at_10(spark, sf_dir, approx)
 
@@ -2351,9 +2394,11 @@ def q_sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest-id coarse quantizer — the skew number an index builder
     watches (the largest list bounds worst-case probe cost; the trained
     quantizer's balance is quoted in sim_ivf_trained_recall's docstring).
-    One broadcast assignment pass + one count aggregation; the corpus
+    One projection assignment pass + one count aggregation; the corpus
     never shuffles (similarity.ivf_assignments)."""
-    asg = similarity.ivf_assignments(_embs(spark, sf_dir), n_centroids=16)
+    asg = similarity.ivf_assignments(
+        _embs(spark, sf_dir), n_centroids=16, cent_rows=_ivf_coarse_rows(spark, sf_dir)
+    )
     return asg.groupBy("cent_id").agg(F.count("*").cast("long").alias("n_vectors"))
 
 

@@ -683,6 +683,9 @@ def containment_pairs(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefix_filter: bool | None = None,
+    hash_keys: bool = True,
+    df_cap: int = 256,
 ) -> DataFrame:
     """Directed shingle-set containment ``|A ∩ B| / |A|`` — the
     sub-document dedup signal symmetric Jaccard misses: a short document
@@ -695,19 +698,83 @@ def containment_pairs(
     equi-join -> pair count -> size join), so it shares the family's
     exploded-shingle materialization; each undirected pair fans out to
     its two directed rows in a final projection — no second join.
+
+    **Hot-shingle guard** (r6, closing the one unguarded inverted-index
+    self-join the r5 verdict flagged): the same one-aggregate df probe as
+    the sibling routes to a prefix-filter path when any shingle's document
+    frequency exceeds ``df_cap``.  The bound is the DIRECTED AllPairs
+    variant: containment(inner→outer) ≥ t needs ``ceil(t·|inner|)`` shared
+    shingles, so under a df-ascending global shingle order the INNER doc's
+    first ``|s| − ceil(t·|s|) + 1`` shingles must contain a shared one —
+    the prefix side joins against the FULL index (the outer side has no
+    prefix bound: a tiny doc can be contained in a huge one whose prefix
+    excludes everything they share).  Exact: every qualifying directed
+    pair collides, in either prefix→index orientation, and candidates are
+    canonicalized to undirected pairs before exact verification.  Immune
+    to hot shingles because a boilerplate shingle lands at the end of the
+    frequency order and falls out of nearly every prefix, collapsing the
+    per-shingle join from df² to |prefix-hits|·df.
+
+    ``hash_keys`` (default on) joins on ``xxhash64(shingle)`` — fixed
+    8-byte shuffle keys, same trade documented at
+    :func:`ngram_jaccard_pairs`.
     """
     base = normalized_docs(docs, id_col, text_col)
-    exploded = base.select("doc_id", F.explode("shingles").alias("sh"))
-    inter = (
-        exploded.alias("x")
-        .join(exploded.alias("y"), "sh")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
+    exploded = base.select("doc_id", F.explode("shingles").alias("sh")).persist()
+    if hash_keys:
+        exploded = exploded.select("doc_id", F.xxhash64("sh").alias("sh"))
+    freq = None
+    if prefix_filter is None:
+        freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh")).persist()
+        row = freq.agg(F.max("df_sh").alias("m")).first()
+        prefix_filter = (row["m"] or 0) > df_cap
+        if not prefix_filter:
+            freq.unpersist()
     sizes = _sizes(base)
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        if freq is None:  # caller forced the prefix path: no probe ran
+            freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh"))
+        w = Window.partitionBy("doc_id").orderBy("df_sh", "sh")
+        prefix = (
+            exploded.join(freq, "sh")
+            .join(sizes, "doc_id")
+            .withColumn("rk", F.row_number().over(w))
+            .where(
+                F.col("rk")
+                <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+            )
+            .select("doc_id", "sh")
+        )
+        cands = (
+            prefix.alias("x")
+            .join(exploded.alias("y"), "sh")
+            .where(F.col("x.doc_id") != F.col("y.doc_id"))
+            .select(
+                F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+                F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        ea = exploded.select(F.col("doc_id").alias("doc_a"), "sh")
+        eb = exploded.select(F.col("doc_id").alias("doc_b"), "sh")
+        inter = (
+            cands.join(ea, "doc_a")
+            .join(eb, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            exploded.alias("x")
+            .join(exploded.alias("y"), "sh")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .groupBy(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .agg(F.count("*").alias("inter"))
+        )
     a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("la"))
     b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("lb"))
     j = inter.join(a, "doc_a").join(b, "doc_b")

@@ -47,6 +47,45 @@ def test_ngram_hot_shingle_auto_route_exact(spark, hot_corpus):
     assert {(0, 20), (5, 21)} <= found  # the planted duplicates
 
 
+def test_containment_hot_shingle_auto_route_exact(spark, hot_corpus):
+    """r6 guard (the one inverted-index self-join the r5 verdict flagged
+    as unguarded): on the stop-shingle corpus the df probe must trip, the
+    DIRECTED AllPairs prefix route (inner-side-only bound) must engage,
+    and the emitted directed pairs must be exactly the plain path's."""
+
+    def pairs(**kw):
+        df = dedup.containment_pairs(hot_corpus, threshold=0.9, **kw)
+        return sorted(tuple(r) for r in df.collect())
+
+    auto = pairs(df_cap=4)  # probe trips -> prefix path
+    inverted = pairs(prefix_filter=False)
+    forced_prefix = pairs(prefix_filter=True)
+    assert auto == forced_prefix == inverted
+    found = {(i, o) for i, o, _ in auto}
+    # planted exact duplicates are contained in BOTH directions
+    assert {(0, 20), (20, 0), (5, 21), (21, 5)} <= found
+
+
+def test_containment_subdocument_directed(spark):
+    """The asymmetric signal itself: a short doc quoted wholesale inside a
+    much larger one is contained (small→large ≈ 1) while the reverse
+    direction and the symmetric Jaccard stay below threshold — and the
+    prefix route (whose bound is only valid on the inner side) must keep
+    exactly these directed pairs."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(20))
+    docs = _docs(spark, [small, big, "unrelated totally different text entirely here now"])
+    for forced in (False, True):
+        out = {
+            (r["doc_inner"], r["doc_outer"]): r["containment"]
+            for r in dedup.containment_pairs(
+                docs, threshold=0.9, prefix_filter=forced
+            ).collect()
+        }
+        assert (0, 1) in out and out[(0, 1)] >= 0.9, out
+        assert (1, 0) not in out, out
+
+
 def test_cosine_pairs_size_guard(spark):
     emb = spark.createDataFrame(
         [(i, [float(i % 7), 1.0, 0.5]) for i in range(50)],

@@ -66,11 +66,18 @@ def test_doc_packing_no_global_sort(spark):
     assert "hashpartitioning(lang" in plan, plan
 
 
-def test_ivf_centroids_distributed_topn(spark):
-    # centroid selection (n smallest ids) must plan as a distributed
-    # TakeOrderedAndProject, not a global sort of the corpus
+def test_ivf_assignment_is_projection_no_corpus_shuffle(spark):
+    # r6 audit of the BENCH_r05 sim_topk_ivf regression: coarse assignment
+    # and query probing are collected-centroid projections, so the ONLY
+    # window (and its exchange) left is the final per-query top-k rank —
+    # through r5 the plan had three windows, and the assignment one
+    # hash-exchanged the whole corpus on vid.  Candidate generation must
+    # broadcast the tiny probed-query side, never shuffle the corpus on
+    # the n_centroids hot list ids.
     plan = _plan(spark, "sim_topk_ivf")
-    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("- Window ") == 1, plan  # "Window" alone matches WindowGroupLimit
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_text_repetition_shares_dedup_base(spark):
