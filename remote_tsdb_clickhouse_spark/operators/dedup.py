@@ -26,6 +26,13 @@ from remote_tsdb_clickhouse_spark.functions.textfuncs import hash32, tokens, wor
 from remote_tsdb_clickhouse_spark.util import spread
 
 #: MinHash parameters: NUM_HASHES = BANDS * ROWS_PER_BAND.
+#: Operating point (r6, from the `dedup_minhash_recall` diagnostic, which
+#: runs the LSH path beside the exact inverted-index ground truth at
+#: J >= 0.8): recall 25/25 = 1.00 at sf0.01 and 255/256 = 0.996 at sf0.1
+#: — above the 0.95 bar the r5 verdict set, so the 4x4 S-curve
+#: (P(collide) = 1-(1-s^4)^4, ~0.77 at s=0.8, ~0.98 at s=0.9) stands;
+#: the banded 8x2 alternative would trade precision (more candidate
+#: verification work) for recall headroom this corpus doesn't need.
 MINHASH_PRIME = 1_000_003
 NUM_HASHES = 16
 BANDS = 4
