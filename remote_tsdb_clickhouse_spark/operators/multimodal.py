@@ -7,10 +7,12 @@ belongs in the hot path, because codec work is per-item CPU-bound and Arrow
 amortizes the transfer.
 
 Real pure-Python/stdlib codecs cover the common formats: BMP, PNG
-(truecolor + palette), **baseline JPEG** (Huffman + IDCT), animated GIF
-(LZW + compositing), and 16-bit PCM WAV resampling.  The remaining
-variants (progressive JPEG, exotic PNG, compressed audio, real video
-containers) would need PIL/soundfile/ffmpeg, absent in this environment —
+(truecolor + palette), **baseline and progressive JPEG** (Huffman + IDCT,
+full Annex G spectral-selection / successive-approximation scans),
+animated GIF (LZW + compositing), and 16-bit PCM WAV resampling.  The
+remaining variants (lossless/arithmetic JPEG, exotic PNG, compressed
+audio, real video containers) would need PIL/soundfile/ffmpeg, absent in
+this environment —
 they are gated behind import-tries and fall back to a clearly-marked
 **deterministic fake decoder** (`_fake_decode`) so that every piece of
 Spark-side plumbing — schemas, batch iteration, partition sizing, explode
@@ -353,6 +355,20 @@ _JPEG_HUFF_AC_CHR = (
     ],
 )
 
+#: AC Huffman table for PROGRESSIVE scans: the Annex K AC tables have no
+#: codes for the EOBn symbols (0x10..0xE0 — end-of-band runs longer than
+#: 1), so a progressive encoder must ship its own DHT.  A flat canonical
+#: table — all 176 possible progressive AC symbols ((run<<4)|size for
+#: size 1..10, ZRL, EOB0..EOB14) at code length 8 — is spec-valid
+#: (176 <= 255 leaves the all-ones code unused, T.81 C.2) and trivially
+#: correct; fixtures don't need entropy-optimal lengths.
+_JPEG_PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [0xF0]
+    + [r << 4 for r in range(15)],
+)
+
 
 def _jpeg_code_assignments(bits):
     """Canonical Huffman code assignment (T.81 C.2): yields (length, code)
@@ -381,13 +397,23 @@ def _dct_matrix():
 
 
 def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """REAL codec: pure-Python **baseline** JPEG decode (SOF0, 8-bit) —
-    Huffman entropy decoding, dequantization, float IDCT, restart
-    markers, grayscale and YCbCr with any sampling factors up to 2
-    (4:4:4 / 4:2:2 / 4:2:0 via replicate upsampling).  Progressive
-    (SOF2), arithmetic coding, and 12-bit precision gate to
+    """REAL codec: pure-Python JPEG decode — **baseline** (SOF0/SOF1) and
+    **progressive** (SOF2) — Huffman entropy decoding, dequantization,
+    float IDCT, restart markers, grayscale and YCbCr with any sampling
+    factors up to 2 (4:4:4 / 4:2:2 / 4:2:0 via replicate upsampling).
+    Progressive support is the full T.81 Annex G Huffman feature set:
+    spectral selection, successive approximation (DC first/refine, AC
+    first/refine with EOB runs), interleaved DC scans and single-component
+    AC scans over the component's own (non-MCU-padded) block grid.
+    Arithmetic coding, hierarchical mode, and 12-bit precision gate to
     NotImplementedError.  Returns ``(width, height, pixels)`` row-major
     RGB tuples.
+
+    Decoding is scan-accumulative (the progressive model): every scan
+    updates a raw QUANTIZED integer coefficient store, and dequantization
+    + IDCT happen once at the end — required for refinement scans (they
+    append magnitude bits to stored ints) and a no-op reordering for
+    baseline (dequant is multiplicative).
     """
     import numpy as np
 
@@ -398,8 +424,7 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     frame = None
     dri = 0
     pos = 2
-    scan_comps = None
-    data_start = None
+    scans = []  # (scan_comps, ss, se, ah, al, dri, segments)
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -419,7 +444,7 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                     tab[_JPEG_ZIGZAG[k]] = seg[i + 1 + k]
                 qt[tq] = tab
                 i += 65
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / extended sequential)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
             h = int.from_bytes(seg[1:3], "big")
@@ -430,11 +455,12 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential JPEG supported (SOF marker 0x{m:02x})"
+                f"only baseline/progressive Huffman JPEG supported (SOF marker 0x{m:02x})"
             )
-        elif m == 0xC4:  # DHT
+        elif m == 0xC4:  # DHT (progressive: tables may be redefined between scans,
+            # but the fixture encoder never does; last definition wins)
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 15
@@ -448,17 +474,39 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 i += 17 + nvals
         elif m == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
-        elif m == 0xDA:  # SOS
+        elif m == 0xDA:  # SOS: record scan params, swallow its entropy span
             ns = seg[0]
             scan_comps = [
                 (seg[1 + 2 * ci], seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 15)
                 for ci in range(ns)
             ]
-            data_start = pos + 2 + seglen
-            break
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            # unstuff the entropy-coded span, splitting at restart markers
+            # (each RST interval restarts bit alignment, DC predictors, and
+            # the EOB run)
+            segments = [bytearray()]
+            q = pos + 2 + seglen
+            while q < len(content):
+                b = content[q]
+                if b == 0xFF:
+                    nxt = content[q + 1] if q + 1 < len(content) else 0xD9
+                    if nxt == 0x00:
+                        segments[-1].append(0xFF)
+                        q += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytearray())
+                        q += 2
+                        continue
+                    break  # next real marker ends the scan
+                segments[-1].append(b)
+                q += 1
+            scans.append((scan_comps, ss, se, ahal >> 4, ahal & 15, dri, segments))
+            pos = q
+            continue
         # APPn / COM / others: skip
         pos += 2 + seglen
-    if frame is None or scan_comps is None:
+    if frame is None or not scans:
         raise ValueError("missing SOF/SOS")
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
@@ -466,107 +514,190 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    # entropy-coded data: materialize the unstuffed scan, split at restart
-    # markers (each RST interval restarts bit alignment and DC predictors)
-    data = content
-    segments = [bytearray()]
-    q = data_start
-    while q < len(data):
-        b = data[q]
-        if b == 0xFF:
-            nxt = data[q + 1] if q + 1 < len(data) else 0xD9
-            if nxt == 0x00:
-                segments[-1].append(0xFF)
-                q += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytearray())
-                q += 2
-                continue
-            break  # EOI or any other marker ends the scan
-        segments[-1].append(b)
-        q += 1
+    geom = {}  # cid -> (hs, vs, tq, padded bw/bh, true bw/bh)
+    coefs = {}  # cid -> int32 (bh_pad, bw_pad, 64) raw quantized, natural order
+    for cid, hs, vs, tq in comps:
+        bw_pad, bh_pad = mcux * hs, mcuy * vs
+        samp_w = -(-(w * hs) // hmax)  # ceil(w*hs/hmax): component sample width
+        samp_h = -(-(h * vs) // vmax)
+        bw, bh = -(-samp_w // 8), -(-samp_h // 8)
+        geom[cid] = (hs, vs, tq, bw_pad, bh_pad, bw, bh)
+        coefs[cid] = np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
 
-    seg_idx = 0
-    cur = segments[0]
-    bpos = 0
+    for scan_comps, ss, se, ah, al, sdri, segments in scans:
+        seg_idx = 0
+        cur = segments[0]
+        bpos = 0
 
-    def read_bit() -> int:
-        nonlocal bpos
-        if bpos >> 3 >= len(cur):
-            return 1  # pad
-        bit = (cur[bpos >> 3] >> (7 - (bpos & 7))) & 1
-        bpos += 1
-        return bit
+        def read_bit() -> int:
+            nonlocal bpos
+            if bpos >> 3 >= len(cur):
+                return 1  # pad
+            bit = (cur[bpos >> 3] >> (7 - (bpos & 7))) & 1
+            bpos += 1
+            return bit
 
-    def receive(n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | read_bit()
-        return v
+        def receive(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
 
-    def decode_sym(table) -> int:
-        length, code = 0, 0
-        for _ in range(16):
-            code = (code << 1) | read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+        def decode_sym(table) -> int:
+            length, code = 0, 0
+            for _ in range(16):
+                code = (code << 1) | read_bit()
+                length += 1
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid JPEG Huffman code")
 
-    def extend(v: int, t: int) -> int:
-        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+        def extend(v: int, t: int) -> int:
+            return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
+        dc_pred = {cid: 0 for cid, _, _ in scan_comps}
+        eobrun = 0
+        p1 = 1 << al
+
+        def ac_first(coef, act_t):
+            # AC "first" scan (ah == 0); also exact for a baseline scan's
+            # AC section: there al == 0 and the only s == 0 symbols emitted
+            # are EOB (r=0 -> eobrun stays 0) and ZRL (r=15)
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = max(ss, 1)
+            while k <= se:
+                rs = decode_sym(act_t)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1 + (receive(r) if r else 0)
+                    break
+                k += r
+                if k > 63:
+                    raise ValueError("JPEG AC index overflow")
+                coef[_JPEG_ZIGZAG[k]] = extend(receive(s), s) << al
+                k += 1
+
+        def ac_refine(coef, act_t):
+            # AC refinement (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine
+            # shape): newly-significant coefficients arrive as s == 1 runs
+            # counted over ZERO-HISTORY positions only; every already-
+            # nonzero position in the traversed span carries one correction
+            # bit appending magnitude bit ``al``
+            nonlocal eobrun
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = decode_sym(act_t)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) + (receive(r) if r else 0)
+                            break  # this block finishes in the eobrun pass
+                    else:
+                        if s != 1:
+                            raise ValueError("AC refine newly-significant s != 1")
+                        val = p1 if read_bit() else -p1
+                    while k <= se:
+                        pos_n = _JPEG_ZIGZAG[k]
+                        if coef[pos_n] != 0:
+                            if read_bit() and (abs(int(coef[pos_n])) & p1) == 0:
+                                coef[pos_n] += p1 if coef[pos_n] > 0 else -p1
+                        else:
+                            if r == 0:
+                                if val:
+                                    coef[pos_n] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                while k <= se:
+                    pos_n = _JPEG_ZIGZAG[k]
+                    if coef[pos_n] != 0:
+                        if read_bit() and (abs(int(coef[pos_n])) & p1) == 0:
+                            coef[pos_n] += p1 if coef[pos_n] > 0 else -p1
+                    k += 1
+                eobrun -= 1
+
+        def decode_block(cid, by, bx):
+            coef = coefs[cid][by, bx]
+            td, ta = table_for[cid]
+            if ss == 0:
+                if ah == 0:
+                    t = decode_sym(huff[(0, td)])
+                    dc_pred[cid] += extend(receive(t), t)
+                    coef[0] = dc_pred[cid] << al
+                else:
+                    if read_bit():
+                        # two's-complement OR appends magnitude bit ``al``
+                        # for positive AND negative values alike (Python
+                        # ints are infinite two's complement, same as the
+                        # C idiom)
+                        coef[0] = int(coef[0]) | p1
+                if se > 0:  # baseline: AC section in the same scan
+                    ac_first(coef, huff[(1, ta)])
+            else:
+                (ac_refine if ah else ac_first)(coef, huff[(1, ta)])
+
+        def restart():
+            nonlocal seg_idx, cur, bpos, dc_pred, eobrun
+            seg_idx += 1
+            if seg_idx < len(segments):
+                cur = segments[seg_idx]
+                bpos = 0
+            dc_pred = {cid: 0 for cid in dc_pred}
+            eobrun = 0
+
+        table_for = {cid: (td, ta) for cid, td, ta in scan_comps}
+        if len(scan_comps) == 1:
+            # non-interleaved scan: raster over the component's TRUE block
+            # grid (not the MCU-padded one) — T.81 A.2.2
+            cid = scan_comps[0][0]
+            _, _, _, _, _, bw, bh = geom[cid]
+            n = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if sdri and n and n % sdri == 0:
+                        restart()
+                    decode_block(cid, by, bx)
+                    n += 1
+        else:
+            mcu_n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if sdri and mcu_n and mcu_n % sdri == 0:
+                        restart()
+                    for cid, _, _ in scan_comps:
+                        hs, vs = geom[cid][0], geom[cid][1]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                decode_block(cid, my * vs + by, mx * hs + bx)
+                    mcu_n += 1
+
+    # dequantize + IDCT every block, then upsample and crop
     C = _dct_matrix()
     planes = {}
     for cid, hs, vs, tq in comps:
-        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.uint8)
-    dc_pred = {cid: 0 for cid, *_ in comps}
-    table_for = {cid: (td, ta) for cid, td, ta in scan_comps}
+        _, _, _, bw_pad, bh_pad, _, _ = geom[cid]
+        pl = np.zeros((bh_pad * 8, bw_pad * 8), dtype=np.uint8)
+        qtab = qt[tq].astype(np.float64)
+        for by in range(bh_pad):
+            for bx in range(bw_pad):
+                deq = coefs[cid][by, bx].astype(np.float64) * qtab
+                block = C.T @ deq.reshape(8, 8) @ C + 128.0
+                pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(block), 0, 255
+                ).astype(np.uint8)
+        planes[cid] = pl
 
-    mcu_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if dri and mcu_n and mcu_n % dri == 0:
-                seg_idx += 1
-                if seg_idx < len(segments):
-                    cur = segments[seg_idx]
-                    bpos = 0
-                dc_pred = {cid: 0 for cid in dc_pred}
-            for cid, hs, vs, tq in comps:
-                td, ta = table_for[cid]
-                dct_t, act_t = huff[(0, td)], huff[(1, ta)]
-                qtab = qt[tq]
-                for by in range(vs):
-                    for bx in range(hs):
-                        coef = np.zeros(64, dtype=np.float64)
-                        t = decode_sym(dct_t)
-                        dc_pred[cid] += extend(receive(t), t)
-                        coef[0] = dc_pred[cid] * int(qtab[0])
-                        k = 1
-                        while k < 64:
-                            rs = decode_sym(act_t)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            nat = _JPEG_ZIGZAG[k]
-                            coef[nat] = extend(receive(s), s) * int(qtab[nat])
-                            k += 1
-                        block = C.T @ coef.reshape(8, 8) @ C + 128.0
-                        out = np.clip(np.round(block), 0, 255).astype(np.uint8)
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = out
-            mcu_n += 1
-
-    # upsample each component to full resolution and crop
     full = {}
     for cid, hs, vs, tq in comps:
         pl = planes[cid]
@@ -595,15 +726,24 @@ def encode_jpeg(
     height: int,
     pixels: list[tuple[int, int, int]],
     gray: bool = False,
+    progressive: bool = False,
 ) -> bytes:
-    """Inverse of :func:`decode_jpeg` for fixtures/tests: baseline
-    sequential JPEG with **all-ones quantization tables** (coefficients
-    stored exactly, so smooth fixtures round-trip within IDCT rounding —
-    and solid-color blocks round-trip EXACTLY: only the DC coefficient is
-    nonzero and a flat block's IDCT is DC/8 uniformly).  ``gray=True``
-    writes a single-component (luminance) image — the exact-oracle path,
-    since it skips the lossy chroma transform entirely.  4:4:4 sampling,
-    Annex K Huffman tables.
+    """Inverse of :func:`decode_jpeg` for fixtures/tests: **all-ones
+    quantization tables** (coefficients stored exactly, so smooth fixtures
+    round-trip within IDCT rounding — and solid-color blocks round-trip
+    EXACTLY: only the DC coefficient is nonzero and a flat block's IDCT is
+    DC/8 uniformly).  ``gray=True`` writes a single-component (luminance)
+    image — the exact-oracle path, since it skips the lossy chroma
+    transform entirely.  4:4:4 sampling, Annex K Huffman tables.
+
+    ``progressive=True`` writes SOF2 with a 4-kind scan script that
+    exercises every progressive Huffman decode path: an interleaved DC
+    first scan at Al=1, a DC refinement scan, then per component an AC
+    first scan (Ss=1..63, Al=1, EOB-run accumulation across blocks) and an
+    AC refinement scan (newly-significant s=1 runs over zero-history
+    positions, buffered correction bits, deferred EOB runs — the libjpeg
+    jcphuff shape).  Same coefficients, so baseline and progressive
+    encodings of one image decode identically.
     """
     import numpy as np
 
@@ -631,7 +771,33 @@ def encode_jpeg(
     ]:
         for k, (length, code) in enumerate(_jpeg_code_assignments(bits)):
             store[vals[k]] = (code, length)
+    if progressive:  # EOBn symbols require the custom AC table
+        prog_ac: dict[int, tuple[int, int]] = {}
+        for k, (length, code) in enumerate(_jpeg_code_assignments(_JPEG_PROG_AC[0])):
+            prog_ac[_JPEG_PROG_AC[1][k]] = (code, length)
+        enc_ac = [prog_ac, prog_ac]
 
+    # one shared forward-DCT pass: blocks[ci] = zigzag int coefficient
+    # arrays in raster block order (4:4:4, so MCU order == raster order)
+    nby, nbx = -(-height // 8), -(-width // 8)
+    blocks: list[list["np.ndarray"]] = [[] for _ in comps_px]
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci, plane in enumerate(comps_px):
+                block = np.full(
+                    (8, 8), plane[min(by * 8, height - 1), min(bx * 8, width - 1)]
+                )
+                ys, xs = min(8, height - by * 8), min(8, width - bx * 8)
+                block[:ys, :xs] = plane[by * 8 : by * 8 + ys, bx * 8 : bx * 8 + xs]
+                # edge replicate for partial blocks
+                if ys < 8:
+                    block[ys:, :] = block[ys - 1, :]
+                if xs < 8:
+                    block[:, xs:] = block[:, xs - 1 : xs]
+                f = C @ (block - 128.0) @ C.T
+                blocks[ci].append(np.round(f.reshape(64)[_JPEG_ZIGZAG]).astype(np.int64))
+
+    # per-scan bit emitter (each scan is byte-aligned and 1-padded)
     out_bits = bytearray()
     acc, nacc = 0, 0
 
@@ -650,22 +816,70 @@ def encode_jpeg(
         t = int(abs(v)).bit_length()
         return t, (v if v >= 0 else v + (1 << t) - 1)
 
-    nby, nbx = -(-height // 8), -(-width // 8)
-    dc_prev = [0] * len(comps_px)
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, plane in enumerate(comps_px):
+    def end_scan() -> bytes:
+        nonlocal out_bits, acc, nacc
+        if nacc:
+            out_bits.append((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1))
+            if out_bits[-1] == 0xFF:
+                out_bits.append(0x00)
+        done, out_bits, acc, nacc = bytes(out_bits), bytearray(), 0, 0
+        return done
+
+    def emit_ac_band(zz: "np.ndarray", tsel: int, al: int, flush_eob, bump_eob):
+        """AC 'first' emission for one block's 1..63 band at point
+        transform ``al``: magnitudes shift toward zero (T.81 G.1.2.2);
+        all-zero tails fold into the scan-wide EOB run."""
+        vals = [
+            (1 if int(v) >= 0 else -1) * (abs(int(v)) >> al) for v in zz[1:64]
+        ]
+        last_nz = 0
+        for k, v in enumerate(vals):
+            if v:
+                last_nz = k + 1
+        if last_nz == 0:
+            bump_eob()
+            return
+        flush_eob()
+        run = 0
+        for k in range(last_nz):
+            v = vals[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = enc_ac[tsel][0xF0]  # ZRL
+                put(code, ln)
+                run -= 16
+            t, extra = put_val(v)
+            code, ln = enc_ac[tsel][(run << 4) | t]
+            put(code, ln)
+            put(extra, t)
+            run = 0
+        if last_nz < 63:
+            bump_eob()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            tsel = 0 if cid == 1 else 1
+            sos += bytes([cid, (tsel << 4) | tsel])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, sos)
+
+    ncomp = len(comps_px)
+    nblocks = nby * nbx
+    scans: list[bytes] = []  # alternating SOS header / entropy bytes
+
+    if not progressive:
+        dc_prev = [0] * ncomp
+        # interleaved MCU order: block raster, components inner
+        for bi in range(nblocks):
+            for ci in range(ncomp):
                 tsel = 0 if ci == 0 else 1
-                block = np.full((8, 8), plane[min(by * 8, height - 1), min(bx * 8, width - 1)])
-                ys, xs = min(8, height - by * 8), min(8, width - bx * 8)
-                block[:ys, :xs] = plane[by * 8 : by * 8 + ys, bx * 8 : bx * 8 + xs]
-                # edge replicate for partial blocks
-                if ys < 8:
-                    block[ys:, :] = block[ys - 1, :]
-                if xs < 8:
-                    block[:, xs:] = block[:, xs - 1 : xs]
-                f = C @ (block - 128.0) @ C.T
-                zz = np.round(f.reshape(64)[_JPEG_ZIGZAG]).astype(np.int64)
+                zz = blocks[ci][bi]
                 diff = int(zz[0]) - dc_prev[ci]
                 dc_prev[ci] = int(zz[0])
                 t, extra = put_val(diff)
@@ -673,34 +887,138 @@ def encode_jpeg(
                 put(code, ln)
                 if t:
                     put(extra, t)
+                # baseline AC: per-block EOB only, no cross-block runs
+                pending = [0]
+
+                def flush_eob():
+                    if pending[0]:
+                        c, L = enc_ac[tsel][0x00]
+                        put(c, L)
+                        pending[0] = 0
+
+                def bump_eob():
+                    pending[0] = 1
+
+                emit_ac_band(zz, tsel, 0, flush_eob, bump_eob)
+                flush_eob()
+        scans.append(sos_header(list(range(1, ncomp + 1)), 0, 63, 0, 0))
+        scans.append(end_scan())
+    else:
+        al_dc, al_ac = 1, 1
+        # scan 1: DC first, interleaved, point transform al_dc
+        dc_prev = [0] * ncomp
+        for bi in range(nblocks):
+            for ci in range(ncomp):
+                tsel = 0 if ci == 0 else 1
+                v = int(blocks[ci][bi][0]) >> al_dc  # arithmetic shift (C idiom)
+                diff = v - dc_prev[ci]
+                dc_prev[ci] = v
+                t, extra = put_val(diff)
+                code, ln = enc_dc[tsel][t]
+                put(code, ln)
+                if t:
+                    put(extra, t)
+        scans.append(sos_header(list(range(1, ncomp + 1)), 0, 0, 0, al_dc))
+        scans.append(end_scan())
+        # scan 2: DC refinement — one raw magnitude bit per block
+        for bi in range(nblocks):
+            for ci in range(ncomp):
+                put((int(blocks[ci][bi][0]) >> 0) & 1, 1)
+        scans.append(sos_header(list(range(1, ncomp + 1)), 0, 0, 1, 0))
+        scans.append(end_scan())
+        # per component: AC first then AC refinement (non-interleaved)
+        for ci in range(ncomp):
+            tsel = 0 if ci == 0 else 1
+            eobrun = [0]
+
+            def flush_eob():
+                if eobrun[0]:
+                    r = eobrun[0].bit_length() - 1
+                    code, ln = enc_ac[tsel][r << 4]
+                    put(code, ln)
+                    if r:
+                        put(eobrun[0] - (1 << r), r)
+                    eobrun[0] = 0
+
+            def bump_eob():
+                eobrun[0] += 1
+                if eobrun[0] == 0x7FFF:
+                    flush_eob()
+
+            for bi in range(nblocks):
+                emit_ac_band(blocks[ci][bi], tsel, al_ac, flush_eob, bump_eob)
+            flush_eob()
+            scans.append(sos_header([ci + 1], 1, 63, 0, al_ac))
+            scans.append(end_scan())
+
+            # AC refinement (libjpeg jcphuff encode_mcu_AC_refine shape):
+            # runs count ZERO-HISTORY positions only; already-significant
+            # positions contribute buffered correction bits emitted after
+            # the next RS code; trailing runs defer into the EOB run
+            corr: list[int] = []
+
+            def flush_eob_refine():
+                if eobrun[0]:
+                    r = eobrun[0].bit_length() - 1
+                    code, ln = enc_ac[tsel][r << 4]
+                    put(code, ln)
+                    if r:
+                        put(eobrun[0] - (1 << r), r)
+                    eobrun[0] = 0
+                for bit in corr:
+                    put(bit, 1)
+                corr.clear()
+
+            for bi in range(nblocks):
+                zz = blocks[ci][bi]
+                ab = [abs(int(v)) >> 0 for v in zz[1:64]]
+                sign_pos = [int(v) >= 0 for v in zz[1:64]]
+                # with al_ac=1 above, a coefficient is newly significant
+                # here iff its magnitude bit pattern is exactly 1
+                eob_idx = 0
+                for k, t in enumerate(ab):
+                    if t == 1:
+                        eob_idx = k + 1
                 run = 0
-                last_nz = max(np.nonzero(zz[1:])[0]) + 1 if np.any(zz[1:]) else 0
-                for k in range(1, last_nz + 1):
-                    v = int(zz[k])
-                    if v == 0:
+                pend_corr: list[int] = []
+                for k in range(63):
+                    t = ab[k]
+                    if t == 0:
                         run += 1
                         continue
-                    while run > 15:
-                        code, ln = enc_ac[tsel][0xF0]  # ZRL
+                    # ZRL only when a newly-significant coefficient still
+                    # lies ahead (k < eob_idx) — trailing runs fold into
+                    # the EOB run; checked BEFORE the history branch, and
+                    # each emitted code is followed by the correction bits
+                    # the decoder's run walk will consume (libjpeg order)
+                    while run > 15 and k < eob_idx:
+                        flush_eob_refine()
+                        code, ln = enc_ac[tsel][0xF0]
                         put(code, ln)
                         run -= 16
-                    t, extra = put_val(v)
-                    code, ln = enc_ac[tsel][(run << 4) | t]
+                        for bit in pend_corr:
+                            put(bit, 1)
+                        pend_corr.clear()
+                    if t > 1:  # already significant: buffer its bit-0
+                        pend_corr.append(t & 1)
+                        continue
+                    flush_eob_refine()
+                    code, ln = enc_ac[tsel][(run << 4) | 1]
                     put(code, ln)
-                    put(extra, t)
+                    put(1 if sign_pos[k] else 0, 1)
+                    for bit in pend_corr:
+                        put(bit, 1)
+                    pend_corr.clear()
                     run = 0
-                if last_nz < 63:
-                    code, ln = enc_ac[tsel][0x00]  # EOB
-                    put(code, ln)
-    if nacc:
-        out_bits.append((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1))
-        if out_bits[-1] == 0xFF:
-            out_bits.append(0x00)
+                if run > 0 or pend_corr:
+                    eobrun[0] += 1
+                    corr.extend(pend_corr)
+                    if eobrun[0] == 0x7FFF:
+                        flush_eob_refine()
+            flush_eob_refine()
+            scans.append(sos_header([ci + 1], 1, 63, 1, 0))
+            scans.append(end_scan())
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
-
-    ncomp = len(comps_px)
     zz_ones = bytes([1] * 64)
     out = bytearray(JPEG_SOI)
     out += seg(0xDB, bytes([0x00]) + zz_ones)  # DQT table 0 (all ones)
@@ -709,18 +1027,16 @@ def encode_jpeg(
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    ac_lum = _JPEG_PROG_AC if progressive else _JPEG_HUFF_AC_LUM
+    ac_chr = _JPEG_PROG_AC if progressive else _JPEG_HUFF_AC_CHR
     for tc, th, (bits, vals) in [
         (0, 0, _JPEG_HUFF_DC_LUM),
-        (1, 0, _JPEG_HUFF_AC_LUM),
-    ] + ([(0, 1, _JPEG_HUFF_DC_CHR), (1, 1, _JPEG_HUFF_AC_CHR)] if ncomp == 3 else []):
+        (1, 0, ac_lum),
+    ] + ([(0, 1, _JPEG_HUFF_DC_CHR), (1, 1, ac_chr)] if ncomp == 3 else []):
         out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += out_bits
+    for chunk in scans:
+        out += chunk
     out += b"\xff\xd9"
     return bytes(out)
 

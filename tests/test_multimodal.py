@@ -513,16 +513,58 @@ def test_jpeg_color_and_gradient_near_exact():
     assert max(abs(a[0] - b[0]) for a, b in zip(out, grad)) <= 1
 
 
+def test_jpeg_progressive_solid_exact():
+    """Progressive (SOF2) decode of a solid gray block: DC-only across the
+    DC-first + DC-refine scans, exact like the baseline path."""
+    for g in (0, 1, 127, 128, 255):
+        px = [(g, g, g)] * 64
+        W, H, out = mm.decode_jpeg(mm.encode_jpeg(8, 8, px, gray=True, progressive=True))
+        assert (W, H) == (8, 8) and out == px, g
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Baseline and progressive encodings carry identical coefficients, so
+    the decodes must be IDENTICAL — across a gradient (dense AC, partial
+    blocks), a color image (3 components, per-component AC scans), a
+    checkerboard (negative/odd coefficients through AC refine's sign and
+    correction-bit paths), and a mostly-flat wide image (multi-block EOB
+    runs in both AC-first and AC-refine scans)."""
+    import random
+
+    w, h = 24, 17
+    grad = [((x * 11 + y * 7) % 256,) * 3 for y in range(h) for x in range(w)]
+    fixtures = [(w, h, grad, True)]
+
+    random.seed(7)
+    fixtures.append(
+        (16, 16, [tuple(random.randrange(256) for _ in range(3)) for _ in range(256)], False)
+    )
+    fixtures.append(
+        (8, 8, [((255 if (x + y) % 2 else 0),) * 3 for y in range(8) for x in range(8)], True)
+    )
+    flat = [(30, 30, 30)] * (64 * 16)
+    for y in range(8):
+        for x in range(8):
+            flat[y * 64 + 40 + x] = ((x * 31 + y * 57) % 256,) * 3
+    fixtures.append((64, 16, flat, True))
+
+    for w, h, px, gray in fixtures:
+        b = mm.decode_jpeg(mm.encode_jpeg(w, h, px, gray=gray))
+        p = mm.decode_jpeg(mm.encode_jpeg(w, h, px, gray=gray, progressive=True))
+        assert b == p, (w, h, gray)
+
+
 def test_jpeg_gates():
     import pytest
 
     with pytest.raises(ValueError):
         mm.decode_jpeg(b"nope")
-    # progressive (SOF2) gates loudly: flip the SOF marker of a real stream
+    # lossless (SOF3) still gates loudly: flip the SOF marker of a real
+    # stream (progressive SOF2 became a supported decode path in r6)
     jp = bytearray(mm.encode_jpeg(8, 8, [(9, 9, 9)] * 64, gray=True))
     sof = jp.index(b"\xff\xc0")
-    jp[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    jp[sof + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="baseline/progressive"):
         mm.decode_jpeg(bytes(jp))
 
 
