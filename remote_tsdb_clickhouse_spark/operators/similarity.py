@@ -915,44 +915,23 @@ def interleave_permute(emb: DataFrame, vec_col: str = "embedding", m: int = 4) -
     return emb.withColumn(vec_col, F.array(*[F.col(vec_col)[p] for p in perm]))
 
 
-def ivf_pq_topk(
+def ivf_pq_build(
     emb: DataFrame,
     n_queries: int = 10,
-    topk: int = 10,
     n_centroids: int = 16,
     nprobe: int = 2,
     m: int = 4,
     k: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-PQ: the FAISS-standard composite index — a coarse quantizer
-    routes vectors into inverted lists, and product quantization encodes
-    each vector's RESIDUAL from its list centroid (residuals are smaller
-    than raw vectors, so the same code budget quantizes finer).  Serving
-    probes the query's ``nprobe`` nearest lists, builds one ADC table per
-    (query, probed list) from the query's per-list residual, and scores
-    candidates with ``m`` table lookups.
-
-    Exactness: everything runs in integer micro-units — coarse assignment
-    is argmin int64 L2 (ties to the lowest centroid id; L2 is the FAISS
-    convention, unlike ivf_topk's cosine routing), residuals are int
-    subtractions, PQ codes are positional argmins against a residual
-    codebook built from the first ``k`` vectors' residuals, and every ADC
-    distance is an exact int64 sum — rank order is engine-independent,
-    and the DuckDB oracle unrolls the identical arithmetic.
-
-    Scale shape: centroids and the residual codebook are metadata-sized
-    (driver-built from k+n_centroids rows, shipped in closures); encoding
-    is one linear no-shuffle numpy pass; per-(query, list) tables are
-    nprobe * m * k ints per query; scoring gathers per Arrow batch with
-    per-batch partial top-k, so the ranking shuffle carries
-    ≤ topk * n_queries rows per batch — the corpus never shuffles.
-    """
+) -> dict:
+    """Driver-side IVF-PQ index BUILD: coarse centroids, the residual
+    codebook, and the per-(query, probed list) ADC tables — three
+    metadata-sized collects (n_centroids + k + n_queries rows by
+    contract).  Pass the result to :func:`ivf_pq_topk` via ``index=`` to
+    serve many queries from one build (the entry memoizes it per
+    session/sf like the other ANN index builds)."""
     import numpy as np
-    import pandas as pd
-
-    from remote_tsdb_clickhouse_spark.util import spread
 
     c_ids, c_mat = _pq_centroids(emb, n_centroids, id_col, vec_col)
     d = c_mat.shape[1]
@@ -980,6 +959,83 @@ def ivf_pq_topk(
     cb = np.stack([ivs[i] - c_mat[_coarse_pos(ivs[i])] for i in sorted(ivs)])
     cb_sub = cb.reshape(k, m, sub)
 
+    # per-query probes + per-(query, probed list) ADC tables (driver-side,
+    # metadata-sized: n_queries rows in, nprobe*m*k ints per query out)
+    q_rows = emb.where(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
+    probe_lists: dict[int, list[int]] = {}
+    tables: dict[tuple[int, int], "np.ndarray"] = {}
+    for r in q_rows:
+        qid = int(r[0])
+        qiv = np.floor(np.asarray(r[1], dtype=np.float64) * PQ_SCALE).astype(np.int64)
+        dists = ((c_mat - qiv) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(c_ids)), dists))
+        sel = order[:nprobe]
+        probe_lists[qid] = [int(c_ids[p]) for p in sel]
+        for p in sel:
+            qr = (qiv - c_mat[p]).reshape(m, sub)
+            diff = qr[:, None, :] - np.transpose(cb_sub, (1, 0, 2))
+            tables[(qid, int(c_ids[p]))] = (diff * diff).sum(axis=2)  # (m, k)
+
+    return {
+        "c_ids": c_ids,
+        "c_mat": c_mat,
+        "cb_sub": cb_sub,
+        "m": m,
+        "probe_lists": probe_lists,
+        "tables": tables,
+    }
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    topk: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: dict | None = None,
+) -> DataFrame:
+    """IVF-PQ: the FAISS-standard composite index — a coarse quantizer
+    routes vectors into inverted lists, and product quantization encodes
+    each vector's RESIDUAL from its list centroid (residuals are smaller
+    than raw vectors, so the same code budget quantizes finer).  Serving
+    probes the query's ``nprobe`` nearest lists, builds one ADC table per
+    (query, probed list) from the query's per-list residual, and scores
+    candidates with ``m`` table lookups.
+
+    Exactness: everything runs in integer micro-units — coarse assignment
+    is argmin int64 L2 (ties to the lowest centroid id; L2 is the FAISS
+    convention, unlike ivf_topk's cosine routing), residuals are int
+    subtractions, PQ codes are positional argmins against a residual
+    codebook built from the first ``k`` vectors' residuals, and every ADC
+    distance is an exact int64 sum — rank order is engine-independent,
+    and the DuckDB oracle unrolls the identical arithmetic.
+
+    Scale shape: centroids and the residual codebook are metadata-sized
+    (driver-built from k+n_centroids rows, shipped in closures); encoding
+    is one linear no-shuffle numpy pass; per-(query, list) tables are
+    nprobe * m * k ints per query; scoring gathers per Arrow batch with
+    per-batch partial top-k, so the ranking shuffle carries
+    ≤ topk * n_queries rows per batch — the corpus never shuffles.
+
+    ``index=`` (a prebuilt :func:`ivf_pq_build`) skips the build collects
+    — the serve-many-queries path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from remote_tsdb_clickhouse_spark.util import spread
+
+    idx = index or ivf_pq_build(
+        emb, n_queries, n_centroids, nprobe, m, k, id_col, vec_col
+    )
+    c_ids, c_mat, cb_sub, m = idx["c_ids"], idx["c_mat"], idx["cb_sub"], idx["m"]
+    probe_lists, tables = idx["probe_lists"], idx["tables"]
+    sub = c_mat.shape[1] // m
+
     def encode(it):
         for pdf in it:
             X = np.stack(
@@ -999,23 +1055,6 @@ def ivf_pq_topk(
 
     code_schema = "vid LONG, lst LONG, " + ", ".join(f"code{s} LONG" for s in range(m))
     codes_df = spread(emb.select(id_col, vec_col)).mapInPandas(encode, schema=code_schema)
-
-    # per-query probes + per-(query, probed list) ADC tables (driver-side,
-    # metadata-sized: n_queries rows in, nprobe*m*k ints per query out)
-    q_rows = emb.where(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
-    probe_lists: dict[int, list[int]] = {}
-    tables: dict[tuple[int, int], "np.ndarray"] = {}
-    for r in q_rows:
-        qid = int(r[0])
-        qiv = np.floor(np.asarray(r[1], dtype=np.float64) * PQ_SCALE).astype(np.int64)
-        dists = ((c_mat - qiv) ** 2).sum(axis=1)
-        order = np.lexsort((np.arange(len(c_ids)), dists))
-        sel = order[:nprobe]
-        probe_lists[qid] = [int(c_ids[p]) for p in sel]
-        for p in sel:
-            qr = (qiv - c_mat[p]).reshape(m, sub)
-            diff = qr[:, None, :] - np.transpose(cb_sub, (1, 0, 2))
-            tables[(qid, int(c_ids[p]))] = (diff * diff).sum(axis=2)  # (m, k)
 
     qids_sorted = sorted(probe_lists)
     code_cols = [f"code{s}" for s in range(m)]
