@@ -785,14 +785,28 @@ def containment_pairs(
     a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("la"))
     b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("lb"))
     j = inter.join(a, "doc_a").join(b, "doc_b")
-    fwd = j.where(F.col("la") > 0).select(
-        F.col("doc_a").alias("doc_inner"),
-        F.col("doc_b").alias("doc_outer"),
-        (F.col("inter").cast("double") / F.col("la")).alias("containment"),
+    # directed fan-out as ONE explode over a 2-struct array — a union of
+    # two projections would re-execute the whole inter/size join subtree
+    # per branch (Spark does not CSE across union arms; measured ~2x the
+    # jaccard sibling's runtime before this)
+    pair = F.explode(
+        F.array(
+            F.struct(
+                F.col("doc_a").alias("doc_inner"),
+                F.col("doc_b").alias("doc_outer"),
+                (F.col("inter").cast("double") / F.col("la")).alias("containment"),
+                (F.col("la") > 0).alias("ok"),
+            ),
+            F.struct(
+                F.col("doc_b").alias("doc_inner"),
+                F.col("doc_a").alias("doc_outer"),
+                (F.col("inter").cast("double") / F.col("lb")).alias("containment"),
+                (F.col("lb") > 0).alias("ok"),
+            ),
+        )
     )
-    rev = j.where(F.col("lb") > 0).select(
-        F.col("doc_b").alias("doc_inner"),
-        F.col("doc_a").alias("doc_outer"),
-        (F.col("inter").cast("double") / F.col("lb")).alias("containment"),
+    return (
+        j.select(pair.alias("p"))
+        .where(F.col("p.ok") & (F.col("p.containment") >= threshold))
+        .select("p.doc_inner", "p.doc_outer", "p.containment")
     )
-    return fwd.unionByName(rev).where(F.col("containment") >= threshold)
