@@ -1594,14 +1594,29 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(b, "l_orderkey").where(F.col("a.l_partkey") < F.col("b.l_partkey"))
-    return (
-        pairs.groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    # ONE shuffle builds the per-order item set; the unordered-pair
+    # expansion is an array HOF over the sorted set (linear in orders ×
+    # basket², basket <= 7) — not the lineitem self-join an earlier
+    # version used, which shuffled the fact table twice and needed a
+    # countDistinct (each order then contributed one row per matching
+    # lineitem pair, not per part pair).  With pairs pre-deduped per
+    # order, support is a plain count.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + F.lit(2), F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
         )
-        .agg(F.countDistinct("l_orderkey").alias("support"))
+    )
+    return (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").alias("support"))
         .where(F.col("support") >= 2)
     )
 
