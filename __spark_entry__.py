@@ -1891,11 +1891,37 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling explode shape through the real mapInPandas path
-    (frame bytes dropped: the stub codec is not SQL-expressible, the
-    schedule is)."""
+    """Video frame-sampling explode shape through the real mapInPandas
+    path.  Odd media_ids carry a REAL RIFF/AVI MJPEG container (r6):
+    1 + id % 5 solid-gray JPEG frames at dwMicroSecPerFrame = 500_000, so
+    their schedule derives from PARSING the container (frame count x
+    500 ms — deliberately different from meta.duration_ms, which the AVI
+    branch ignores) and the driver row hash-verifies the RIFF walk +
+    MJPEG timeline.  Even ids keep the stub duration-driven schedule.
+    Frame bytes are dropped from the emitted columns (PNG payloads are
+    not SQL-expressible; their pixel content is pytest-pinned in
+    test_sample_frames_real_avi_mjpeg_path)."""
+    import pandas as pd
+
     ensure_query_confs(spark)
     media = _doc_media(spark, sf_dir, "video")
+
+    def mk(it):
+        for pdf in it:
+            contents = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                i = int(mid)
+                if i % 2:
+                    g = i % 256
+                    jpg = multimodal.encode_jpeg(8, 8, [(g, g, g)] * 64, gray=True)
+                    contents.append(
+                        multimodal.encode_avi_mjpeg(8, 8, [jpg] * (1 + i % 5), 500_000)
+                    )
+                else:
+                    contents.append(bytes(content))
+            yield pdf.assign(content=contents)
+
+    media = media.mapInPandas(mk, schema=media.schema)
     frames = multimodal.sample_frames(media, every_ms=700)
     return frames.select(
         "media_id",
@@ -4069,9 +4095,9 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
 #: tsdb-extended, events/doc/emb classics, the multimodal trio's
 #: siblings, order analytics).  After this round the only latest-r3 rows
 #: left are 17 TPC-H classics
-#: (q1/q3/q4/q5/q7/q8/q9/q10/q12/q13/q14/q15/q16/q17/q18/q19/q22) —
-#: untouched since r3, all green three rounds running — queued first for
-#: the r7 window.
+#: (q1/q3/q4/q5/q7/q8/q9/q10/q12/q13/q14/q15/q16/q17/q18/q19/q22) plus
+#: sales_rollup — untouched since r3, all green three rounds running —
+#: queued first for the r7 window.
 _R6_WINDOW = [
     # never driver-verified (late r5)
     "multimodal_audio_energy", "tsdb_rollup_hierarchy",
@@ -4083,10 +4109,11 @@ _R6_WINDOW = [
     "events_bucketed_agg", "sim_ivf_pq_topk", "sim_ivf_pq_recall",
     # r5-touched after their last row
     "sim_topk_lsh", "sim_topk_ivf", "multimodal_features",
-    # r6-touched (IVF plan rewrite; dedup_containment is above;
-    # multimodal_jpeg_features gained progressive fixtures on odd ids)
+    # r6-touched (IVF plan rewrite; dedup_containment and
+    # multimodal_frame_sample are above; the JPEG row gained progressive
+    # fixtures; simhash gained the persisted fingerprint frame)
     "sim_ivf_recall", "sim_ivf_trained", "sim_ivf_trained_recall",
-    "sim_ivf_balance", "multimodal_jpeg_features",
+    "sim_ivf_balance", "multimodal_jpeg_features", "dedup_simhash",
     # oldest surviving rows (r3)
     "protocol_roundtrip_read", "protocol_response_assembly",
     "tsdb_sum_by_label", "tsdb_topk_series", "tsdb_max_gap",
@@ -4095,7 +4122,7 @@ _R6_WINDOW = [
     "emb_label_centroids", "doc_stats_by_source", "customers_lapsed",
     "multimodal_frame_sample", "multimodal_resize", "dataset_split",
     "min_cost_supplier", "orders_with_returns", "orders_no_returns",
-    "order_value_quantiles", "sales_rollup",
+    "order_value_quantiles",
 ]
 assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
 
@@ -5635,12 +5662,16 @@ SELECT doc_id AS media_id, 'image' AS modality,
         + """
 FROM documents
 """,
+        # odd ids: AVI timeline = (1 + id%5) frames x 500 ms (container-
+        # parsed); even ids: stub duration_ms = (1 + id%5) x 1000 ms
         "multimodal_frame_sample": """
 SELECT doc_id AS media_id,
        CAST(u.ts // 700 AS BIGINT) AS frame_idx,
        CAST(u.ts AS BIGINT) AS frame_ts_ms
 FROM documents
-CROSS JOIN unnest(range(0, 1000 * (1 + doc_id % 5), 700)) AS u(ts)
+CROSS JOIN unnest(range(0,
+    CASE WHEN doc_id % 2 = 1 THEN 500 * (1 + doc_id % 5)
+         ELSE 1000 * (1 + doc_id % 5) END, 700)) AS u(ts)
 """,
         "multimodal_resize": """
 SELECT doc_id AS media_id,

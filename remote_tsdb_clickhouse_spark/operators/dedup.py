@@ -574,7 +574,13 @@ def simhash_pairs(
     """
     if max_hamming > 3:
         raise ValueError("4-block candidate generation is complete only for max_hamming <= 3")
-    sims = simhash_values(docs, id_col, text_col)
+    # persisted: the block self-join references the fingerprint frame on
+    # both sides, and Spark does NOT reuse the tokenize+hash+32-agg
+    # subplan across self-join aliases (no ReusedExchange in the plan —
+    # verified), so without this the whole fingerprint pipeline runs
+    # twice.  Reclaim is the family-boundary clearCache, same contract as
+    # the jaccard/minhash persisted frames.
+    sims = simhash_values(docs, id_col, text_col).persist()
     blocks = sims.select(
         "doc_id",
         "simhash",

@@ -9,9 +9,10 @@ amortizes the transfer.
 Real pure-Python/stdlib codecs cover the common formats: BMP, PNG
 (truecolor + palette), **baseline and progressive JPEG** (Huffman + IDCT,
 full Annex G spectral-selection / successive-approximation scans),
-animated GIF (LZW + compositing), and 16-bit PCM WAV resampling.  The
-remaining variants (lossless/arithmetic JPEG, exotic PNG, compressed
-audio, real video containers) would need PIL/soundfile/ffmpeg, absent in
+animated GIF (LZW + compositing), RIFF **AVI/MJPEG** container parse with
+per-frame JPEG decode, and 16-bit PCM WAV resampling.  The remaining
+variants (lossless/arithmetic JPEG, exotic PNG, compressed audio,
+inter-frame video codecs) would need PIL/soundfile/ffmpeg, absent in
 this environment —
 they are gated behind import-tries and fall back to a clearly-marked
 **deterministic fake decoder** (`_fake_decode`) so that every piece of
@@ -1528,17 +1529,115 @@ def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
 FRAMES_SCHEMA = "media_id LONG, frame_idx INT, frame_ts_ms LONG, frame BINARY"
 
 
+def encode_avi_mjpeg(
+    width: int,
+    height: int,
+    jpeg_frames: list[bytes],
+    usec_per_frame: int = 500_000,
+) -> bytes:
+    """Minimal RIFF **AVI** container with one MJPG video stream — the
+    fixture inverse of :func:`decode_avi`.  Standard chunk layout from
+    the public RIFF/AVI spec (AVIMAINHEADER / AVISTREAMHEADER /
+    BITMAPINFOHEADER): ``LIST hdrl`` (``avih`` + ``LIST strl`` with
+    ``strh``/``strf``), ``LIST movi`` carrying one ``00dc`` chunk per
+    JPEG frame (stored verbatim — MJPEG is just a JPEG per frame), and a
+    conventional ``idx1`` index.  Frame timing is
+    ``usec_per_frame`` (AVIMAINHEADER dwMicroSecPerFrame; also strh
+    scale/rate = usec_per_frame/1e6)."""
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""  # RIFF word alignment
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(typ: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", typ + payload)
+
+    n = len(jpeg_frames)
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        usec_per_frame, 1_000_000,  # dwScale / dwRate: fps = rate/scale
+        0, n, 0, 0xFFFFFFFF & -1, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload = b"".join(chunk(b"00dc", jf) for jf in jpeg_frames)
+    movi = lst(b"movi", movi_payload)
+    # idx1 offsets are conventionally relative to the 'movi' fourcc
+    idx_entries, off = [], 4
+    for jf in jpeg_frames:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(jf)))
+        off += 8 + len(jf) + (len(jf) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(content: bytes) -> tuple[int, int, int, list[bytes]]:
+    """REAL container parse: RIFF **AVI** walk → (usec_per_frame, width,
+    height, frames) with each frame the verbatim ``00dc``/``00db`` chunk
+    payload (for MJPG streams: a complete JPEG, decodable by
+    :func:`decode_jpeg`).  Only the container is interpreted here —
+    frame decode composes with the JPEG codec, the same layering real
+    tools use.  Malformed structure raises ValueError."""
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    usec_per_frame = width = height = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool):
+        nonlocal usec_per_frame, width, height
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                typ = buf[body_start : body_start + 4]
+                walk(buf, body_start + 4, body_end, in_movi or typ == b"movi")
+            elif fourcc == b"avih":
+                (usec_per_frame,) = struct.unpack("<I", buf[body_start : body_start + 4])
+                width, height = struct.unpack(
+                    "<II", buf[body_start + 32 : body_start + 40]
+                )
+            elif in_movi and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(buf[body_start:body_end])
+            pos = body_end + (size % 2)  # skip RIFF pad byte
+
+    walk(content, 12, len(content), False)
+    if usec_per_frame is None:
+        raise ValueError("AVI missing avih header")
+    return int(usec_per_frame), int(width), int(height), frames
+
+
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame sampling: one row per sampled frame (explode shape).
 
-    REAL path: animated-GIF payloads decode (:func:`decode_gif` — LZW,
-    palettes, transparency, disposal compositing); the frame active at
-    each ``every_ms`` instant of the animation timeline is emitted as a
-    PNG of the composited canvas (:func:`encode_png`), so downstream
-    image stages (``extract_features`` and friends) consume sampled
-    frames through the same real image path.  Non-GIF payloads (codecs
-    that need ffmpeg) keep the documented deterministic-fake body: frame
-    bytes are content+timestamp hashes, timestamps from ``duration_ms``.
+    REAL paths: animated-GIF payloads decode (:func:`decode_gif` — LZW,
+    palettes, transparency, disposal compositing), and RIFF **AVI**
+    payloads parse (:func:`decode_avi`) with their MJPEG ``00dc`` frames
+    decoded through the real JPEG codec — baseline or progressive.  The
+    frame active at each ``every_ms`` instant of the timeline (GIF:
+    per-frame delays; AVI: the container's dwMicroSecPerFrame) is
+    emitted as a PNG of the decoded canvas (:func:`encode_png`), so
+    downstream image stages (``extract_features`` and friends) consume
+    sampled frames through the same real image path.  Other payloads
+    (codecs that need ffmpeg) keep the documented deterministic-fake
+    body: frame bytes are content+timestamp hashes, timestamps from
+    ``duration_ms``.
     """
     import pandas as pd
 
@@ -1547,6 +1646,21 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
             ids, idxs, tss, frames = [], [], [], []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 b = bytes(content)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    upf, _w, _h, jfs = decode_avi(b)
+                    frame_ms = max(1, upf // 1000)
+                    total = frame_ms * len(jfs)
+                    decoded: dict[int, bytes] = {}  # decode a frame once
+                    for k, ts in enumerate(range(0, total, every_ms)):
+                        fi = min(ts // frame_ms, len(jfs) - 1)
+                        if fi not in decoded:
+                            w, h, px = decode_jpeg(jfs[fi])
+                            decoded[fi] = encode_png(w, h, px)
+                        ids.append(mid)
+                        idxs.append(k)
+                        tss.append(ts)
+                        frames.append(decoded[fi])
+                    continue
                 if b[:6] in GIF_SIGNATURES:
                     w, h, gframes = decode_gif(b)
                     # animation timeline: frame i is active over

@@ -485,6 +485,57 @@ def test_sample_frames_real_gif_path(spark):
         assert mm.decode_png(png) == (w, h, [c] * (w * h)), idx
 
 
+def test_avi_container_roundtrip():
+    """The RIFF/AVI walk returns the header timing and every 00dc frame
+    payload VERBATIM (MJPEG stores a whole JPEG per frame), and gates on
+    non-AVI and truncated payloads."""
+    import pytest
+
+    jpegs = [mm.encode_jpeg(8, 8, [(g, g, g)] * 64, gray=True) for g in (10, 20, 30)]
+    avi = mm.encode_avi_mjpeg(8, 8, jpegs, usec_per_frame=250_000)
+    upf, w, h, frames = mm.decode_avi(avi)
+    assert (upf, w, h) == (250_000, 8, 8)
+    assert frames == jpegs
+    with pytest.raises(ValueError, match="not an AVI"):
+        mm.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_avi(avi[:40])
+
+
+def test_sample_frames_real_avi_mjpeg_path(spark):
+    """sample_frames must parse real AVI payloads and decode their MJPEG
+    frames through the JPEG codec: the schedule comes from the
+    container's dwMicroSecPerFrame (not meta.duration_ms), the active
+    frame is indexed off the timeline, and each emitted PNG decodes to
+    the right frame's pixels.  One frame is encoded PROGRESSIVE to pin
+    the codec composition end-to-end."""
+    w, h = 8, 8
+    grays = [50, 100, 150]
+    jpegs = [
+        mm.encode_jpeg(w, h, [(g, g, g)] * 64, gray=True, progressive=(i == 1))
+        for i, g in enumerate(grays)
+    ]
+    avi = mm.encode_avi_mjpeg(w, h, jpegs, usec_per_frame=500_000)  # 500 ms/frame
+    rows = [
+        (
+            9,
+            "video",
+            bytearray(avi),
+            {"format": "avi", "width": w, "height": h, "sample_rate": None,
+             "duration_ms": 999_999},  # deliberately wrong: container wins
+        )
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = sorted(
+        (r["frame_idx"], r["frame_ts_ms"], bytes(r["frame"]))
+        for r in mm.sample_frames(media, every_ms=700).collect()
+    )
+    # timeline 1500 ms, sampled at 0/700/1400 -> frames 0, 1, 2
+    assert [(i, t) for i, t, _ in out] == [(0, 0), (1, 700), (2, 1400)]
+    for (idx, ts, png), g in zip(out, grays):
+        assert mm.decode_png(png) == (w, h, [(g, g, g)] * (w * h)), (idx, ts)
+
+
 # --- real baseline JPEG path (encode_jpeg / decode_jpeg) ---------------------
 
 
@@ -552,6 +603,35 @@ def test_jpeg_progressive_matches_baseline():
         b = mm.decode_jpeg(mm.encode_jpeg(w, h, px, gray=gray))
         p = mm.decode_jpeg(mm.encode_jpeg(w, h, px, gray=gray, progressive=True))
         assert b == p, (w, h, gray)
+
+
+def test_jpeg_progressive_fuzz_matches_baseline():
+    """Property fuzz (same model as test_prompb_fuzz): for arbitrary
+    small images, the baseline and progressive encodings must decode
+    IDENTICALLY — the two scan scripts carry the same coefficients, so
+    any divergence is an entropy-coding bug in one of the paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=20),
+        h=st.integers(min_value=1, max_value=20),
+        gray=st.booleans(),
+        data=st.data(),
+    )
+    def check(w, h, gray, data):
+        px = [
+            tuple(data.draw(st.integers(0, 255)) for _ in range(3))
+            for _ in range(w * h)
+        ]
+        if gray:
+            px = [(p[0], p[0], p[0]) for p in px]
+        b = mm.decode_jpeg(mm.encode_jpeg(w, h, px, gray=gray))
+        p = mm.decode_jpeg(mm.encode_jpeg(w, h, px, gray=gray, progressive=True))
+        assert b == p
+
+    check()
 
 
 def test_jpeg_gates():
