@@ -351,3 +351,24 @@ def test_bucketed_agg_zero_exchange(spark):
     plan = _plan(spark, "events_bucketed_agg")
     assert "Exchange" not in plan, plan
     assert "Bucketed: true" in plan, plan
+
+
+def test_market_basket_no_fact_self_join(spark):
+    # r6 rewrite: per-order collect_set + array-HOF pair expansion — the
+    # plan must contain NO join at all (the old shape self-joined the
+    # lineitem fact on orderkey and shuffled it twice), just the basket
+    # aggregation, the pair explode, and the support aggregation
+    plan = _plan(spark, "orders_market_basket")
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_containment_plain_route_single_index_scan_shape(spark):
+    # the guarded containment path on this corpus (max df ~25 < df_cap)
+    # must take the plain inverted-index route: one self-join of the
+    # persisted exploded index (InMemoryTableScan on both sides once the
+    # family cache is built) and the directed fan-out as ONE explode —
+    # a union of two projections would show two aggregation subtrees
+    plan = _plan(spark, "dedup_containment")
+    assert "Union" not in plan, plan
+    assert "Generate explode" in plan, plan
