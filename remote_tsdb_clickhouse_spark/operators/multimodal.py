@@ -32,11 +32,21 @@ Scale notes:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: What a real decoder may raise on malformed/unsupported payloads.
+#: ValueError/NotImplementedError are the documented contract;
+#: IndexError and struct.error are how truncated fixed-layout headers
+#: surface inside slice/unpack parsing (found by the hostile-bytes fuzz)
+#: — all four are bounded and deterministic, and every per-item dispatch
+#: (extract_features, sample_frames) must catch exactly this tuple so one
+#: hostile payload degrades to the stub path instead of killing the task.
+DECODE_ERRORS = (ValueError, NotImplementedError, IndexError, struct.error)
 
 try:  # real image codec, absent in this environment
     from PIL import Image  # noqa: F401
@@ -1339,18 +1349,18 @@ def extract_features(media: DataFrame) -> DataFrame:
         if content[:2] == b"BM":
             try:
                 return _bmp_features(content)
-            except ValueError:
-                pass  # BMP magic but unsupported variant -> stub
+            except DECODE_ERRORS:
+                pass  # BMP magic but unsupported/corrupt variant -> stub
         if content[:8] == PNG_SIGNATURE:
             try:
                 return _png_features(content)
-            except (ValueError, NotImplementedError):
-                pass  # PNG magic but unsupported variant -> stub
+            except DECODE_ERRORS:
+                pass  # PNG magic but unsupported/corrupt variant -> stub
         if content[:2] == JPEG_SOI:
             try:
                 return _jpeg_features(content)
-            except (ValueError, NotImplementedError):
-                pass  # JPEG magic but progressive/12-bit variant -> stub
+            except DECODE_ERRORS:
+                pass  # JPEG magic but lossless/12-bit/corrupt -> stub
         return _fake_decode(content)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1646,37 +1656,50 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
             ids, idxs, tss, frames = [], [], [], []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 b = bytes(content)
-                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                    upf, _w, _h, jfs = decode_avi(b)
-                    frame_ms = max(1, upf // 1000)
-                    total = frame_ms * len(jfs)
-                    decoded: dict[int, bytes] = {}  # decode a frame once
-                    for k, ts in enumerate(range(0, total, every_ms)):
-                        fi = min(ts // frame_ms, len(jfs) - 1)
-                        if fi not in decoded:
-                            w, h, px = decode_jpeg(jfs[fi])
-                            decoded[fi] = encode_png(w, h, px)
-                        ids.append(mid)
-                        idxs.append(k)
-                        tss.append(ts)
-                        frames.append(decoded[fi])
-                    continue
-                if b[:6] in GIF_SIGNATURES:
-                    w, h, gframes = decode_gif(b)
-                    # animation timeline: frame i is active over
-                    # [start_i, start_i + delay_i); zero-delay GIFs treat
-                    # each frame as one every_ms slot
-                    starts, t = [], 0
-                    for delay, _ in gframes:
-                        starts.append(t)
-                        t += delay if delay > 0 else every_ms
-                    for k, ts in enumerate(range(0, t, every_ms)):
-                        fi = max(i for i, s in enumerate(starts) if s <= ts)
-                        ids.append(mid)
-                        idxs.append(k)
-                        tss.append(ts)
-                        frames.append(encode_png(w, h, gframes[fi][1]))
-                    continue
+                # real container branches buffer locally and publish only on
+                # full success: a corrupt body (DECODE_ERRORS) degrades to
+                # the stub schedule below instead of killing the task or
+                # emitting a half-decoded timeline
+                try:
+                    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                        upf, _w, _h, jfs = decode_avi(b)
+                        frame_ms = max(1, upf // 1000)
+                        total = frame_ms * len(jfs)
+                        decoded: dict[int, bytes] = {}  # decode a frame once
+                        rows = []
+                        for k, ts in enumerate(range(0, total, every_ms)):
+                            fi = min(ts // frame_ms, len(jfs) - 1)
+                            if fi not in decoded:
+                                w, h, px = decode_jpeg(jfs[fi])
+                                decoded[fi] = encode_png(w, h, px)
+                            rows.append((k, ts, decoded[fi]))
+                        for k, ts, png in rows:
+                            ids.append(mid)
+                            idxs.append(k)
+                            tss.append(ts)
+                            frames.append(png)
+                        continue
+                    if b[:6] in GIF_SIGNATURES:
+                        w, h, gframes = decode_gif(b)
+                        # animation timeline: frame i is active over
+                        # [start_i, start_i + delay_i); zero-delay GIFs treat
+                        # each frame as one every_ms slot
+                        starts, t = [], 0
+                        for delay, _ in gframes:
+                            starts.append(t)
+                            t += delay if delay > 0 else every_ms
+                        rows = []
+                        for k, ts in enumerate(range(0, t, every_ms)):
+                            fi = max(i for i, s in enumerate(starts) if s <= ts)
+                            rows.append((k, ts, encode_png(w, h, gframes[fi][1])))
+                        for k, ts, png in rows:
+                            ids.append(mid)
+                            idxs.append(k)
+                            tss.append(ts)
+                            frames.append(png)
+                        continue
+                except DECODE_ERRORS:
+                    pass
                 duration = int(meta["duration_ms"] or 0)
                 for k, ts in enumerate(range(0, duration, every_ms)):
                     ids.append(mid)

@@ -605,6 +605,61 @@ def test_jpeg_progressive_matches_baseline():
         assert b == p, (w, h, gray)
 
 
+def test_decoders_reject_hostile_bytes_with_typed_errors():
+    """Hostile-input hardening across every real decoder: random bytes —
+    including streams that start with each format's magic — must either
+    decode or raise the DOCUMENTED error types (ValueError /
+    NotImplementedError), never an arbitrary crash or hang.  Mirrors the
+    prompb fuzz contract for the media codecs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    magics = [
+        b"",  # pure noise
+        b"BM",  # BMP
+        b"\x89PNG\r\n\x1a\n",  # PNG
+        b"\xff\xd8",  # JPEG SOI
+        b"GIF89a",  # GIF
+        b"RIFF\x30\x00\x00\x00AVI ",  # AVI
+    ]
+    decoders = [mm.decode_bmp, mm.decode_png, mm.decode_jpeg, mm.decode_gif, mm.decode_avi]
+
+    @settings(max_examples=40, deadline=None)
+    @given(prefix=st.sampled_from(magics), tail=st.binary(max_size=200))
+    def check(prefix, tail):
+        payload = prefix + tail
+        for dec in decoders:
+            try:
+                dec(payload)
+            except mm.DECODE_ERRORS:
+                # the exact tuple every per-item dispatch guards with —
+                # anything outside it would kill a Spark task on one
+                # hostile payload
+                pass
+
+    check()
+
+
+def test_sample_frames_corrupt_container_degrades_to_stub(spark):
+    """A payload with AVI (or GIF) magic but a corrupt body must fall
+    through to the stub duration-driven schedule — no task failure, no
+    half-decoded timeline rows."""
+    rows = [
+        (
+            3,
+            "video",
+            bytearray(b"RIFF\x10\x00\x00\x00AVI " + b"\xde\xad\xbe\xef" * 3),
+            {"format": "avi", "width": None, "height": None, "sample_rate": None,
+             "duration_ms": 900},
+        )
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = sorted(
+        (r["frame_idx"], r["frame_ts_ms"]) for r in mm.sample_frames(media, every_ms=400).collect()
+    )
+    assert out == [(0, 0), (1, 400), (2, 800)]  # stub schedule from duration_ms
+
+
 def test_jpeg_progressive_fuzz_matches_baseline():
     """Property fuzz (same model as test_prompb_fuzz): for arbitrary
     small images, the baseline and progressive encodings must decode
