@@ -94,8 +94,35 @@ def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # site hits the same entry.  At cluster scale this is the standard
     # hot-table cache for a query family (MEMORY_AND_DISK default spills
     # rather than OOMs); bench.py clears cache at family boundaries so the
-    # entry doesn't tax unrelated queries' plan lookups.
-    return events_to_samples(spark, sf_dir).persist()
+    # entry doesn't tax unrelated queries' plan lookups.  The DataFrame
+    # OBJECT is additionally memoized per session/sf (_TABLE_CACHE, same
+    # catalog-metastore argument as _tbl): rebuilding it per call re-ran
+    # the parquet file-listing + footer-schema driver job every query.
+    # Re-persist after the bench's family-boundary clearCache (which
+    # unregisters every cached plan): is_cached is a driver-side flag.
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "__samples")
+    df = per.get(key)
+    if df is None:
+        df = events_to_samples(spark, sf_dir)
+        per[key] = df
+    if not df.is_cached:
+        df.persist()
+    return df
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized :func:`read_events` frame (same rationale as
+    :func:`_tbl`: the timestamp-normalized relation is immutable per
+    session/sf; re-deriving it per query re-ran the schema job)."""
+    from remote_tsdb_clickhouse_spark.sources.events import read_events
+
+    ensure_query_confs(spark)
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "__events_normalized")
+    if key not in per:
+        per[key] = read_events(spark, sf_dir)
+    return per[key]
 
 
 def _lbl(col: str = "slb") -> F.Column:
@@ -693,7 +720,7 @@ def q_events_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per key — the oracle hash proves the rewrite loses nothing."""
     from remote_tsdb_clickhouse_spark.operators.layout import salted_agg
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = _tbl(spark, sf_dir, "events").select(
         "event_type", "event_id", F.col("value").cast("decimal(30,6)").alias("v")
     )
     agg = salted_agg(ev, ["event_type"], {"event_id": "count", "v": "sum"})
@@ -721,7 +748,7 @@ def _bucketed_user_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     per = _BUCKETED_TABLES.setdefault(spark, {})
     if sf_dir in per:
         return per[sf_dir]
-    ev = read_events(spark, sf_dir)
+    ev = _events(spark, sf_dir)
     micro = F.floor(F.col("value") * 1000000.0).cast("long")
     clicks = (
         ev.where(F.col("event_type") == "click")
@@ -793,7 +820,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from remote_tsdb_clickhouse_spark.sources.events import read_events
 
-    e = read_events(spark, sf_dir)
+    e = _events(spark, sf_dir)
     week = (F.col("ts").cast("long") / F.lit(604800)).cast("long")
     activity = e.select("user_id", week.alias("wk")).distinct()
     cohort = activity.groupBy("user_id").agg(F.min("wk").alias("wk0"))
@@ -873,7 +900,7 @@ def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis (integer bucket ids — cross-engine exact), count + exact sum per
     bucket.  The all-integer groupBy key aggregates map-side."""
     ensure_query_confs(spark)
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = _tbl(spark, sf_dir, "events")
     bucket = F.floor(F.col("value") / 10.0).cast("long").alias("bucket")
     return e.groupBy("event_type", bucket).agg(
         F.count("*").alias("n"), _dsum(F.col("value")).alias("sum_v")
@@ -886,7 +913,7 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the shuffle-light alternative to collecting vectors —
     dimension count is fixed, so the aggregate state is bounded per key."""
     ensure_query_confs(spark)
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _tbl(spark, sf_dir, "embeddings")
     exploded = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
     # float32 components: decimal casts of REAL round differently across
     # engines, so quantize each component to an integer micro-unit first
@@ -936,7 +963,7 @@ def q_doc_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profile per (source, lang): doc count, exact mean length,
     min/max length — the pre-training-mix summary table."""
     ensure_query_confs(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _tbl(spark, sf_dir, "documents")
     return d.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         (F.sum(F.col("n_chars")).cast("double") / F.count("*")).alias("avg_chars"),
@@ -953,7 +980,7 @@ def q_events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from remote_tsdb_clickhouse_spark.sources.events import read_events
 
-    e = read_events(spark, sf_dir)
+    e = _events(spark, sf_dir)
     day = F.date_trunc("day", F.col("ts")).cast("timestamp_ltz").cast("long").alias("day")
     types = ["click", "view", "purchase", "signup"]
     return (
@@ -970,7 +997,7 @@ def q_customers_lapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical one).  Both branches prune to one column before the distinct
     shuffle."""
     ensure_query_confs(spark)
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _tbl(spark, sf_dir, "orders")
     def year_keys(y: int) -> DataFrame:
         return o.where(
             (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
@@ -987,7 +1014,7 @@ def q_customers_lapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    l = _tbl(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     # Sums go through DECIMAL(30,6): the per-row cast is engine-agnostic and
@@ -1013,9 +1040,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    l = _tbl(spark, sf_dir, "lineitem")
     cutoff = F.lit("1998-03-15").cast("timestamp")
     joined = (
         l.where(F.col("l_shipdate") > cutoff)
@@ -1045,7 +1072,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    rd = lambda t: _tbl(spark, sf_dir, t)
     joined = (
         rd("lineitem")
         .join(
@@ -1079,11 +1106,11 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materializes the lineitem columns; partial counts aggregate
     map-side after the join shuffle."""
     ensure_query_confs(spark)
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+    o = _tbl(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    l = _tbl(spark, sf_dir, "lineitem")
     late = o.join(
         l,
         (F.col("o_orderkey") == F.col("l_orderkey"))
@@ -1098,7 +1125,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions.  Nation is a fixed-size dim — broadcast twice under
     different aliases; the fact-side joins shuffle on their keys."""
     ensure_query_confs(spark)
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    rd = lambda t: _tbl(spark, sf_dir, t)
     n1 = rd("nation").select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
@@ -1133,7 +1160,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     no second join or self-aggregation; the division of identical doubles
     is IEEE-deterministic cross-engine."""
     ensure_query_confs(spark)
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    rd = lambda t: _tbl(spark, sf_dir, t)
     n_cust = rd("nation").select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
     )
@@ -1171,7 +1198,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape adapted (no partsupp table): profit on widget parts by
     supplier nation and year, with p_retailprice*quantity as the cost leg."""
     ensure_query_confs(spark)
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    rd = lambda t: _tbl(spark, sf_dir, t)
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "p_retailprice"
     ) * F.col("l_quantity")
@@ -1190,7 +1217,7 @@ def q10_returned_item_reporting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by lost revenue from returned items in a
     quarter."""
     ensure_query_confs(spark)
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    rd = lambda t: _tbl(spark, sf_dir, t)
     joined = (
         rd("lineitem")
         .where(F.col("l_returnflag") == "R")
@@ -1217,8 +1244,8 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     zero-order customers land in bucket 0, then a second aggregation over
     the counts — the classic double-groupBy distribution shape)."""
     ensure_query_confs(spark)
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders").where(
         F.col("o_orderpriority") != "1-URGENT"
     )
     counts = (
@@ -1235,10 +1262,10 @@ def q16_supplier_part_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame
     parts.  count(DISTINCT) expands map-side into the distinct-key shuffle;
     the part filter prunes before the join."""
     ensure_query_confs(spark)
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+    p = _tbl(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
     )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    l = _tbl(spark, sf_dir, "lineitem")
     return (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
@@ -1255,8 +1282,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from pyspark.sql import Window
 
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(F.col("p_brand") == "Brand#21")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = _tbl(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#21")
+    l = _tbl(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_partkey")
     joined = l.join(p, F.col("l_partkey") == F.col("p_partkey")).withColumn(
         "_avg_qty",
@@ -1272,8 +1299,8 @@ def q19_or_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: disjunctive brand/size/quantity predicate combos — one
     join, the OR filter evaluated post-join inside codegen."""
     ensure_query_confs(spark)
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = _tbl(spark, sf_dir, "part")
+    l = _tbl(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & qty.between(1, 11))
@@ -1296,8 +1323,8 @@ def q22_inactive_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame
     cross join (never collected to the driver); the no-orders test is a
     left-anti join."""
     ensure_query_confs(spark)
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
     avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
         (
             F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double") / F.count("*")
@@ -1320,8 +1347,8 @@ def q12_ship_lateness_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     order) per ship year, split into high/low-priority conditional counts —
     the sum(CASE WHEN) pivot pattern, all-integer so cross-engine exact."""
     ensure_query_confs(spark)
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = _tbl(spark, sf_dir, "orders")
+    l = _tbl(spark, sf_dir, "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1340,8 +1367,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver round-trip, no global window sort); revenue equality is exact
     because both sides sum through DECIMAL(30,6)."""
     ensure_query_confs(spark)
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    l = _tbl(spark, sf_dir, "lineitem")
+    s = _tbl(spark, sf_dir, "supplier")
     rev = (
         l.where(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -1361,8 +1388,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
     from pyspark.sql import Window
 
     rev = (
@@ -1384,7 +1411,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from remote_tsdb_clickhouse_spark.sources.events import read_events
 
-    e = read_events(spark, sf_dir)
+    e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sec = F.col("ts").cast("double")
     gap = sec - F.lag(sec).over(w)
@@ -1405,7 +1432,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure scan+filter+aggregate — the predicate-pushdown showcase: every
     filter reaches the parquet scan, no shuffle beyond the final 1-row agg."""
     ensure_query_confs(spark)
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    l = _tbl(spark, sf_dir, "lineitem")
     return (
         l.where(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -1424,8 +1451,8 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim join + conditional aggregate ratio."""
     ensure_query_confs(spark)
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    l = _tbl(spark, sf_dir, "lineitem")
+    p = _tbl(spark, sf_dir, "part")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
     j = l.where(
@@ -1443,9 +1470,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-then-filter (HAVING) feeding a join back to the fact's
     parents — the group-filter-join shape of TPC-H q18."""
     ensure_query_confs(spark)
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    l = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
     big = (
         l.groupBy("l_orderkey")
         .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
@@ -1468,8 +1495,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): orders having at least one returned item."""
     ensure_query_confs(spark)
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
     returned = l.where(F.col("l_returnflag") == "R").select("l_orderkey")
     return (
         o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
@@ -1481,8 +1508,8 @@ def q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orders_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): orders with no returned item."""
     ensure_query_confs(spark)
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = _tbl(spark, sf_dir, "lineitem")
+    o = _tbl(spark, sf_dir, "orders")
     returned = l.where(F.col("l_returnflag") == "R").select("l_orderkey")
     return (
         o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
@@ -1499,7 +1526,7 @@ def q_events_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from remote_tsdb_clickhouse_spark.sources.events import read_events
 
-    e = read_events(spark, sf_dir)
+    e = _events(spark, sf_dir)
     clicks = (
         e.where(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
@@ -1530,7 +1557,7 @@ def q_events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from remote_tsdb_clickhouse_spark.sources.events import read_events
 
-    e = read_events(spark, sf_dir)
+    e = _events(spark, sf_dir)
     clicks = (
         e.where(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
@@ -1561,7 +1588,7 @@ def q_events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from remote_tsdb_clickhouse_spark.sources.events import read_events
 
-    e = read_events(spark, sf_dir)
+    e = _events(spark, sf_dir)
     clicks = (
         e.where(F.col("event_type") == "click")
         .groupBy("user_id", "ts")
@@ -1591,7 +1618,7 @@ def q_orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is one hash shuffle on the pair key — the standard
     frequent-itemset counting pass, no corpus-wide self-join."""
     ensure_query_confs(spark)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = _tbl(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
     # ONE shuffle builds the per-order item set; the unordered-pair
@@ -1627,7 +1654,7 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from remote_tsdb_clickhouse_spark.sources.events import read_events
 
-    e = read_events(spark, sf_dir)
+    e = _events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), _dsum(F.col("value")).alias("sum_value"))
@@ -1644,7 +1671,7 @@ def q_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (bit-identical to DuckDB's
     quantile_cont — verified empirically)."""
     ensure_query_confs(spark)
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _tbl(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.percentile("o_totalprice", 0.5).alias("p50"),
         F.percentile("o_totalprice", 0.9).alias("p90"),
@@ -1656,8 +1683,8 @@ def q_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets: (segment, priority) -> (segment) -> () totals."""
     ensure_query_confs(spark)
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
     j = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
     return j.rollup("c_mktsegment", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
@@ -1671,7 +1698,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from pyspark.sql import Window
 
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    l = _tbl(spark, sf_dir, "lineitem")
     unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
     w = Window.partitionBy("l_partkey").orderBy(F.col("unit_price").asc(), F.col("l_suppkey"))
     return (
@@ -1699,13 +1726,13 @@ def q2_min_cost_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from pyspark.sql import Window
 
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+    p = _tbl(spark, sf_dir, "part").where(
         (F.col("p_type") == "STANDARD") & F.col("p_size").isin(5, 9, 14)
     )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "EUROPE")
+    l = _tbl(spark, sf_dir, "lineitem")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     eu_supp = s.join(
         F.broadcast(n.join(r, F.col("n_regionkey") == F.col("r_regionkey"))),
         F.col("s_nationkey") == F.col("n_nationkey"),
@@ -1739,9 +1766,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries ~1/25 of lineitem.  Both sides of the threshold
     compare come from the same per-part DECIMAL(30,6) sums."""
     ensure_query_confs(spark)
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet").where(F.col("n_name") == "NATION_7")
+    l = _tbl(spark, sf_dir, "lineitem")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
     # Persist the per-part aggregate (one row per part — metadata-sized
     # next to lineitem): both the scalar total and the threshold filter
     # consume it, and without the persist Catalyst would re-scan the whole
@@ -1776,14 +1803,14 @@ def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from pyspark.sql import Window
 
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").where(F.col("p_name").like("small%"))
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+    p = _tbl(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    l = _tbl(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "EUROPE")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     shipped = (
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
@@ -1816,11 +1843,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from pyspark.sql import Window
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(F.col("o_orderstatus") == "F")
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    r = spark.read.parquet(f"{sf_dir}/region.parquet").where(F.col("r_name") == "ASIA")
+    o = _tbl(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = _tbl(spark, sf_dir, "lineitem")
+    s = _tbl(spark, sf_dir, "supplier")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).cast("long")
@@ -1858,7 +1885,7 @@ def _doc_media(spark: SparkSession, sf_dir: str, modality: str, rate: int | None
     # Python-worker fan-out costs more than it buys at bench scale (real
     # codec workloads are CPU-bound per item and arrive many-partitioned)
     ensure_query_confs(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _tbl(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit(modality).alias("modality"),
@@ -1907,16 +1934,19 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _doc_media(spark, sf_dir, "video")
 
     def mk(it):
+        built: dict[tuple[int, int], bytes] = {}  # (gray, nframes) -> AVI;
+        # only 256*5 distinct fixtures exist, so build each once per worker
         for pdf in it:
             contents = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 i = int(mid)
                 if i % 2:
-                    g = i % 256
-                    jpg = multimodal.encode_jpeg(8, 8, [(g, g, g)] * 64, gray=True)
-                    contents.append(
-                        multimodal.encode_avi_mjpeg(8, 8, [jpg] * (1 + i % 5), 500_000)
-                    )
+                    key = (i % 256, 1 + i % 5)
+                    if key not in built:
+                        g, n = key
+                        jpg = multimodal.encode_jpeg(8, 8, [(g, g, g)] * 64, gray=True)
+                        built[key] = multimodal.encode_avi_mjpeg(8, 8, [jpg] * n, 500_000)
+                    contents.append(built[key])
                 else:
                     contents.append(bytes(content))
             yield pdf.assign(content=contents)
@@ -1964,6 +1994,26 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: session -> {(sf_dir, table): DataFrame}.  Path-based ``read.parquet``
+#: re-lists files and re-reads the footer schema on EVERY call — a
+#: driver-side job that cost ~0.3-0.5 s of the ~1 s fixed overhead each
+#: bench query paid.  A real deployment reads through a catalog whose
+#: metastore caches exactly this metadata, so memoizing the (unresolved,
+#: immutable) DataFrame per session/sf is the faithful analog, not a
+#: bench trick: every query still plans, optimizes, and executes its own
+#: job from the shared relation.  WeakKeyDictionary for session lifetime.
+_TABLE_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_query_confs(spark)
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in per:
+        per[key] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return per[key]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from remote_tsdb_clickhouse_spark.util import spread
@@ -1971,12 +2021,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf-scale documents arrive as one small parquet file = one partition;
     # spread so per-doc expression work uses every core (at real corpus
     # scale the input is already many-partitioned and this is a no-op)
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spread(_tbl(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_query_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _tbl(spark, sf_dir, "embeddings")
 
 
 def q_sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2497,7 +2546,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
     from remote_tsdb_clickhouse_spark.sources.events import read_events
 
-    e = read_events(spark, sf_dir)
+    e = _events(spark, sf_dir)
     s0 = (
         e.where(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -2566,7 +2615,7 @@ def q_dataset_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no spread(): the per-row work is two md5s of the id — the window's
     # own hash exchange on `shard` is the one shuffle this query needs,
     # and a pre-repartition would just add a second
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _tbl(spark, sf_dir, "documents")
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
     h2 = F.conv(
         F.substring(F.md5(F.concat(F.lit("pos:"), F.col("doc_id").cast("string"))), 1, 8),
@@ -2655,7 +2704,7 @@ def q_dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ensure_query_confs(spark)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _tbl(spark, sf_dir, "documents")
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))), 1, 8),
         16,
