@@ -2223,9 +2223,12 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     run on a sample; the LSH side is the production path."""
     d = _docs(spark, sf_dir)
     exact = dedup.ngram_jaccard_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    # persisted: the pair frame (tiny — the LSH output) feeds BOTH the
+    # hit join and the n_lsh count; without this the whole banding +
+    # verification plan executes once per consumer
     approx = dedup.minhash_lsh_pairs(d, threshold=0.8).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
-    )
+    ).persist()
     joined = exact.join(approx, ["doc_a", "doc_b"], "left")
     return (
         joined.agg(
