@@ -240,6 +240,43 @@ def test_ivf_train_centroids_moves_and_searches(spark):
     assert all(r.neighbor_id % 2 == r.query_id % 2 for r in out)
 
 
+def test_ivf_serve_paths_match_self_built(spark):
+    """The r6 build/serve split must be invisible to results: ivf_topk fed
+    pre-collected cent_rows (and ivf_pq_topk fed a prebuilt index) must
+    emit exactly what the self-building call emits — the serve path skips
+    the build collects, nothing else."""
+    rows = [
+        (i, [((i * 13 + j * 7) % 19) / 19.0 + 0.05 for j in range(8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    built = similarity.coarse_cent_rows(emb, n_centroids=8)
+    a = sorted(map(tuple, similarity.ivf_topk(emb, queries, k=3, n_centroids=8).collect()))
+    b = sorted(
+        map(tuple, similarity.ivf_topk(emb, queries, k=3, n_centroids=8, cent_rows=built).collect())
+    )
+    assert a == b
+
+    idx = similarity.ivf_pq_build(emb, n_queries=5, n_centroids=8, m=4, k=8)
+    p = sorted(
+        map(
+            tuple,
+            similarity.ivf_pq_topk(emb, n_queries=5, topk=3, n_centroids=8, m=4, k=8).collect(),
+        )
+    )
+    q = sorted(
+        map(
+            tuple,
+            similarity.ivf_pq_topk(
+                emb, n_queries=5, topk=3, n_centroids=8, m=4, k=8, index=idx
+            ).collect(),
+        )
+    )
+    assert p == q
+
+
 def test_line_dedup_drops_global_boilerplate(spark):
     # segment unit = 2 tokens; "footer text" appears in 3 docs (> max 2)
     # and must vanish from all of them; "unique words" stays
