@@ -19,6 +19,8 @@ bit-identical in the DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -172,23 +174,89 @@ def _pair_jaccard(inter_counts: DataFrame, base: DataFrame) -> DataFrame:
     )
 
 
-def _verify_candidates(cands: DataFrame, exploded: DataFrame, base: DataFrame) -> DataFrame:
-    """Exact Jaccard for an explicit candidate pair set.
-
-    Counts intersections by joining the candidate pairs through the inverted
-    index ((doc_a, sh) x (doc_b, sh)) instead of materializing and
-    intersecting shingle arrays per pair — rows processed are proportional
-    to the actual intersections, and everything stays in codegen'd joins.
-    """
+def _candidate_inter_counts(cands: DataFrame, exploded: DataFrame) -> DataFrame:
+    """|intersection| for an explicit candidate pair set, by joining the
+    pairs through the inverted index ((doc_a, sh) x (doc_b, sh)) instead
+    of materializing and intersecting shingle arrays per pair — rows
+    processed are proportional to the actual intersections, and
+    everything stays in codegen'd joins."""
     ea = exploded.select(F.col("doc_id").alias("doc_a"), "sh")
     eb = exploded.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter_counts = (
+    return (
         cands.join(ea, "doc_a")
         .join(eb, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    return _pair_jaccard(inter_counts, base)
+
+
+def _verify_candidates(cands: DataFrame, exploded: DataFrame, base: DataFrame) -> DataFrame:
+    """Exact Jaccard for an explicit candidate pair set."""
+    return _pair_jaccard(_candidate_inter_counts(cands, exploded), base)
+
+
+def _ceil_threshold_times(n_sh_col, threshold: float):
+    """Exact-arithmetic ``ceil(t' * n)`` for a rational UNDER-approximation
+    ``t' = floor(t * 1e6) / 1e6 <= t`` of the float threshold.
+
+    ``F.ceil(lit(t) * n)`` evaluates the product in IEEE doubles, which
+    can round UP past the true integer (0.55 * 100 → 55.000000000000007,
+    ceil → 56), silently SHORTENING the AllPairs prefix by one shingle and
+    dropping qualifying pairs — unsound for an 'exact' route (r6 review
+    finding; the default 0.8/0.9 thresholds happen to be unaffected).
+    Substituting a ≤-rational can only LENGTHEN the prefix — extra
+    candidates, all exactly verified downstream — and the integer ceil
+    ``(p*n + q−1) div q`` stays exact on doubles: the numerator is far
+    below 2^53 for any realistic shingle count, and a non-integer
+    quotient sits ≥ 1/q from the nearest integer while double spacing at
+    that magnitude is orders smaller, so floor() cannot cross a boundary.
+    """
+    q = 1_000_000
+    p = int(math.floor(threshold * q))
+    return F.floor((F.lit(p) * n_sh_col + F.lit(q - 1)) / F.lit(q)).cast("int")
+
+
+def _hot_route_probe(exploded: DataFrame, df_cap: int, prefix_filter: bool | None):
+    """Shared stop-shingle probe for the inverted-index family: one
+    max-aggregate over the shingle document-frequency frame decides
+    plain-vs-prefix routing.  Returns ``(prefix_filter, freq)`` — on the
+    hot route ``freq`` stays persisted (it feeds the prefix join lazily;
+    unpersisting here would force a recompute at execution time; reclaim
+    is the caller's family-boundary clearCache, and the frame is one
+    (shingle, count) row per distinct shingle, far smaller than the
+    persisted index it derives from)."""
+    freq = None
+    if prefix_filter is None:
+        freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh")).persist()
+        row = freq.agg(F.max("df_sh").alias("m")).first()
+        prefix_filter = (row["m"] or 0) > df_cap
+        if not prefix_filter:
+            freq.unpersist()
+    return prefix_filter, freq
+
+
+def _df_ordered_prefix(
+    exploded: DataFrame, freq: DataFrame | None, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """Every doc's AllPairs prefix: its first ``n − ceil(t·n) + 1``
+    shingles under the global (ascending document frequency, ties by
+    value) order — hot shingles land at the end of the order and fall out
+    of nearly every prefix."""
+    from pyspark.sql import Window
+
+    if freq is None:  # caller forced the prefix path: no probe ran
+        freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh"))
+    w = Window.partitionBy("doc_id").orderBy("df_sh", "sh")
+    return (
+        exploded.join(freq, "sh")
+        .join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(
+            F.col("rk")
+            <= F.col("n_sh") - _ceil_threshold_times(F.col("n_sh"), threshold) + 1
+        )
+        .select("doc_id", "sh")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -241,18 +309,7 @@ def ngram_jaccard_pairs(
     # max-aggregate over it, and the prefix path (when taken) reuses the same
     # persisted frame instead of recomputing shingle dfs from the index —
     # previously the dfs were computed twice (probe + freq join).
-    freq = None
-    if prefix_filter is None:
-        freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh")).persist()
-        row = freq.agg(F.max("df_sh").alias("m")).first()
-        prefix_filter = (row["m"] or 0) > df_cap
-        if not prefix_filter:
-            freq.unpersist()
-        # On the prefix path freq stays persisted: it feeds the prefix join
-        # lazily (unpersisting here would force a recompute at execution
-        # time).  Reclaim is the caller's family-boundary clearCache — the
-        # frame is one (shingle, count) row per distinct shingle, far
-        # smaller than the persisted index it derives from.
+    prefix_filter, freq = _hot_route_probe(exploded, df_cap, prefix_filter)
     if prefix_filter:
         # AllPairs/PPJoin prefix filtering (exact): under a global shingle
         # order (ascending document frequency, ties by value), any pair with
@@ -261,19 +318,7 @@ def ngram_jaccard_pairs(
         # candidates.  Wins when hot shingles make the full inverted-index
         # join quadratic; pure overhead on corpora with low shingle document
         # frequency (this dataset: max df 25), hence opt-in.
-        from pyspark.sql import Window
-
-        if freq is None:  # caller forced the prefix path: no probe ran
-            freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh"))
-        sizes = _sizes(base)
-        w = Window.partitionBy("doc_id").orderBy("df_sh", "sh")
-        prefix = (
-            exploded.join(freq, "sh")
-            .join(sizes, "doc_id")
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1)
-            .select("doc_id", "sh")
-        )
+        prefix = _df_ordered_prefix(exploded, freq, _sizes(base), threshold)
         cands = (
             prefix.alias("x")
             .join(prefix.alias("y"), "sh")
@@ -736,30 +781,10 @@ def containment_pairs(
     exploded = base.select("doc_id", F.explode("shingles").alias("sh")).persist()
     if hash_keys:
         exploded = exploded.select("doc_id", F.xxhash64("sh").alias("sh"))
-    freq = None
-    if prefix_filter is None:
-        freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh")).persist()
-        row = freq.agg(F.max("df_sh").alias("m")).first()
-        prefix_filter = (row["m"] or 0) > df_cap
-        if not prefix_filter:
-            freq.unpersist()
+    prefix_filter, freq = _hot_route_probe(exploded, df_cap, prefix_filter)
     sizes = _sizes(base)
     if prefix_filter:
-        from pyspark.sql import Window
-
-        if freq is None:  # caller forced the prefix path: no probe ran
-            freq = exploded.groupBy("sh").agg(F.count("*").alias("df_sh"))
-        w = Window.partitionBy("doc_id").orderBy("df_sh", "sh")
-        prefix = (
-            exploded.join(freq, "sh")
-            .join(sizes, "doc_id")
-            .withColumn("rk", F.row_number().over(w))
-            .where(
-                F.col("rk")
-                <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-            )
-            .select("doc_id", "sh")
-        )
+        prefix = _df_ordered_prefix(exploded, freq, sizes, threshold)
         cands = (
             prefix.alias("x")
             .join(exploded.alias("y"), "sh")
@@ -770,14 +795,7 @@ def containment_pairs(
             )
             .distinct()
         )
-        ea = exploded.select(F.col("doc_id").alias("doc_a"), "sh")
-        eb = exploded.select(F.col("doc_id").alias("doc_b"), "sh")
-        inter = (
-            cands.join(ea, "doc_a")
-            .join(eb, ["doc_b", "sh"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
-        )
+        inter = _candidate_inter_counts(cands, exploded)
     else:
         inter = (
             exploded.alias("x")

@@ -470,8 +470,12 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             raise NotImplementedError(
                 f"only baseline/progressive Huffman JPEG supported (SOF marker 0x{m:02x})"
             )
-        elif m == 0xC4:  # DHT (progressive: tables may be redefined between scans,
-            # but the fixture encoder never does; last definition wins)
+        elif m == 0xC4:  # DHT — tables may be redefined between scans
+            # (libjpeg-family progressive encoders emit per-scan optimal
+            # tables before each SOS), so every scan records a SNAPSHOT of
+            # the table state at its own SOS below (r6 review finding:
+            # 'last definition wins' decoded real-world multi-DHT streams
+            # with the final scan's tables)
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 15
@@ -512,7 +516,9 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                     break  # next real marker ends the scan
                 segments[-1].append(b)
                 q += 1
-            scans.append((scan_comps, ss, se, ahal >> 4, ahal & 15, dri, segments))
+            scans.append(
+                (scan_comps, ss, se, ahal >> 4, ahal & 15, dri, segments, dict(huff))
+            )
             pos = q
             continue
         # APPn / COM / others: skip
@@ -525,17 +531,32 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
+    # a single full-band sequential scan (i.e. baseline relabeled or not)
+    # needs no cross-scan coefficient accumulation: decode each block
+    # straight to pixels, skipping the image-sized int32 store — the store
+    # would be a ~4x-per-component peak-memory regression vs the pre-r6
+    # block-at-a-time baseline decoder (r6 review finding), and baseline
+    # is the common case on the hot extract_features path
+    streaming = len(scans) == 1 and scans[0][1:5] == (0, 63, 0, 0)
+
+    C = _dct_matrix()
     geom = {}  # cid -> (hs, vs, tq, padded bw/bh, true bw/bh)
     coefs = {}  # cid -> int32 (bh_pad, bw_pad, 64) raw quantized, natural order
+    planes = {}  # cid -> uint8 pixel plane (filled during decode if streaming)
+    qtab_f = {}  # tq -> float64 natural-order table
     for cid, hs, vs, tq in comps:
         bw_pad, bh_pad = mcux * hs, mcuy * vs
         samp_w = -(-(w * hs) // hmax)  # ceil(w*hs/hmax): component sample width
         samp_h = -(-(h * vs) // vmax)
         bw, bh = -(-samp_w // 8), -(-samp_h // 8)
         geom[cid] = (hs, vs, tq, bw_pad, bh_pad, bw, bh)
-        coefs[cid] = np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
+        if streaming:
+            planes[cid] = np.zeros((bh_pad * 8, bw_pad * 8), dtype=np.uint8)
+        else:
+            coefs[cid] = np.zeros((bh_pad, bw_pad, 64), dtype=np.int32)
+        qtab_f[tq] = qt[tq].astype(np.float64)
 
-    for scan_comps, ss, se, ah, al, sdri, segments in scans:
+    for scan_comps, ss, se, ah, al, sdri, segments, huff in scans:
         seg_idx = 0
         cur = segments[0]
         bpos = 0
@@ -639,7 +660,9 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 eobrun -= 1
 
         def decode_block(cid, by, bx):
-            coef = coefs[cid][by, bx]
+            coef = (
+                np.zeros(64, dtype=np.int32) if streaming else coefs[cid][by, bx]
+            )
             td, ta = table_for[cid]
             if ss == 0:
                 if ah == 0:
@@ -657,6 +680,12 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                     ac_first(coef, huff[(1, ta)])
             else:
                 (ac_refine if ah else ac_first)(coef, huff[(1, ta)])
+            if streaming:  # straight to pixels, no cross-scan store
+                deq = coef.astype(np.float64) * qtab_f[geom[cid][2]]
+                block = C.T @ deq.reshape(8, 8) @ C + 128.0
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(block), 0, 255
+                ).astype(np.uint8)
 
         def restart():
             nonlocal seg_idx, cur, bpos, dc_pred, eobrun
@@ -693,21 +722,21 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                                 decode_block(cid, my * vs + by, mx * hs + bx)
                     mcu_n += 1
 
-    # dequantize + IDCT every block, then upsample and crop
-    C = _dct_matrix()
-    planes = {}
-    for cid, hs, vs, tq in comps:
-        _, _, _, bw_pad, bh_pad, _, _ = geom[cid]
-        pl = np.zeros((bh_pad * 8, bw_pad * 8), dtype=np.uint8)
-        qtab = qt[tq].astype(np.float64)
-        for by in range(bh_pad):
-            for bx in range(bw_pad):
-                deq = coefs[cid][by, bx].astype(np.float64) * qtab
-                block = C.T @ deq.reshape(8, 8) @ C + 128.0
-                pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(block), 0, 255
-                ).astype(np.uint8)
-        planes[cid] = pl
+    # dequantize + IDCT every block, then upsample and crop (streaming
+    # mode already decoded straight into planes)
+    if not streaming:
+        for cid, hs, vs, tq in comps:
+            _, _, _, bw_pad, bh_pad, _, _ = geom[cid]
+            pl = np.zeros((bh_pad * 8, bw_pad * 8), dtype=np.uint8)
+            qtab = qtab_f[tq]
+            for by in range(bh_pad):
+                for bx in range(bw_pad):
+                    deq = coefs[cid][by, bx].astype(np.float64) * qtab
+                    block = C.T @ deq.reshape(8, 8) @ C + 128.0
+                    pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.round(block), 0, 255
+                    ).astype(np.uint8)
+            planes[cid] = pl
 
     full = {}
     for cid, hs, vs, tq in comps:

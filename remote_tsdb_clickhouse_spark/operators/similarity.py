@@ -23,6 +23,8 @@ codegen and avoids all Arrow transfer.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -283,13 +285,18 @@ def coarse_cent_rows(
 #: a memoized row list) is measurable driver overhead — a Column is an
 #: immutable expression wrapper, safe to share across plans in a session.
 #: Keyed by id() with the rows object retained in the value to keep the
-#: id stable; bounded by the handful of distinct quantizers per process.
-_CENTS_LIT_CACHE: dict[int, tuple[object, object]] = {}
+#: id stable.  BOUNDED LRU (r6 review finding): a self-building call path
+#: creates a fresh rows list per invocation, whose entry could never be
+#: hit again but pinned its list + JVM Column handle forever — a
+#: long-lived serving process would grow without bound.
+_CENTS_LIT_MAX = 16
+_CENTS_LIT_CACHE: "OrderedDict[int, tuple[object, object]]" = OrderedDict()
 
 
 def _cents_literal(rows: list[tuple[int, list[float], float]]):
     hit = _CENTS_LIT_CACHE.get(id(rows))
     if hit is not None and hit[0] is rows:
+        _CENTS_LIT_CACHE.move_to_end(id(rows))
         return hit[1]
 
     def d(x: float) -> str:  # exact double literal (repr = shortest round-trip)
@@ -308,6 +315,8 @@ def _cents_literal(rows: list[tuple[int, list[float], float]]):
         F.expr(nrm_sql).alias("cnrm"),
     )
     _CENTS_LIT_CACHE[id(rows)] = (rows, col)
+    while len(_CENTS_LIT_CACHE) > _CENTS_LIT_MAX:
+        _CENTS_LIT_CACHE.popitem(last=False)
     return col
 
 
@@ -383,6 +392,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     cent_rows: list[tuple[int, list[float], float]] | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the corpus
     into inverted lists; each query scores only its ``nprobe`` nearest
@@ -410,8 +420,17 @@ def ivf_topk(
     (``(cent_id, cvec)`` rows, e.g. :func:`ivf_train_centroids`) — the
     dataflow is unchanged, only the collected list changes.  ``cent_rows=``
     (pre-collected :func:`coarse_cent_rows`) skips the build collect
-    entirely — the serve-many-queries path.
+    entirely — the serve-many-queries path; its length must agree with
+    ``n_centroids`` (a mismatched index would silently serve different
+    parameters than requested).  ``broadcast_queries=False`` drops the
+    broadcast hint on candidate generation for corpus-scale query sets
+    (corpus-vs-corpus ANN), letting the auto-threshold + AQE pick the
+    join strategy instead of forcing a potentially enormous broadcast.
     """
+    if cent_rows is not None and len(cent_rows) != n_centroids:
+        raise ValueError(
+            f"cent_rows has {len(cent_rows)} centroids, n_centroids={n_centroids}"
+        )
     rows = cent_rows or coarse_cent_rows(emb, n_centroids, id_col, vec_col, centroids)
 
     corpus = _with_norm(emb, id_col, vec_col)
@@ -430,7 +449,7 @@ def ivf_topk(
     ).select("query_id", "qvec", "qnrm", F.col("_p.cent_id").alias("cent_id"))
 
     scored = (
-        lists.join(F.broadcast(qside), "cent_id")
+        lists.join(F.broadcast(qside) if broadcast_queries else qside, "cent_id")
         .where(F.col("vid") != F.col("query_id"))
         .select(
             "query_id",
@@ -983,6 +1002,15 @@ def ivf_pq_build(
         "m": m,
         "probe_lists": probe_lists,
         "tables": tables,
+        # build parameters, validated at serve time: a mismatched index
+        # must error, not silently serve different parameters
+        "params": {
+            "n_queries": n_queries,
+            "n_centroids": n_centroids,
+            "nprobe": nprobe,
+            "m": m,
+            "k": k,
+        },
     }
 
 
@@ -1022,13 +1050,26 @@ def ivf_pq_topk(
     ≤ topk * n_queries rows per batch — the corpus never shuffles.
 
     ``index=`` (a prebuilt :func:`ivf_pq_build`) skips the build collects
-    — the serve-many-queries path.
+    — the serve-many-queries path; its build parameters must agree with
+    the ones requested here (mismatches raise instead of silently serving
+    the index's parameters).
     """
     import numpy as np
     import pandas as pd
 
     from remote_tsdb_clickhouse_spark.util import spread
 
+    if index is not None:
+        want = {
+            "n_queries": n_queries,
+            "n_centroids": n_centroids,
+            "nprobe": nprobe,
+            "m": m,
+            "k": k,
+        }
+        got = index.get("params")
+        if got is not None and got != want:
+            raise ValueError(f"index built with {got}, serve requested {want}")
     idx = index or ivf_pq_build(
         emb, n_queries, n_centroids, nprobe, m, k, id_col, vec_col
     )

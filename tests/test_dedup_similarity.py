@@ -47,6 +47,33 @@ def test_ngram_hot_shingle_auto_route_exact(spark, hot_corpus):
     assert {(0, 20), (5, 21)} <= found  # the planted duplicates
 
 
+def test_prefix_bound_float_ceil_hazard(spark):
+    """r6 review finding: F.ceil(lit(t) * n) in doubles rounds UP past the
+    true integer for thresholds like 0.55 (0.55*100 = 55.000000000000007,
+    ceil 56), shortening the AllPairs prefix by one and silently dropping
+    qualifying pairs.  The exact-integer bound must keep the prefix route
+    emitting EXACTLY the plain route's pairs at such thresholds."""
+    # docs with 100-ish distinct shingles sharing just over 55% of them
+    base = [f"w{i}" for i in range(120)]
+    texts = []
+    for d in range(6):
+        toks = base[: 60] + [f"u{d}x{i}" for i in range(45)]  # 60 shared + 45 unique
+        texts.append(" ".join(toks))
+    docs = _docs(spark, texts)
+
+    def pairs(**kw):
+        df = dedup.ngram_jaccard_pairs(docs, threshold=0.55, **kw)
+        return sorted((r["doc_a"], r["doc_b"]) for r in df.collect())
+
+    assert pairs(prefix_filter=True) == pairs(prefix_filter=False)
+
+    def cpairs(**kw):
+        df = dedup.containment_pairs(docs, threshold=0.55, **kw)
+        return sorted((r["doc_inner"], r["doc_outer"]) for r in df.collect())
+
+    assert cpairs(prefix_filter=True) == cpairs(prefix_filter=False)
+
+
 def test_containment_hot_shingle_auto_route_exact(spark, hot_corpus):
     """r6 guard (the one inverted-index self-join the r5 verdict flagged
     as unguarded): on the stop-shingle corpus the df probe must trip, the
@@ -275,6 +302,14 @@ def test_ivf_serve_paths_match_self_built(spark):
         )
     )
     assert p == q
+
+    # mismatched shapes must error, never silently serve other parameters
+    with pytest.raises(ValueError, match="cent_rows has"):
+        similarity.ivf_topk(emb, queries, k=3, n_centroids=4, cent_rows=built)
+    with pytest.raises(ValueError, match="index built with"):
+        similarity.ivf_pq_topk(
+            emb, n_queries=5, topk=3, n_centroids=8, m=4, k=8, nprobe=4, index=idx
+        )
 
 
 def test_line_dedup_drops_global_boilerplate(spark):

@@ -660,6 +660,77 @@ def test_sample_frames_corrupt_container_degrades_to_stub(spark):
     assert out == [(0, 0), (1, 400), (2, 800)]  # stub schedule from duration_ms
 
 
+def test_jpeg_progressive_per_scan_dht_snapshots():
+    """libjpeg-family progressive encoders emit per-scan DHTs before each
+    SOS; a decoder applying 'last definition wins' decodes earlier scans
+    with later scans' tables.  Hand-assemble an 8x8 gray stream whose DC
+    slot (0,0) is REDEFINED (decoy flat table) between scan 1 (DC, coded
+    with Annex-K) and scan 2 (AC) — only a decoder snapshotting tables at
+    each SOS decodes the right pixels."""
+    import numpy as np
+
+    g = 77
+    C = mm._dct_matrix()
+    zz0 = int(round((C @ (np.full((8, 8), float(g)) - 128.0) @ C.T)[0, 0]))
+
+    def enc_map(bits, vals):
+        return {
+            vals[k]: (code, ln)
+            for k, (ln, code) in enumerate(mm._jpeg_code_assignments(bits))
+        }
+
+    dc_k = enc_map(*mm._JPEG_HUFF_DC_LUM)  # scan-1 DC table (Annex K)
+    ac_flat = enc_map(*mm._JPEG_PROG_AC)  # scan-2 AC table
+    # decoy DC table: all 12 size symbols at length 4, REVERSED symbol
+    # order — any code scan 1 emits means a different size under it
+    decoy_bits = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    decoy_vals = list(range(11, -1, -1))
+
+    def scan_bytes(emissions):
+        acc, nacc, out = 0, 0, bytearray()
+        for code, ln in emissions:
+            for i in range(ln - 1, -1, -1):
+                acc = (acc << 1) | ((code >> i) & 1)
+                nacc += 1
+                if nacc == 8:
+                    out.append(acc)
+                    if acc == 0xFF:
+                        out.append(0x00)
+                    acc, nacc = 0, 0
+        if nacc:
+            out.append((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1))
+            if out[-1] == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    t = abs(zz0).bit_length()
+    extra = zz0 if zz0 >= 0 else zz0 + (1 << t) - 1
+    dc_scan = scan_bytes([dc_k[t], (extra, t)] if t else [dc_k[0]])
+    ac_scan = scan_bytes([ac_flat[0x00]])  # EOB0: whole 1..63 band zero
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    bits, vals = mm._JPEG_HUFF_DC_LUM
+    out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))  # DC scan, Ah=Al=0
+    out += dc_scan
+    # the decoy: redefine DC slot 0 BETWEEN scans
+    out += seg(0xC4, bytes([0x00]) + bytes(decoy_bits) + bytes(decoy_vals))
+    bits, vals = mm._JPEG_PROG_AC
+    out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))  # AC scan 1..63
+    out += ac_scan
+    out += b"\xff\xd9"
+
+    W, H, px = mm.decode_jpeg(bytes(out))
+    assert (W, H) == (8, 8)
+    assert px == [(g, g, g)] * 64
+
+
 def test_jpeg_progressive_fuzz_matches_baseline():
     """Property fuzz (same model as test_prompb_fuzz): for arbitrary
     small images, the baseline and progressive encodings must decode
