@@ -74,6 +74,34 @@ def test_prefix_bound_float_ceil_hazard(spark):
     assert cpairs(prefix_filter=True) == cpairs(prefix_filter=False)
 
 
+def test_ceil_threshold_times_exact_property(spark):
+    """The prefix bound's Spark expression must equal the exact integer
+    ceil(p*n/q) for the rational under-approximation p/q of the
+    threshold, across a sweep of hazardous thresholds and sizes — and
+    never exceed the float-naive value by more than the documented
+    lengthening direction (bound <= float-ceil is NOT required; bound
+    must simply be the exact rational ceil)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    thresholds = [0.5, 0.55, 0.56, 0.68, 0.7, 0.8, 0.81, 0.9, 0.99, 1.0]
+    ns = list(range(1, 200)) + [10_000, 1_000_000, 999_999_937]
+    df = spark.createDataFrame([(n,) for n in ns], "n LONG")
+    for t in thresholds:
+        got = {
+            r["n"]: r["b"]
+            for r in df.select(
+                "n", dedup._ceil_threshold_times(F.col("n"), t).alias("b")
+            ).collect()
+        }
+        q = 1_000_000
+        p = int(math.floor(t * q))
+        for n in ns:
+            want = -((-p * n) // q)  # exact integer ceil(p*n/q)
+            assert got[n] == want, (t, n, got[n], want)
+
+
 def test_containment_hot_shingle_auto_route_exact(spark, hot_corpus):
     """r6 guard (the one inverted-index self-join the r5 verdict flagged
     as unguarded): on the stop-shingle corpus the df probe must trip, the
@@ -302,6 +330,18 @@ def test_ivf_serve_paths_match_self_built(spark):
         )
     )
     assert p == q
+
+    # the corpus-vs-corpus escape hatch: dropping the broadcast hint must
+    # change only the join strategy, never the results
+    c = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                emb, queries, k=3, n_centroids=8, cent_rows=built, broadcast_queries=False
+            ).collect(),
+        )
+    )
+    assert a == c
 
     # mismatched shapes must error, never silently serve other parameters
     with pytest.raises(ValueError, match="cent_rows has"):
