@@ -4136,47 +4136,60 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
         multimodal.extract_features(tiny).collect()
 
 
-#: The round-6 driver correctness window (the harness hashes the FIRST 50
-#: ``queries()`` entries each round — VERDICT r1).  Exactly the r5
-#: verdict's task-1 rotation: slots 1-20 are the never-driver-verified
-#: late-r5 queries, 21-23 the entries whose code/oracle r5 touched after
-#: their last row, 24-27 the IVF family whose plan r6 rewrote
-#: (assignment became a collected-centroid projection, so their r5 rows
-#: cover superseded code; the JPEG row gained progressive fixtures on odd
-#: ids), and the rest the oldest surviving rows (r3: protocol pair,
-#: tsdb-extended, events/doc/emb classics, the multimodal trio's
-#: siblings, order analytics).  After this round the only latest-r3 rows
-#: left are 17 TPC-H classics
-#: (q1/q3/q4/q5/q7/q8/q9/q10/q12/q13/q14/q15/q16/q17/q18/q19/q22) plus
-#: sales_rollup — untouched since r3, all green three rounds running —
-#: queued first for the r7 window.
-_R6_WINDOW = [
-    # never driver-verified (late r5)
-    "multimodal_audio_energy", "tsdb_rollup_hierarchy",
-    "tsdb_subquery_maxrate", "sim_pq_opq_recall", "dedup_minhash_recall",
-    "tsdb_retention_serve", "streaming_sessionize", "tsdb_mad_over_time",
-    "dedup_cluster_stats", "ch_sink_roundtrip", "events_asof_tolerance",
-    "events_asof_next", "orders_market_basket", "dedup_containment",
-    "sim_topk_filtered", "dataset_interleave", "streaming_dropduplicates",
-    "events_bucketed_agg", "sim_ivf_pq_topk", "sim_ivf_pq_recall",
-    # r5-touched after their last row
-    "sim_topk_lsh", "sim_topk_ivf", "multimodal_features",
-    # r6-touched (IVF plan rewrite; dedup_containment and
-    # multimodal_frame_sample are above; the JPEG row gained progressive
-    # fixtures; simhash gained the persisted fingerprint frame)
-    "sim_ivf_recall", "sim_ivf_trained", "sim_ivf_trained_recall",
-    "sim_ivf_balance", "multimodal_jpeg_features", "dedup_simhash",
-    # oldest surviving rows (r3)
-    "protocol_roundtrip_read", "protocol_response_assembly",
-    "tsdb_sum_by_label", "tsdb_topk_series", "tsdb_max_gap",
-    "tsdb_stale_series", "tsdb_label_values", "tsdb_series_count",
-    "events_value_histogram", "events_daily_pivot", "events_retention",
-    "emb_label_centroids", "doc_stats_by_source", "customers_lapsed",
-    "multimodal_frame_sample", "multimodal_resize", "dataset_split",
-    "min_cost_supplier", "orders_with_returns", "orders_no_returns",
-    "order_value_quantiles",
+#: The round-7 driver correctness window (the harness hashes the FIRST 50
+#: ``queries()`` entries each round — VERDICT r1).  Exactly the r6
+#: verdict's task-1 rotation: slots 1-18 are the rows whose last driver
+#: hash (r3) predates the r6 ``_tbl``/relation memoization
+#: (``_TABLE_CACHE`` below) — the load path beneath them changed, so they
+#: go first; next the queries whose code r7 touches (the multimodal
+#: hostile-payload hardening: iterative AVI walk + header allocation caps
+#: flow under every image/video decode; the IVF prebuilt-index
+#: validation; the streaming-dedup staging change), whose r6 rows will
+#: cover superseded code the moment r7 lands; the rest are
+#: oldest-r4-first fill (the tsdb matcher/downsample/rate block + the
+#: r4-verified text/dataset/events entries).
+#:
+#: Staleness ledger AFTER this round (r8 planning): the only rows older
+#: than r5 are 25 r4 rows — events_window_agg, sim_topk_bruteforce,
+#: text_pipeline, events_funnel, text_langid, text_quality, text_tokens,
+#: text_fingerprint, text_tfidf_keywords, text_repetition,
+#: dataset_sample, doc_packing, q6_revenue_delta, dedup_embedding_cosine,
+#: dedup_embedding_cosine_lsh, dedup_exact, dedup_ngram_jaccard,
+#: dedup_minhash_lsh, dedup_groups, dedup_incremental,
+#: streaming_stateful_rate, multimodal_resample, dataset_mixture_sample,
+#: emb_quantize_int8, tsdb_rollup_serve — queue them first for r8 (note
+#: the dedup shingle-chain members must keep their relative order:
+#: exact/embedding before the ngram→minhash→groups→incremental chain).
+_R7_WINDOW = [
+    # r3 rows under the r6-memoized load path (verdict r6 task 1)
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q4_late_shipment_priority", "q5_local_supplier_volume",
+    "q7_nation_trade_volume", "q8_market_share",
+    "q9_product_type_profit", "q10_returned_item_reporting",
+    "q12_ship_lateness_priority", "q13_customer_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_cardinality", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_or_predicate_revenue",
+    "q22_inactive_customer_balance", "sales_rollup",
+    # r7-touched: multimodal decode hardening flows under every
+    # image/video query; IVF prebuilt-index validation; streaming-dedup
+    # staging memoization
+    "multimodal_features", "multimodal_png_features",
+    "multimodal_jpeg_features", "multimodal_gif_frames",
+    "multimodal_frame_sample", "multimodal_resize",
+    "sim_ivf_balance", "sim_ivf_pq_topk", "sim_ivf_pq_recall",
+    "streaming_dedup",
+    # oldest-r4-first fill
+    "tsdb_read_eq", "tsdb_read_name_regex", "tsdb_read_nre",
+    "tsdb_label_regex", "tsdb_downsample_30s",
+    "tsdb_downsample_range_clamp", "tsdb_series_assembly",
+    "tsdb_ignore_label", "tsdb_rate", "tsdb_label_project",
+    "tsdb_irate", "tsdb_delta", "tsdb_increase", "tsdb_resets_changes",
+    "tsdb_range_agg", "tsdb_moving_avg", "text_decontaminate",
+    "dataset_dedup_apply", "dataset_length_histogram",
+    "top_customers_per_segment", "events_sessionize", "events_asof_click",
 ]
-assert len(_R6_WINDOW) == 50 and len(set(_R6_WINDOW)) == 50
+assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4186,7 +4199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # LLM-pipeline families; r3 tsdb-extended + classic-SQL; r4 the tsdb
     # matcher/downsample/rate block + r4-touched families; r5 all 50
     # never-verified adds (union after r5: 140/160 with zero failures
-    # ever); r6 the _R6_WINDOW rotation.
+    # ever); r6 the late-r5/IVF/oldest-r3 rotation (union 160/160); r7
+    # the _R7_WINDOW rotation (stale-TPC-H + r7-touched + oldest-r4).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -4377,7 +4391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R6_WINDOW}
+    out = {name: base[name] for name in _R7_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 
