@@ -3474,7 +3474,16 @@ def stage_dedup_stream_input(spark: SparkSession, sf_dir: str) -> str:
     ``doc_id``-range parquet chunks whose file mtimes pin the micro-batch
     order (FileStreamSource orders new files by modification time;
     ``maxFilesPerTrigger=1`` then yields one chunk per batch, in doc_id
-    order).  Memoized per (session, sf_dir) like the samples staging."""
+    order).  Memoized per (session, sf_dir) like the samples staging, AND
+    cross-process on disk: the chunks are a pure function of the
+    immutable testdata (deterministic hash projection + fixed split
+    points + pinned mtimes), so a fresh session — the bench cold pass,
+    the driver correctness process — reuses a prior process's staging
+    instead of re-deriving it (~1.5 s of the 5.4 s cold cost was exactly
+    this re-stage; r6 verdict task 4).  Publication is an atomic
+    ``os.rename`` of a fully-built private dir; a raced loser keeps its
+    own private copy, so readers never see a half-staged directory."""
+    import hashlib
     import os
     import shutil
     import time
@@ -3483,7 +3492,12 @@ def stage_dedup_stream_input(spark: SparkSession, sf_dir: str) -> str:
     staging = per.get(sf_dir)
     if staging is not None:
         return staging
-    staging = tempfile.mkdtemp(prefix="graft_dedup_stream_")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    final = os.path.join(tempfile.gettempdir(), f"graft_dedup_stream_{tag}")
+    if os.path.isfile(os.path.join(final, "_STAGED")):
+        per[sf_dir] = final
+        return final
+    staging = tempfile.mkdtemp(prefix="graft_dedup_stream_build_")
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.md5(F.concat_ws(" ", tx.tokens(F.col("text")))).alias("content_hash")
     )
@@ -3507,6 +3521,17 @@ def stage_dedup_stream_input(spark: SparkSession, sf_dir: str) -> str:
         dst = f"{in_dir}/chunk{i}.parquet"
         shutil.move(f"{chunk_dir}/{part}", dst)
         os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    with open(f"{staging}/_STAGED", "w") as fh:
+        fh.write(sf_dir)
+    try:
+        os.rename(staging, final)  # atomic publish (rename preserves mtimes)
+        staging = final
+    except OSError:
+        # raced: another process published first — use theirs if complete,
+        # else serve this process from its private copy
+        if os.path.isfile(os.path.join(final, "_STAGED")):
+            shutil.rmtree(staging, ignore_errors=True)
+            staging = final
     per[sf_dir] = staging
     return staging
 
@@ -4134,6 +4159,31 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
             "'duration_ms', CAST(1000 AS BIGINT)) AS meta FROM range(4)"
         )
         multimodal.extract_features(tiny).collect()
+        # ...and the REAL codec composition the fake frame never touched:
+        # the AVI walk -> JPEG entropy decode (baseline AND progressive)
+        # -> PNG encode chain JIT-compiles its numpy kernels on first use,
+        # which r6's driver run showed landing inside the window leader's
+        # timed trial (multimodal_frame_sample 2.70 s driver vs 0.49 s
+        # local — the gap was exactly this warmup; r6 verdict task 3).
+        # One 8x8 2-frame fixture per codec path keeps the warmup ~ms-
+        # sized while touching every kernel the real queries hit.
+        jb = multimodal.encode_jpeg(8, 8, [(99, 99, 99)] * 64, gray=True)
+        jp = multimodal.encode_jpeg(
+            8, 8, [(99, 99, 99)] * 64, gray=True, progressive=True
+        )
+        avi = multimodal.encode_avi_mjpeg(8, 8, [jb, jp], 500_000)
+        warm_rows = [
+            (i, "video" if i % 2 else "image",
+             bytearray(avi if i % 2 else jp),
+             {"format": "avi" if i % 2 else "jpeg", "width": 8, "height": 8,
+              "sample_rate": None, "duration_ms": 1000})
+            for i in range(16)
+        ]
+        # 16 one-row partitions: reused Python workers import/JIT per
+        # PROCESS, so touch several of them, not just one
+        warm = spark.createDataFrame(warm_rows, multimodal.MEDIA_SCHEMA).repartition(16)
+        multimodal.sample_frames(warm, every_ms=500).collect()
+        multimodal.extract_features(warm).collect()
 
 
 #: The round-7 driver correctness window (the harness hashes the FIRST 50

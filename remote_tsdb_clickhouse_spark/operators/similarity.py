@@ -372,7 +372,17 @@ def ivf_assignments(
     index materialization.  Output: (vid, cent_id), one row per corpus
     vector; same collected-centroid projection (zero shuffles — one
     narrow map stage over the corpus scan)."""
-    rows = cent_rows or coarse_cent_rows(emb, n_centroids, id_col, vec_col, centroids)
+    if cent_rows is not None and len(cent_rows) != n_centroids:
+        # same contract as ivf_topk: a mismatched prebuilt centroid list
+        # would silently serve different parameters than requested
+        raise ValueError(
+            f"cent_rows has {len(cent_rows)} centroids, n_centroids={n_centroids}"
+        )
+    rows = (
+        cent_rows
+        if cent_rows is not None
+        else coarse_cent_rows(emb, n_centroids, id_col, vec_col, centroids)
+    )
     corpus = _with_norm(emb, id_col, vec_col)
     return corpus.select(
         "vid",
@@ -431,7 +441,11 @@ def ivf_topk(
         raise ValueError(
             f"cent_rows has {len(cent_rows)} centroids, n_centroids={n_centroids}"
         )
-    rows = cent_rows or coarse_cent_rows(emb, n_centroids, id_col, vec_col, centroids)
+    rows = (
+        cent_rows
+        if cent_rows is not None
+        else coarse_cent_rows(emb, n_centroids, id_col, vec_col, centroids)
+    )
 
     corpus = _with_norm(emb, id_col, vec_col)
     lists = corpus.withColumn(
@@ -1003,13 +1017,17 @@ def ivf_pq_build(
         "probe_lists": probe_lists,
         "tables": tables,
         # build parameters, validated at serve time: a mismatched index
-        # must error, not silently serve different parameters
+        # must error, not silently serve different parameters.  id_col /
+        # vec_col are part of the contract too — codes were computed over
+        # THESE columns, so serving different ones is a different index
         "params": {
             "n_queries": n_queries,
             "n_centroids": n_centroids,
             "nprobe": nprobe,
             "m": m,
             "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
         },
     }
 
@@ -1066,9 +1084,18 @@ def ivf_pq_topk(
             "nprobe": nprobe,
             "m": m,
             "k": k,
+            "id_col": id_col,
+            "vec_col": vec_col,
         }
         got = index.get("params")
-        if got is not None and got != want:
+        # params are REQUIRED, not optional: an index dict without them
+        # has unknown provenance and could silently serve different
+        # parameters than requested (r7 advisor finding)
+        if got is None:
+            raise ValueError(
+                "prebuilt index lacks 'params'; build it with ivf_pq_build"
+            )
+        if got != want:
             raise ValueError(f"index built with {got}, serve requested {want}")
     idx = index or ivf_pq_build(
         emb, n_queries, n_centroids, nprobe, m, k, id_col, vec_col

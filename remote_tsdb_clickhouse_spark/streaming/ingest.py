@@ -222,6 +222,25 @@ def stateful_dedup_stream(doc_stream: DataFrame) -> DataFrame:
     ``doc_id`` ranges (the staging writer pins file order via mtime) —
     then ``n_seen_before`` equals the batch ``row_number() - 1`` over the
     full history, which is exactly what the oracle checks.
+
+    Scale shape (100 TB): state VALUE is 8 bytes, but state CARDINALITY
+    is the corpus's distinct-content count — billions of entries at
+    corpus scale, ~40-50 bytes each with the 32-hex-char key and
+    store overhead.  The deployment assumptions, stated the way the
+    dedup/ANN operators state theirs: (1) state is hash-partitioned by
+    content_hash across ``spark.sql.shuffle.partitions`` stateful
+    partitions — size that knob so per-partition state fits the
+    executor's budget (1B keys / 2000 partitions ≈ 25 MB each; the
+    content hash is uniform, so no skew salting is needed); (2) the
+    default HDFS-backed state store keeps every entry on-heap and is the
+    wrong provider past ~10M keys per executor — a continuous deployment
+    sets ``spark.sql.streaming.stateStore.providerClass`` to the RocksDB
+    provider, which spills to local disk and checkpoints incrementally,
+    making state bounded by disk, not heap; (3) each micro-batch's state
+    I/O is proportional to the BATCH's distinct hashes, not the
+    accumulated corpus — the whole point vs re-scanning the corpus per
+    cycle.  Local tests exercise the identical operator/plan on the
+    default provider; only the provider config changes at scale.
     """
     import pandas as pd
 

@@ -346,10 +346,38 @@ def test_ivf_serve_paths_match_self_built(spark):
     # mismatched shapes must error, never silently serve other parameters
     with pytest.raises(ValueError, match="cent_rows has"):
         similarity.ivf_topk(emb, queries, k=3, n_centroids=4, cent_rows=built)
+    with pytest.raises(ValueError, match="cent_rows has"):
+        similarity.ivf_assignments(emb, n_centroids=4, cent_rows=built)
     with pytest.raises(ValueError, match="index built with"):
         similarity.ivf_pq_topk(
             emb, n_queries=5, topk=3, n_centroids=8, m=4, k=8, nprobe=4, index=idx
         )
+    # column names are part of the index contract (codes were computed
+    # over them), and a params-less index has unknown provenance
+    with pytest.raises(ValueError, match="index built with"):
+        similarity.ivf_pq_topk(
+            emb.withColumnRenamed("vec_id", "other_id"),
+            n_queries=5, topk=3, n_centroids=8, m=4, k=8,
+            id_col="other_id", index=idx,
+        )
+    with pytest.raises(ValueError, match="lacks 'params'"):
+        similarity.ivf_pq_topk(
+            emb, n_queries=5, topk=3, n_centroids=8, m=4, k=8,
+            index={k2: v for k2, v in idx.items() if k2 != "params"},
+        )
+
+    # the assignment serve path must also be result-identical and treat
+    # an EMPTY cent_rows list as present (it used `or`, which silently
+    # rebuilt — r7 advisor finding)
+    asg_a = sorted(map(tuple, similarity.ivf_assignments(emb, n_centroids=8).collect()))
+    asg_b = sorted(
+        map(tuple, similarity.ivf_assignments(emb, n_centroids=8, cent_rows=built).collect())
+    )
+    assert asg_a == asg_b
+    with pytest.raises(ValueError, match="cent_rows has 0"):
+        similarity.ivf_assignments(emb, n_centroids=8, cent_rows=[])
+    with pytest.raises(ValueError, match="cent_rows has 0"):
+        similarity.ivf_topk(emb, queries, k=3, n_centroids=8, cent_rows=[])
 
 
 def test_line_dedup_drops_global_boilerplate(spark):
