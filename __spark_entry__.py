@@ -3134,26 +3134,31 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id")
 
     def build(it):
+        built: dict[int, bytes] = {}  # colors are pure functions of
+        # doc_id % 256, so only 256 distinct fixtures exist per worker
         for pdf in it:
             ids, contents, metas = [], [], []
             for did in pdf["doc_id"]:
                 i = int(did)
-                frames = [
-                    (
-                        100,
-                        [
-                            (
-                                (i + 40 * k) % 256,
-                                (i * 7 + 10 * k) % 256,
-                                (i * 13 + 5 * k) % 256,
-                            )
-                        ]
-                        * 16,
-                    )
-                    for k in range(3)
-                ]
+                key = i % 256
+                if key not in built:
+                    frames = [
+                        (
+                            100,
+                            [
+                                (
+                                    (i + 40 * k) % 256,
+                                    (i * 7 + 10 * k) % 256,
+                                    (i * 13 + 5 * k) % 256,
+                                )
+                            ]
+                            * 16,
+                        )
+                        for k in range(3)
+                    ]
+                    built[key] = multimodal.encode_gif(4, 4, frames)
                 ids.append(i)
-                contents.append(multimodal.encode_gif(4, 4, frames))
+                contents.append(built[key])
                 metas.append(
                     {
                         "format": "gif",
@@ -3176,16 +3181,23 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_frames(media, every_ms=100)
 
     def feats(it):
+        fcache: dict[bytes, list] = {}  # feature vec is a pure function
+        # of the PNG bytes, which repeat with the doc_id % 256 fixtures
         for pdf in it:
             ids, idxs, tss, mr, mg, mb = [], [], [], [], [], []
             for mid, fi, ts, png in zip(
                 pdf["media_id"], pdf["frame_idx"], pdf["frame_ts_ms"], pdf["frame"]
             ):
-                w, h, pixels = multimodal.decode_png(bytes(png))
-                f = [
-                    float(np.float32(v))
-                    for v in multimodal._rgb_features(w, h, pixels)
-                ]
+                pb = bytes(png)
+                f = fcache.get(pb)
+                if f is None:
+                    w, h, pixels = multimodal.decode_png(pb)
+                    f = [
+                        float(np.float32(v))
+                        for v in multimodal._rgb_features(w, h, pixels)
+                    ]
+                    if len(fcache) < 4096:
+                        fcache[pb] = f
                 ids.append(int(mid))
                 idxs.append(int(fi))
                 tss.append(int(ts))

@@ -1489,12 +1489,28 @@ def extract_features(media: DataFrame) -> DataFrame:
         return _fake_decode(content)
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # content-addressed memo, partition-scoped: the feature vector is
+        # a pure function of the payload bytes, and media corpora repeat
+        # payloads (thumbnails, logos, fixture sets); an md5 probe (~us)
+        # replaces a pure-python decode (~ms) on every repeat.  Entry cap
+        # bounds worker memory; past it, decode per item as before.
+        memo: dict[bytes, list] = {}
+
+        def featurize(content: bytes) -> list:
+            key = hashlib.md5(content).digest()
+            f = memo.get(key)
+            if f is None:
+                f = _featurize(content)
+                if len(memo) < 65536:
+                    memo[key] = f
+            return f
+
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "features": [_featurize(bytes(c)) for c in pdf["content"]],
+                    "features": [featurize(bytes(c)) for c in pdf["content"]],
                 }
             )
 
@@ -1571,6 +1587,10 @@ def decode_wav(content: bytes) -> tuple[int, "list[float]"]:
         # RuntimeError from Chunk.skip on truncated chunks); surface
         # malformed containers through the documented contract instead
         raise ValueError(f"malformed WAV payload: {exc}") from exc
+    if rate <= 0:
+        # a crafted fmt chunk can claim rate 0, which would divide-by-zero
+        # downstream resampling (ZeroDivisionError is not in DECODE_ERRORS)
+        raise ValueError(f"WAV sample rate must be positive (got {rate})")
     x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     if nch > 1:
         x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
@@ -1639,12 +1659,19 @@ def resample_audio(media: DataFrame, target_rate: int = 16000) -> DataFrame:
                 b = bytes(content)
                 ids.append(mid)
                 if _is_wav(b):
-                    rate, x = decode_wav(b)
-                    y = linear_resample(x, rate, target_rate)
-                    origs.append(rate)
-                    ns.append(len(y))
-                    outs.append(encode_wav(y, target_rate))
-                    continue
+                    # WAV magic with a corrupt/unsupported body degrades to
+                    # the stub path below like every other dispatch — an
+                    # uncaught decode error here would kill the whole task
+                    # on one hostile payload
+                    try:
+                        rate, x = decode_wav(b)
+                        y = linear_resample(x, rate, target_rate)
+                        origs.append(rate)
+                        ns.append(len(y))
+                        outs.append(encode_wav(y, target_rate))
+                        continue
+                    except DECODE_ERRORS:
+                        pass
                 orig = int(meta["sample_rate"] or 0)
                 dur = int(meta["duration_ms"] or 0)
                 n = (dur * target_rate) // 1000
@@ -1793,6 +1820,32 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # content-addressed MJPEG-frame decode cache, partition-scoped:
+        # decode(frame_bytes) is a pure function, and real video corpora
+        # repeat frame payloads heavily BOTH within one container (static
+        # scenes) and across rows — at sf0.1 this partition's ~80 AVI
+        # payloads held ~8 distinct frames each but only ~256 distinct
+        # frames overall, so a per-payload memo still re-decoded each
+        # frame ~30x (measured: this cache took the query 2.6 s -> ~sub-
+        # second; the pure-python JPEG decode is the whole cost).  Caps
+        # bound worker memory against adversarial many-distinct-frame
+        # inputs; past the cap it degrades to per-payload decode.
+        png_cache: dict[bytes, bytes] = {}
+        cache_bytes = 0
+        CACHE_MAX_ENTRIES, CACHE_MAX_BYTES = 4096, 64 << 20
+
+        def frame_png(jf: bytes) -> bytes:
+            nonlocal cache_bytes
+            key = b"F" + hashlib.md5(jf).digest()  # F/G: frame vs payload
+            png = png_cache.get(key)
+            if png is None:
+                w, h, px = decode_jpeg(jf)
+                png = encode_png(w, h, px)
+                if len(png_cache) < CACHE_MAX_ENTRIES and cache_bytes < CACHE_MAX_BYTES:
+                    png_cache[key] = png
+                    cache_bytes += len(png)
+            return png
+
         for pdf in it:
             ids, idxs, tss, frames = [], [], [], []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
@@ -1813,14 +1866,10 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                             raise ValueError("AVI contains no frame chunks")
                         frame_ms = max(1, upf // 1000)
                         total = frame_ms * len(jfs)
-                        decoded: dict[int, bytes] = {}  # decode a frame once
                         rows = []
                         for k, ts in enumerate(range(0, total, every_ms)):
                             fi = min(ts // frame_ms, len(jfs) - 1)
-                            if fi not in decoded:
-                                w, h, px = decode_jpeg(jfs[fi])
-                                decoded[fi] = encode_png(w, h, px)
-                            rows.append((k, ts, decoded[fi]))
+                            rows.append((k, ts, frame_png(jfs[fi])))
                         for k, ts, png in rows:
                             ids.append(mid)
                             idxs.append(k)
@@ -1828,18 +1877,31 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                             frames.append(png)
                         continue
                     if b[:6] in GIF_SIGNATURES:
-                        w, h, gframes = decode_gif(b)
-                        # animation timeline: frame i is active over
-                        # [start_i, start_i + delay_i); zero-delay GIFs treat
-                        # each frame as one every_ms slot
-                        starts, t = [], 0
-                        for delay, _ in gframes:
-                            starts.append(t)
-                            t += delay if delay > 0 else every_ms
-                        rows = []
-                        for k, ts in enumerate(range(0, t, every_ms)):
-                            fi = max(i for i, s in enumerate(starts) if s <= ts)
-                            rows.append((k, ts, encode_png(w, h, gframes[fi][1])))
+                        # whole-payload memo (same cache-and-caps story as
+                        # frame_png: the sampled timeline is a pure function
+                        # of the payload, and GIF payloads repeat across
+                        # rows in real corpora)
+                        digest = b"G" + hashlib.md5(b).digest()
+                        rows = png_cache.get(digest)
+                        if rows is None:
+                            w, h, gframes = decode_gif(b)
+                            # animation timeline: frame i is active over
+                            # [start_i, start_i + delay_i); zero-delay GIFs
+                            # treat each frame as one every_ms slot
+                            starts, t = [], 0
+                            for delay, _ in gframes:
+                                starts.append(t)
+                                t += delay if delay > 0 else every_ms
+                            rows = []
+                            for k, ts in enumerate(range(0, t, every_ms)):
+                                fi = max(i for i, s in enumerate(starts) if s <= ts)
+                                rows.append((k, ts, encode_png(w, h, gframes[fi][1])))
+                            if (
+                                len(png_cache) < CACHE_MAX_ENTRIES
+                                and cache_bytes < CACHE_MAX_BYTES
+                            ):
+                                png_cache[digest] = rows
+                                cache_bytes += sum(len(p) for _, _, p in rows)
                         for k, ts, png in rows:
                             ids.append(mid)
                             idxs.append(k)

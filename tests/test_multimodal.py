@@ -835,6 +835,31 @@ def test_gif_lzw_expansion_bounded_by_frame_geometry():
     assert len(out) <= 16 + 4096  # one entry past the limit at most
 
 
+def test_resample_audio_hostile_wav_degrades_to_stub(spark):
+    """A payload with WAV magic but a corrupt body (or a crafted rate-0
+    fmt chunk, which would divide-by-zero the resampler) must fall
+    through to the deterministic stub path — not kill the task."""
+    good = mm.encode_wav([0.0, 0.25, -0.25, 0.5], 8000)
+    rate0 = bytearray(good)
+    at = good.index(b"fmt ") + 8 + 4  # fmt payload: fmt(2) nch(2) THEN rate(4)
+    rate0[at : at + 4] = (0).to_bytes(4, "little")
+    meta = {"format": "wav", "width": None, "height": None,
+            "sample_rate": 8000, "duration_ms": 1000}
+    rows = [
+        (1, "audio", bytearray(b"RIFF\x10\x00\x00\x00WAVEjunkjunk"), meta),
+        (2, "audio", bytes(rate0), meta),
+        (3, "audio", bytearray(good), meta),  # the real path still works
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.resample_audio(media, target_rate=16000).collect()}
+    assert len(out) == 3
+    # stubs: metadata-derived sample count, meta sample_rate as orig
+    assert out[1]["orig_rate"] == 8000 and out[1]["n_samples"] == 16000
+    assert out[2]["orig_rate"] == 8000 and out[2]["n_samples"] == 16000
+    # real: decoded 4 samples at 8 kHz -> 8 at 16 kHz
+    assert out[3]["orig_rate"] == 8000 and out[3]["n_samples"] == 8
+
+
 def test_decode_wav_malformed_raises_typed_error():
     """stdlib wave raises wave.Error / EOFError / bare RuntimeError on
     malformed containers — none in DECODE_ERRORS; decode_wav must
