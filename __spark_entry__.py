@@ -2333,10 +2333,34 @@ def q_sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
+def _exact_topk_rows(spark: SparkSession, sf_dir: str) -> list:
+    """Collected exact cosine top-10 baseline (n_queries*10 = 100 rows —
+    metadata-sized by contract), memoized per session/sf like the ANN
+    index builds: every recall diagnostic compares against the SAME
+    exact baseline, so the eight recall queries share one brute-force
+    corpus scan instead of re-executing it each."""
+    per = _TRAIN_CACHE.setdefault(spark, {})
+    key = ("exact_topk_rows", sf_dir)
+    if key not in per:
+        per[key] = (
+            q_sim_topk_bruteforce(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .collect()
+        )
+    return per[key]
+
+
 def _recall_at_10(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
     """Shared recall@10 skeleton: hits of an approximate top-10 inside the
-    exact cosine top-10 per query (left join keeps zero-hit queries)."""
-    exact = q_sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    exact cosine top-10 per query (left join keeps zero-hit queries).
+    The exact side is the memoized 100-row baseline
+    (:func:`_exact_topk_rows`) as a local relation, so the join
+    broadcasts trivially and the brute-force scan runs once per
+    session, not once per recall diagnostic."""
+    exact = spark.createDataFrame(
+        [(int(r[0]), int(r[1])) for r in _exact_topk_rows(spark, sf_dir)],
+        "query_id LONG, neighbor_id LONG",
+    )
     hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (
         exact.join(hits, ["query_id", "neighbor_id"], "left")
@@ -4159,6 +4183,18 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
         exploded = base.select("doc_id", F.explode("shingles").alias("sh")).persist()
         dedup.minhash_signatures_from(exploded).persist().count()
         exploded.count()
+    elif family == "sim":
+        # the ANN family's shared builds are session-memoized: the coarse
+        # quantizer rows, the k-means-trained centroids/codebook, the
+        # IVF-PQ index, and the 100-row exact-top-10 recall baseline.
+        # Build them here so the family leader's timing measures its
+        # serving path, not the shared index builds (r7: the leader's
+        # first trial carried ~3 s of exactly these)
+        _ivf_coarse_rows(spark, sf_dir)
+        _trained_ivf_rows(spark, sf_dir)
+        _trained_pq_codebook(spark, sf_dir)
+        _ivf_pq_index(spark, sf_dir)
+        _exact_topk_rows(spark, sf_dir)
     elif family == "multimodal":
         # first use of the worker-side codec modules (zlib/wave/struct
         # imports + the numpy kernels) otherwise lands on whichever
