@@ -3600,8 +3600,12 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     # one state store per shuffle partition per batch: size to the live
     # key cardinality / core count, not the session default (same knob
-    # note as the stateful-rate query above)
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # note as the stateful-rate query above).  Measured at sf0.1 warm:
+    # 2 parts 4.2-4.8 s, 4 parts 3.0-3.5 s, 8 parts 2.1-2.8 s, 16 parts
+    # ~the same as 8 — the per-batch Arrow exchange parallelism dominates
+    # until ~8, then store-count overhead flattens the curve; 8 is the
+    # knee and matches the stateful-rate query's setting
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
             stateful_dedup_stream(stream)
