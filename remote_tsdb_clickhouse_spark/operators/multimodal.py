@@ -479,13 +479,18 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             i = 0
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 15
-                if pq:
-                    raise NotImplementedError("16-bit quant tables not supported")
                 tab = np.zeros(64, dtype=np.int32)
-                for k in range(64):
-                    tab[_JPEG_ZIGZAG[k]] = seg[i + 1 + k]
+                if pq:  # Pq=1: 16-bit big-endian table entries (T.81 B.2.4.1)
+                    for k in range(64):
+                        tab[_JPEG_ZIGZAG[k]] = int.from_bytes(
+                            seg[i + 1 + 2 * k : i + 3 + 2 * k], "big"
+                        )
+                    i += 129
+                else:
+                    for k in range(64):
+                        tab[_JPEG_ZIGZAG[k]] = seg[i + 1 + k]
+                    i += 65
                 qt[tq] = tab
-                i += 65
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
@@ -1219,9 +1224,9 @@ def decode_gif(
 ) -> tuple[int, int, list[tuple[int, list[tuple[int, int, int]]]]]:
     """REAL codec: pure-stdlib animated-GIF decode (87a/89a) — LZW
     decompression, global/local color tables, interlacing, per-frame
-    transparency, disposal methods 0/1 (draw over) and 2 (restore
-    background).  Disposal 3 (restore previous) gates to
-    NotImplementedError.
+    transparency, and all three specified disposal methods: 0/1 (draw
+    over), 2 (restore background), 3 (restore previous — the pre-frame
+    canvas snapshot returns before the next frame composites).
 
     Returns ``(width, height, frames)`` with one
     ``(delay_ms, pixels)`` entry per frame — pixels are the **composited
@@ -1271,10 +1276,6 @@ def decode_gif(
             if label == 0xF9 and content[pos + 2] == 4:  # graphic control
                 flags = content[pos + 3]
                 disposal = (flags >> 2) & 0x07
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "GIF disposal method 3 (restore previous) not supported"
-                    )
                 delay_ms = int.from_bytes(content[pos + 4 : pos + 6], "little") * 10
                 transparent = content[pos + 6] if flags & 1 else None
             pos = skip_subblocks(pos + 2)
@@ -1304,6 +1305,9 @@ def decode_gif(
                 f"GIF frame {fw}x{fh} exceeds decode cap "
                 f"({MAX_DECODE_PIXELS} pixels)"
             )
+        # disposal 3 (restore previous): the NEXT frame composites over
+        # the canvas as it was BEFORE this frame drew — snapshot it now
+        saved = list(canvas) if disposal == 3 else None
         min_code_size = content[pos]
         pos += 1
         lzw = bytearray()
@@ -1360,6 +1364,8 @@ def decode_gif(
                     cx = left + c
                     if cx < width:
                         canvas[cy * width + cx] = bg_rgb
+        elif disposal == 3:  # restore previous: pre-frame canvas returns
+            canvas = saved
         delay_ms, transparent, disposal = 0, None, 0
     if not frames:
         raise ValueError("GIF with no image frames")

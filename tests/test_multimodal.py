@@ -860,6 +860,100 @@ def test_resample_audio_hostile_wav_degrades_to_stub(spark):
     assert out[3]["orig_rate"] == 8000 and out[3]["n_samples"] == 8
 
 
+def test_jpeg_16bit_quant_tables_decode():
+    """Pq=1 DQT segments carry 16-bit big-endian entries (T.81 B.2.4.1);
+    rewriting a baseline stream's 8-bit tables into the 16-bit form with
+    the same values must decode to identical pixels."""
+    px = [((r * 11 + c * 5) % 256,) * 3 for r in range(8) for c in range(8)]
+    base = mm.encode_jpeg(8, 8, px, gray=True)
+
+    out = bytearray(base[:2])
+    pos = 2
+    while pos + 4 <= len(base):
+        marker = base[pos + 1]
+        if base[pos] != 0xFF:
+            out += base[pos:]
+            break
+        if marker == 0xD9:
+            out += base[pos:]
+            break
+        seglen = int.from_bytes(base[pos + 2 : pos + 4], "big")
+        seg = base[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            new = bytearray()
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                assert pq == 0
+                new.append(0x10 | tq)  # Pq=1
+                for k in range(64):
+                    new += int(seg[i + 1 + k]).to_bytes(2, "big")
+                i += 65
+            out += bytes([0xFF, 0xDB]) + (len(new) + 2).to_bytes(2, "big") + new
+        else:
+            out += base[pos : pos + 2 + seglen]
+        if marker == 0xDA:
+            # copy the entropy span + EOI verbatim and stop segment-walking
+            out += base[pos + 2 + seglen :]
+            break
+        pos += 2 + seglen
+    assert mm.decode_jpeg(bytes(out)) == mm.decode_jpeg(base)
+
+
+def test_gif_disposal_restore_previous():
+    """Disposal 3: the canvas state BEFORE the disposal-3 frame drew must
+    return before the next frame composites.  Frame 2 paints one pixel
+    with disposal 3; frame 3 paints a different pixel — frame 3's
+    snapshot must show frame 1's color where frame 2 painted."""
+    A, B = (10, 20, 30), (200, 100, 50)
+    depth = 2
+    clear, end = 1 << depth, (1 << depth) + 1
+
+    def lzw(indices):
+        acc, accbits, data = clear, depth + 1, bytearray()
+        for p in indices:
+            for code in (p, clear):
+                acc |= code << accbits
+                accbits += depth + 1
+                while accbits >= 8:
+                    data.append(acc & 0xFF)
+                    acc >>= 8
+                    accbits -= 8
+        acc |= end << accbits
+        accbits += depth + 1
+        while accbits > 0:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+        return bytes([len(data)]) + bytes(data) + b"\x00"
+
+    def frame(left, top, fw, fh, indices, disposal):
+        gce = bytes([0x21, 0xF9, 4, disposal << 2]) + (10).to_bytes(2, "little") + bytes([0, 0])
+        desc = (
+            bytes([0x2C])
+            + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+            + fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+            + bytes([0, depth])
+        )
+        return gce + desc + lzw(indices)
+
+    gif = (
+        b"GIF89a" + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0x80 | (depth - 1), 0, 0])
+        + bytes(A) + bytes(B) + b"\x00\x00\x00" * 2  # 4-entry GCT
+        + frame(0, 0, 2, 2, [0, 0, 0, 0], 0)  # all A
+        + frame(0, 0, 1, 1, [1], 3)  # B at (0,0), restore-previous
+        + frame(1, 1, 1, 1, [1], 0)  # B at (1,1)
+        + b"\x3b"
+    )
+    w, h, frames = mm.decode_gif(gif)
+    assert (w, h, len(frames)) == (2, 2, 3)
+    assert frames[0][1] == [A, A, A, A]
+    assert frames[1][1] == [B, A, A, A]
+    # (0,0) restored to A — a draw-over decoder would leave B there
+    assert frames[2][1] == [A, A, A, B]
+
+
 def test_decode_wav_malformed_raises_typed_error():
     """stdlib wave raises wave.Error / EOFError / bare RuntimeError on
     malformed containers — none in DECODE_ERRORS; decode_wav must
