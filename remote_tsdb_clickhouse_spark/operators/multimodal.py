@@ -178,15 +178,16 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """REAL codec: pure-stdlib PNG decode (zlib inflate + scanline
-    unfilter) for 8-bit truecolor PNGs — color type 2 (RGB) and 6 (RGBA,
-    alpha dropped) — plus **palette** PNGs (color type 3, PLTE chunk, bit
+    unfilter) for 8-bit PNGs — color types 0 (grayscale), 2 (RGB),
+    4 (gray+alpha) and 6 (RGBA); alpha is dropped, gray expands to
+    (v, v, v) — plus **palette** PNGs (color type 3, PLTE chunk, bit
     depths 1/2/4/8), non-interlaced, all five scanline filters
     (None/Sub/Up/Average/Paeth).
 
     Like :func:`decode_bmp` this keeps the real-decode path exercised
-    with no third-party dependency; grayscale/16-bit/interlaced variants
-    still want PIL and raise.  Returns ``(width, height, pixels)``
-    row-major top-to-bottom as (r, g, b) tuples.
+    with no third-party dependency; 16-bit/interlaced variants still
+    want PIL and raise.  Returns ``(width, height, pixels)`` row-major
+    top-to-bottom as (r, g, b) tuples.
     """
     import zlib
 
@@ -215,16 +216,16 @@ def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                     f"({MAX_DECODE_PIXELS} pixels)"
                 )
             bit_depth, color_type, _comp, _filt, interlace = data[8:13]
-            ok = (color_type in (2, 6) and bit_depth == 8) or (
+            ok = (color_type in (0, 2, 4, 6) and bit_depth == 8) or (
                 color_type == 3 and bit_depth in (1, 2, 4, 8)
             )
             if not ok or interlace != 0:
                 raise NotImplementedError(
-                    f"only non-interlaced 8-bit RGB(A) and 1/2/4/8-bit palette "
-                    f"PNG decode natively (depth={bit_depth}, "
+                    f"only non-interlaced 8-bit gray(A)/RGB(A) and 1/2/4/8-bit "
+                    f"palette PNG decode natively (depth={bit_depth}, "
                     f"color_type={color_type}, interlace={interlace})"
                 )
-            channels = {2: 3, 6: 4, 3: 1}[color_type]
+            channels = {0: 1, 2: 3, 4: 2, 6: 4, 3: 1}[color_type]
         elif ctype == b"PLTE":
             if clen % 3:
                 raise ValueError("PLTE length not a multiple of 3")
@@ -295,6 +296,10 @@ def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 if idx >= len(palette):
                     raise ValueError(f"palette index {idx} out of range")
                 pixels.append(palette[idx])
+        elif color_type in (0, 4):  # grayscale / gray+alpha (alpha dropped)
+            for cix in range(width):
+                v = line[cix * channels]
+                pixels.append((v, v, v))
         else:
             for cix in range(width):
                 o = cix * channels

@@ -307,15 +307,17 @@ def test_decode_png_gates():
 
     with pytest.raises(ValueError):
         mm.decode_png(b"not a png")
-    # grayscale color type (0) still needs PIL
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
-    png = (
-        mm.PNG_SIGNATURE
-        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
-    )
-    with pytest.raises(NotImplementedError):
-        mm.decode_png(png)
+    # 16-bit and interlaced variants still need PIL (8-bit grayscale now
+    # decodes natively — see test_decode_png_grayscale_and_gray_alpha)
+    for depth, ctype, interlace in ((16, 0, 0), (8, 2, 1)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
+        png = (
+            mm.PNG_SIGNATURE
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+        with pytest.raises(NotImplementedError):
+            mm.decode_png(png)
 
 
 def _make_palette_png(width, height, palette, index_rows, bit_depth, filters):
@@ -858,6 +860,40 @@ def test_resample_audio_hostile_wav_degrades_to_stub(spark):
     assert out[2]["orig_rate"] == 8000 and out[2]["n_samples"] == 16000
     # real: decoded 4 samples at 8 kHz -> 8 at 16 kHz
     assert out[3]["orig_rate"] == 8000 and out[3]["n_samples"] == 8
+
+
+def test_decode_png_grayscale_and_gray_alpha():
+    """Color types 0 and 4 decode for real: gray value expands to
+    (v, v, v), alpha drops; filters still apply per the channel count."""
+    import struct
+    import zlib
+
+    def pchunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+    vals = [10, 200, 55, 99, 0, 255]  # 3x2
+    # type 0: one byte per pixel, filter 1 (Sub) on row 2 to exercise bpp=1
+    raw0 = bytes([0, vals[0], vals[1], vals[2]]) + bytes(
+        [1, vals[3], (vals[4] - vals[3]) & 0xFF, (vals[5] - vals[4]) & 0xFF]
+    )
+    png0 = (
+        mm.PNG_SIGNATURE
+        + pchunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + pchunk(b"IDAT", zlib.compress(raw0))
+        + pchunk(b"IEND", b"")
+    )
+    assert mm.decode_png(png0) == (3, 2, [(v, v, v) for v in vals])
+    # type 4: gray+alpha pairs, alpha dropped
+    raw4 = bytes([0]) + b"".join(bytes([v, 128]) for v in vals[:3]) + bytes(
+        [0]
+    ) + b"".join(bytes([v, 7]) for v in vals[3:])
+    png4 = (
+        mm.PNG_SIGNATURE
+        + pchunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 4, 0, 0, 0))
+        + pchunk(b"IDAT", zlib.compress(raw4))
+        + pchunk(b"IEND", b"")
+    )
+    assert mm.decode_png(png4) == (3, 2, [(v, v, v) for v in vals])
 
 
 def test_jpeg_16bit_quant_tables_decode():
