@@ -4192,8 +4192,10 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
         # SAME banding + exact-verification output (a few hundred pairs);
         # persist it so the CacheManager substitutes it for their
         # plan-identical subtrees instead of re-running the banding join
-        # per consumer
+        # per consumer.  Same story for the exact n-gram Jaccard pairs
+        # (consumed by its own query AND as minhash_recall's ground truth)
         dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8).persist().count()
+        dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8).persist().count()
     elif family == "sim":
         # the ANN family's shared builds are session-memoized: the coarse
         # quantizer rows, the k-means-trained centroids/codebook, the
