@@ -2361,7 +2361,11 @@ def _recall_at_10(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFr
         [(int(r[0]), int(r[1])) for r in _exact_topk_rows(spark, sf_dir)],
         "query_id LONG, neighbor_id LONG",
     )
-    hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    # broadcast the approximate side (the preserved LEFT of the outer
+    # join cannot be the build side): both frames are ~100 rows, and the
+    # hint removes the sort-merge exchanges the RDD-backed local side
+    # otherwise forces
+    hits = F.broadcast(approx.select("query_id", "neighbor_id", F.lit(1).alias("hit")))
     return (
         exact.join(hits, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")

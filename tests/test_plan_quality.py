@@ -192,6 +192,20 @@ def test_recall_rows_join_on_composite_key(spark):
         assert "CartesianProduct" not in plan, plan
 
 
+def test_recall_exact_side_is_local_relation(spark):
+    # the r7 shared-baseline change: the exact top-10 side of every
+    # recall diagnostic is the memoized 100-row collected baseline as a
+    # driver-local relation (plans as Scan ExistingRDD), the approximate
+    # side broadcasts into the outer join, and the brute-force corpus
+    # scan (a second ranking Window) must NOT appear in the recall plan
+    for name in ["sim_lsh_recall", "sim_pq_recall", "sim_matryoshka_recall"]:
+        plan = _plan(spark, name)
+        assert "Scan ExistingRDD" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        # "Window [" matches the exec node, not WindowGroupLimit
+        assert plan.count("Window [") <= 1, plan
+
+
 def test_pq_adc_single_python_stage_then_topk(spark):
     # ADC scoring runs inside mapInPandas (ArrowEvalPython-free: mapInPandas
     # plans as MapInPandas/FlatMapGroupsInPandas nodes); the ranking window
