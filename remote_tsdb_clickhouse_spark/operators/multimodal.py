@@ -55,11 +55,15 @@ DECODE_ERRORS = (ValueError, NotImplementedError, IndexError, struct.error)
 #: allocation whose MemoryError is NOT in DECODE_ERRORS, so on a real
 #: executor it is an OOM kill, not a caught degrade (r7 advisor finding).
 #: Decoders validate declared pixel counts against this cap right after
-#: header parse and raise ValueError past it.  16 Mpixel covers every
-#: fixture and any plausible thumbnail/frame while bounding the worst
-#: per-payload allocation to tens of MB; real >16 MP assets belong on the
-#: PIL path, not the pure-python codec.
-MAX_DECODE_PIXELS = 1 << 24
+#: header parse and raise ValueError past it.  The cap bounds CPU as
+#: well as memory: decode WORK scales with the declared pixel count even
+#: when the payload is tiny (a bit-flipped SOF claiming 4000x4000 drives
+#: ~250k block iterations off a 200-byte body — found by the bit-flip
+#: fuzz), so the cap is sized to what a pure-python codec can decode in
+#: ~a second.  256 Kpixel (512x512) covers every fixture and any
+#: plausible thumbnail/frame; larger assets belong on the PIL path, not
+#: the pure-python codec.
+MAX_DECODE_PIXELS = 1 << 18
 
 try:  # real image codec, absent in this environment
     from PIL import Image  # noqa: F401
@@ -1353,7 +1357,7 @@ def decode_gif(
         # each frame snapshot copies the canvas; cap CUMULATIVE emitted
         # pixels so a long hostile frame chain over a large screen can't
         # multiply the per-canvas bound away (256 full-canvas frames at
-        # 256x256 still fit — far beyond any fixture)
+        # 64x64 still fit — far beyond any fixture)
         if (len(frames) + 1) * width * height > MAX_DECODE_PIXELS:
             raise ValueError(
                 f"GIF frame count {len(frames) + 1} at {width}x{height} "

@@ -642,6 +642,72 @@ def test_decoders_reject_hostile_bytes_with_typed_errors():
     check()
 
 
+def test_decoders_survive_bitflips_on_valid_payloads():
+    """Structured fuzz, stronger than magic+noise: corrupt REAL payloads
+    by flipping bytes at hypothesis-chosen positions, so the parsers get
+    deep into their structure before hitting the mutation.  Every
+    decoder must either decode or raise the documented DECODE_ERRORS —
+    this is the contract that keeps one hostile payload from killing a
+    Spark task (the r6 RecursionError and r7 zlib/wave/KeyError escapes
+    were all exactly this class)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    px = [((r * 7 + c * 3) % 256,) * 3 for r in range(8) for c in range(8)]
+    jb = mm.encode_jpeg(8, 8, px, gray=True)
+    jp = mm.encode_jpeg(8, 8, px, gray=True, progressive=True)
+    fixtures = [
+        (mm.decode_bmp, _valid_bmp()),
+        (mm.decode_png, mm.encode_png(8, 8, px)),
+        (mm.decode_jpeg, jb),
+        (mm.decode_jpeg, jp),
+        (mm.decode_gif, mm.encode_gif(4, 4, [(100, [(1, 2, 3)] * 16), (50, [(9, 9, 9)] * 16)])),
+        (mm.decode_avi, mm.encode_avi_mjpeg(8, 8, [jb, jp], 500_000)),
+        (mm.decode_wav, mm.encode_wav([0.1, -0.2, 0.3, 0.0] * 8, 8000)),
+    ]
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        fi=st.integers(min_value=0, max_value=len(fixtures) - 1),
+        flips=st.lists(
+            st.tuples(st.integers(min_value=0, max_value=10_000), st.integers(1, 255)),
+            min_size=1,
+            max_size=4,
+        ),
+    )
+    def check(fi, flips):
+        dec, payload = fixtures[fi]
+        buf = bytearray(payload)
+        for pos, x in flips:
+            buf[pos % len(buf)] ^= x
+        try:
+            dec(bytes(buf))
+        except mm.DECODE_ERRORS:
+            pass
+
+    check()
+
+
+def _valid_bmp() -> bytes:
+    import struct
+
+    width = height = 4
+    stride = (width * 3 + 3) & ~3
+    pix = bytearray()
+    for r in range(height):
+        row = bytearray()
+        for c in range(width):
+            row += bytes([(r * 40) % 256, (c * 60) % 256, 128])
+        row += b"\x00" * (stride - len(row))
+        pix += row
+    off = 54
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 0, 0, 0, 0)
+        + bytes(pix)
+    )
+
+
 def test_sample_frames_corrupt_container_degrades_to_stub(spark):
     """A payload with AVI (or GIF) magic but a corrupt body must fall
     through to the stub duration-driven schedule — no task failure, no
