@@ -182,14 +182,16 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     """REAL codec: pure-stdlib PNG decode (zlib inflate + scanline
-    unfilter) for 8-bit PNGs — color types 0 (grayscale), 2 (RGB),
-    4 (gray+alpha) and 6 (RGBA); alpha is dropped, gray expands to
-    (v, v, v) — plus **palette** PNGs (color type 3, PLTE chunk, bit
-    depths 1/2/4/8), non-interlaced, all five scanline filters
-    (None/Sub/Up/Average/Paeth).
+    unfilter) for 8- and 16-bit PNGs — color types 0 (grayscale),
+    2 (RGB), 4 (gray+alpha) and 6 (RGBA); alpha is dropped, gray
+    expands to (v, v, v), 16-bit samples reduce to their high byte (the
+    standard fast 16→8 path) — plus **palette** PNGs (color type 3,
+    PLTE chunk, bit depths 1/2/4/8), all five scanline filters
+    (None/Sub/Up/Average/Paeth), and **Adam7 interlacing** (each pass
+    an independently filtered sub-image scattered onto the pixel grid).
 
     Like :func:`decode_bmp` this keeps the real-decode path exercised
-    with no third-party dependency; 16-bit/interlaced variants still
+    with no third-party dependency; sub-byte grayscale depths still
     want PIL and raise.  Returns ``(width, height, pixels)`` row-major
     top-to-bottom as (r, g, b) tuples.
     """
@@ -220,13 +222,13 @@ def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                     f"({MAX_DECODE_PIXELS} pixels)"
                 )
             bit_depth, color_type, _comp, _filt, interlace = data[8:13]
-            ok = (color_type in (0, 2, 4, 6) and bit_depth == 8) or (
+            ok = (color_type in (0, 2, 4, 6) and bit_depth in (8, 16)) or (
                 color_type == 3 and bit_depth in (1, 2, 4, 8)
             )
-            if not ok or interlace != 0:
+            if not ok or interlace > 1:
                 raise NotImplementedError(
-                    f"only non-interlaced 8-bit gray(A)/RGB(A) and 1/2/4/8-bit "
-                    f"palette PNG decode natively (depth={bit_depth}, "
+                    f"only 8/16-bit gray(A)/RGB(A) and 1/2/4/8-bit palette "
+                    f"PNG decode natively (depth={bit_depth}, "
                     f"color_type={color_type}, interlace={interlace})"
                 )
             channels = {0: 1, 2: 3, 4: 2, 6: 4, 3: 1}[color_type]
@@ -246,15 +248,96 @@ def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     if color_type == 3 and not palette:
         raise ValueError("palette PNG without PLTE chunk")
     # filter unit is one byte for sub-byte palette depths (PNG spec: bpp is
-    # rounded up to at least one byte)
+    # the FILTER byte distance — whole bytes per pixel, min 1)
     bpp = max(1, channels * bit_depth // 8)
-    stride = (width * channels * bit_depth + 7) // 8
+    # 16-bit samples are 2 bytes big-endian; emitting the high byte is the
+    # standard fast 16->8 reduction
+    sw = 2 if bit_depth == 16 else 1
+
+    def sub_image(raw: bytes, off: int, w_px: int, h_px: int):
+        """Unfilter ``h_px`` scanlines of ``w_px`` pixels starting at
+        ``raw[off]`` (one filter byte + stride bytes per line; filters
+        reference only lines within this sub-image, which is what makes
+        Adam7 passes independently decodable).  Returns
+        ``(rows_of_rgb_tuples, bytes_consumed)``."""
+        stride = (w_px * channels * bit_depth + 7) // 8
+        need = h_px * (stride + 1)
+        if off + need > len(raw):
+            raise ValueError("truncated PNG scanline data")
+        prev = bytearray(stride)
+        rows: list[list[tuple[int, int, int]]] = []
+        for r in range(h_px):
+            base = off + r * (stride + 1)
+            ftype = raw[base]
+            line = bytearray(raw[base + 1 : base + 1 + stride])
+            if ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            row: list[tuple[int, int, int]] = []
+            if color_type == 3:
+                per_byte = 8 // bit_depth
+                mask = (1 << bit_depth) - 1
+                for cix in range(w_px):
+                    byte = line[cix // per_byte]
+                    shift = 8 - bit_depth * (cix % per_byte + 1)
+                    idx = (byte >> shift) & mask
+                    if idx >= len(palette):
+                        raise ValueError(f"palette index {idx} out of range")
+                    row.append(palette[idx])
+            elif color_type in (0, 4):  # grayscale / gray+alpha (alpha dropped)
+                for cix in range(w_px):
+                    v = line[cix * channels * sw]
+                    row.append((v, v, v))
+            else:
+                for cix in range(w_px):
+                    o = cix * channels * sw
+                    row.append((line[o], line[o + sw], line[o + 2 * sw]))
+            rows.append(row)
+            prev = line
+        return rows, need
+
+    #: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+    adam7 = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    if interlace:
+        passes = []
+        for x0, y0, dx, dy in adam7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, dx, dy, pw, ph))
+        expected = sum(
+            ((pw * channels * bit_depth + 7) // 8 + 1) * ph
+            for _, _, _, _, pw, ph in passes
+        )
+    else:
+        stride = (width * channels * bit_depth + 7) // 8
+        expected = (stride + 1) * height
     # bounded inflate: the scanline geometry tells us exactly how many
     # bytes a legitimate stream expands to, so never inflate past it — an
     # unbounded zlib.decompress of a crafted IDAT (deflate expands up to
     # ~1000:1) would be a multi-GB allocation whose MemoryError escapes
     # DECODE_ERRORS (same class as the SOF cap above)
-    expected = (stride + 1) * height
     try:
         raw = zlib.decompressobj().decompress(bytes(idat), expected)
     except zlib.error as exc:
@@ -263,53 +346,21 @@ def decode_png(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     if len(raw) < expected:
         raise ValueError("truncated PNG scanline data")
-    prev = bytearray(stride)
-    pixels: list[tuple[int, int, int]] = []
-    for r in range(height):
-        base = r * (stride + 1)
-        ftype = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                c = prev[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        if color_type == 3:
-            per_byte = 8 // bit_depth
-            mask = (1 << bit_depth) - 1
-            for cix in range(width):
-                byte = line[cix // per_byte]
-                shift = 8 - bit_depth * (cix % per_byte + 1)
-                idx = (byte >> shift) & mask
-                if idx >= len(palette):
-                    raise ValueError(f"palette index {idx} out of range")
-                pixels.append(palette[idx])
-        elif color_type in (0, 4):  # grayscale / gray+alpha (alpha dropped)
-            for cix in range(width):
-                v = line[cix * channels]
-                pixels.append((v, v, v))
-        else:
-            for cix in range(width):
-                o = cix * channels
-                pixels.append((line[o], line[o + 1], line[o + 2]))
-        prev = line
-    return width, height, pixels
+    if not interlace:
+        rows, _ = sub_image(raw, 0, width, height)
+        return width, height, [px for row in rows for px in row]
+    grid: list[list[tuple[int, int, int]]] = [
+        [(0, 0, 0)] * width for _ in range(height)
+    ]
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        rows, used = sub_image(raw, off, pw, ph)
+        off += used
+        for ry, row in enumerate(rows):
+            y = y0 + ry * dy
+            for rx, px in enumerate(row):
+                grid[y][x0 + rx * dx] = px
+    return width, height, [px for row in grid for px in row]
 
 
 def encode_png(width: int, height: int, pixels: list[tuple[int, int, int]]) -> bytes:

@@ -307,9 +307,9 @@ def test_decode_png_gates():
 
     with pytest.raises(ValueError):
         mm.decode_png(b"not a png")
-    # 16-bit and interlaced variants still need PIL (8-bit grayscale now
-    # decodes natively — see test_decode_png_grayscale_and_gray_alpha)
-    for depth, ctype, interlace in ((16, 0, 0), (8, 2, 1)):
+    # sub-byte grayscale and out-of-spec interlace methods still gate
+    # (8/16-bit gray(A)/RGB(A) and Adam7 now decode natively)
+    for depth, ctype, interlace in ((4, 0, 0), (8, 2, 2)):
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, interlace)
         png = (
             mm.PNG_SIGNATURE
@@ -960,6 +960,81 @@ def test_decode_png_grayscale_and_gray_alpha():
         + pchunk(b"IEND", b"")
     )
     assert mm.decode_png(png4) == (3, 2, [(v, v, v) for v in vals])
+
+
+def _pchunk(t, d):
+    import struct
+    import zlib
+
+    return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+
+def test_decode_png_16bit_samples():
+    """16-bit samples (2 bytes big-endian) reduce to their high byte; the
+    low byte is junk on purpose so an offset error shows immediately."""
+    import struct
+    import zlib
+
+    vals = [(10, 60, 200), (255, 0, 128), (1, 2, 3), (77, 88, 99)]  # 2x2 RGB
+    raw = bytearray()
+    for r in range(2):
+        raw.append(0)
+        for c in range(2):
+            for ch in vals[r * 2 + c]:
+                raw += bytes([ch, 0xAB])  # high byte = value, low = junk
+    png = (
+        mm.PNG_SIGNATURE
+        + _pchunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + _pchunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _pchunk(b"IEND", b"")
+    )
+    assert mm.decode_png(png) == (2, 2, vals)
+    # 16-bit grayscale too
+    graw = bytearray()
+    for r in range(2):
+        graw.append(0)
+        for c in range(2):
+            graw += bytes([vals[r * 2 + c][0], 0xCD])
+    gpng = (
+        mm.PNG_SIGNATURE
+        + _pchunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        + _pchunk(b"IDAT", zlib.compress(bytes(graw)))
+        + _pchunk(b"IEND", b"")
+    )
+    assert mm.decode_png(gpng) == (2, 2, [(v[0],) * 3 for v in vals])
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7: seven independently-filtered passes scatter onto the pixel
+    grid.  Build a 5x5 RGB image, serialize it pass-by-pass (filter 0),
+    decode, and require the original raster back — any pass-geometry or
+    scatter-offset error scrambles pixels."""
+    import struct
+    import zlib
+
+    w = h = 5
+    img = [[(x * 40 % 256, y * 50 % 256, (x * y * 7) % 256) for x in range(w)] for y in range(h)]
+    adam7 = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in adam7:
+        ys = list(range(y0, h, dy))
+        xs = list(range(x0, w, dx))
+        if not ys or not xs:
+            continue
+        for y in ys:
+            raw.append(0)  # filter None per pass scanline
+            for x in xs:
+                raw += bytes(img[y][x])
+    png = (
+        mm.PNG_SIGNATURE
+        + _pchunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + _pchunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _pchunk(b"IEND", b"")
+    )
+    assert mm.decode_png(png) == (w, h, [px for row in img for px in row])
 
 
 def test_jpeg_16bit_quant_tables_decode():
