@@ -137,7 +137,9 @@ def decode_image(content: bytes):  # pragma: no cover - requires PIL
 
 
 def decode_bmp(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
-    """REAL codec: pure-Python uncompressed 24/32-bit BMP decode.
+    """REAL codec: pure-Python uncompressed BMP decode — 24/32-bit
+    truecolor plus **8-bit palette** (BITMAPINFOHEADER color table,
+    BGRA-quad entries, biClrUsed-or-256 entries).
 
     No third-party dependency, so the real-decode path through the Arrow
     batch plumbing is exercised even in this environment (PIL absent).
@@ -148,11 +150,12 @@ def decode_bmp(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     if len(content) < 54 or content[:2] != b"BM":
         raise ValueError("not a BMP payload")
     pixel_off = int.from_bytes(content[10:14], "little")
+    hdr_size = int.from_bytes(content[14:18], "little")
     width = int.from_bytes(content[18:22], "little", signed=True)
     height_raw = int.from_bytes(content[22:26], "little", signed=True)
     bpp = int.from_bytes(content[28:30], "little")
     compression = int.from_bytes(content[30:34], "little")
-    if compression != 0 or bpp not in (24, 32):
+    if compression != 0 or bpp not in (8, 24, 32):
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
     # width is signed in the header; a negative width would make the stride
     # negative and let the truncation check pass vacuously
@@ -160,6 +163,16 @@ def decode_bmp(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         raise ValueError(f"invalid BMP dimensions ({width}x{height_raw})")
     height = abs(height_raw)
     top_down = height_raw < 0
+    palette: list[tuple[int, int, int]] = []
+    if bpp == 8:
+        n_colors = int.from_bytes(content[46:50], "little") or 256  # biClrUsed
+        tbl = 14 + hdr_size  # color table follows the info header
+        if tbl + 4 * n_colors > len(content):
+            raise ValueError("truncated BMP color table")
+        palette = [
+            (content[tbl + 4 * i + 2], content[tbl + 4 * i + 1], content[tbl + 4 * i])
+            for i in range(n_colors)
+        ]
     nbytes = bpp // 8
     stride = ((width * nbytes) + 3) & ~3
     if pixel_off + stride * height > len(content):
@@ -171,8 +184,14 @@ def decode_bmp(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         row = []
         for c in range(width):
             px = base + c * nbytes
-            b, g, rr = content[px], content[px + 1], content[px + 2]
-            row.append((rr, g, b))
+            if bpp == 8:
+                idx = content[px]
+                if idx >= len(palette):
+                    raise ValueError(f"BMP palette index {idx} out of range")
+                row.append(palette[idx])
+            else:
+                b, g, rr = content[px], content[px + 1], content[px + 2]
+                row.append((rr, g, b))
         rows.append(row)
     return width, height, [px for row in rows for px in row]
 
@@ -1621,7 +1640,8 @@ RESAMPLED_SCHEMA = (
 
 
 def decode_wav(content: bytes) -> tuple[int, "list[float]"]:
-    """REAL codec: stdlib ``wave`` decode of 16-bit PCM WAV.
+    """REAL codec: stdlib ``wave`` decode of integer PCM WAV — 8-bit
+    unsigned, 16/24/32-bit signed little-endian.
 
     Returns ``(sample_rate, mono_samples)`` with samples as floats in
     [-1, 1); multi-channel input is mixed to mono (mean across channels,
@@ -1639,9 +1659,10 @@ def decode_wav(content: bytes) -> tuple[int, "list[float]"]:
         with wave.open(io.BytesIO(content), "rb") as w:
             if w.getcomptype() != "NONE":
                 raise NotImplementedError(f"compressed WAV ({w.getcomptype()}) needs soundfile")
-            if w.getsampwidth() != 2:
+            sw = w.getsampwidth()
+            if sw not in (1, 2, 3, 4):
                 raise NotImplementedError(
-                    f"only 16-bit PCM WAV decodes natively (got {8 * w.getsampwidth()}-bit)"
+                    f"only 8/16/24/32-bit PCM WAV decodes natively (got {8 * sw}-bit)"
                 )
             rate = w.getframerate()
             nch = w.getnchannels()
@@ -1657,7 +1678,18 @@ def decode_wav(content: bytes) -> tuple[int, "list[float]"]:
         # a crafted fmt chunk can claim rate 0, which would divide-by-zero
         # downstream resampling (ZeroDivisionError is not in DECODE_ERRORS)
         raise ValueError(f"WAV sample rate must be positive (got {rate})")
-    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if sw == 1:  # 8-bit PCM is UNSIGNED with a 128 midpoint (WAV spec)
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 3:  # 24-bit little-endian: assemble and sign-extend
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    else:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
     if nch > 1:
         x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
     return rate, x

@@ -175,21 +175,69 @@ def test_wav_roundtrip_and_linear_resample():
 
 
 def test_wav_gates():
+    import struct
     import pytest
 
     with pytest.raises(Exception):  # not a WAV at all
         mm.decode_wav(b"RIFFxxxxWAVE")
+    # 40-bit PCM is out of spec and must gate
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 5, 5, 40)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
+    exotic = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="PCM WAV"):
+        mm.decode_wav(exotic)
+
+
+def test_wav_sample_widths_decode():
+    """8-bit unsigned, 24-bit and 32-bit signed PCM all decode to the
+    same normalized floats 16-bit does."""
     import io
+    import struct
     import wave
 
-    buf = io.BytesIO()
-    with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(1)  # 8-bit
-        w.setframerate(8000)
-        w.writeframes(b"\x80" * 100)
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        mm.decode_wav(buf.getvalue())
+    def build(sampwidth, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(sampwidth)
+            w.setframerate(8000)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    # 8-bit unsigned: 128 = 0.0, 0 = -1.0, 255 = +0.9921875
+    rate, x = mm.decode_wav(build(1, bytes([128, 0, 255])))
+    assert rate == 8000 and list(x) == [0.0, -1.0, 127 / 128]
+    # 24-bit signed LE incl. negative sign extension
+    v24 = (1 << 22, -(1 << 22), -1)
+    frames24 = b"".join(struct.pack("<i", v)[:3] for v in v24)
+    rate, x = mm.decode_wav(build(3, frames24))
+    assert rate == 8000 and list(x) == [0.5, -0.5, -1 / (1 << 23)]
+    # 32-bit signed: 2^30 / 2^31 = 0.5
+    v32 = (1 << 30, -(1 << 30))
+    rate, x = mm.decode_wav(build(4, b"".join(struct.pack("<i", v) for v in v32)))
+    assert rate == 8000 and list(x) == [0.5, -0.5]
+
+
+def test_decode_bmp_8bit_palette():
+    """8-bit palette BMPs decode through the BGRA color table; stride
+    padding and bottom-up row order still apply."""
+    import struct
+
+    palette = [(250, 10, 20), (1, 2, 3), (200, 150, 100)]
+    w, h = 3, 2
+    idx = [[0, 1, 2], [2, 2, 0]]  # top-to-bottom
+    stride = (w + 3) & ~3
+    pix = bytearray()
+    for row in reversed(idx):  # bottom-up storage
+        pix += bytes(row) + b"\x00" * (stride - w)
+    tbl = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    off = 54 + len(tbl)
+    bmp = (
+        b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pix), 0, 0, len(palette), 0)
+        + tbl + bytes(pix)
+    )
+    assert mm.decode_bmp(bmp) == (w, h, [palette[i] for row in idx for i in row])
 
 
 def test_resample_audio_real_wav_path(spark):
