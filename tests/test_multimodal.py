@@ -701,17 +701,59 @@ def test_decoders_survive_bitflips_on_valid_payloads():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
+    import io
+    import struct
+    import wave
+    import zlib
+
     px = [((r * 7 + c * 3) % 256,) * 3 for r in range(8) for c in range(8)]
     jb = mm.encode_jpeg(8, 8, px, gray=True)
     jp = mm.encode_jpeg(8, 8, px, gray=True, progressive=True)
+    # 16-bit Adam7-interlaced PNG and an 8-bit-palette BMP exercise the
+    # newest parser paths under mutation too
+    raw16 = bytearray()
+    for r in range(4):
+        raw16.append(0)
+        raw16 += bytes(v for c in range(4) for ch in px[r * 4 + c] for v in (ch, 0x55))
+    png16 = (
+        mm.PNG_SIGNATURE
+        + _pchunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+        + _pchunk(b"IDAT", zlib.compress(bytes(raw16)))
+        + _pchunk(b"IEND", b"")
+    )
+    adam = bytearray()
+    for x0, y0, dx, dy in [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]:
+        ys, xs = list(range(y0, 5, dy)), list(range(x0, 5, dx))
+        for y in ys:
+            adam.append(0)
+            for x in xs:
+                adam += bytes(px[(y * 5 + x) % 64])
+    png_i = (
+        mm.PNG_SIGNATURE
+        + _pchunk(b"IHDR", struct.pack(">IIBBBBB", 5, 5, 8, 2, 0, 0, 1))
+        + _pchunk(b"IDAT", zlib.compress(bytes(adam)))
+        + _pchunk(b"IEND", b"")
+    )
+    wbuf = io.BytesIO()
+    with wave.open(wbuf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(3)
+        wv.setframerate(8000)
+        wv.writeframes(b"".join(struct.pack("<i", v << 8)[:3] for v in range(-16, 16)))
     fixtures = [
         (mm.decode_bmp, _valid_bmp()),
         (mm.decode_png, mm.encode_png(8, 8, px)),
+        (mm.decode_png, png16),
+        (mm.decode_png, png_i),
         (mm.decode_jpeg, jb),
         (mm.decode_jpeg, jp),
         (mm.decode_gif, mm.encode_gif(4, 4, [(100, [(1, 2, 3)] * 16), (50, [(9, 9, 9)] * 16)])),
         (mm.decode_avi, mm.encode_avi_mjpeg(8, 8, [jb, jp], 500_000)),
         (mm.decode_wav, mm.encode_wav([0.1, -0.2, 0.3, 0.0] * 8, 8000)),
+        (mm.decode_wav, wbuf.getvalue()),
     ]
 
     @settings(max_examples=60, deadline=None)
