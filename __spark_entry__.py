@@ -70,6 +70,7 @@ from remote_tsdb_clickhouse_spark.plans.read_plan import (
     read_query_grouped,
 )
 from remote_tsdb_clickhouse_spark.session import ensure_query_confs
+from remote_tsdb_clickhouse_spark.util import spread
 from remote_tsdb_clickhouse_spark.sources.events import SAMPLES_ORACLE_CTE, events_to_samples
 
 from remote_tsdb_clickhouse_spark import codec, prompb
@@ -1014,7 +1015,11 @@ def q_customers_lapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
-    l = _tbl(spark, sf_dir, "lineitem")
+    # spread: the testdata lineitem is ONE parquet row group, so without
+    # it the entire 8-way decimal aggregation runs on one core (parquet
+    # cannot split below a row group; measured 1.9 s -> 1.25 s).  At
+    # scale, files have many row groups and spread() is a no-op probe.
+    l = spread(_tbl(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     # Sums go through DECIMAL(30,6): the per-row cast is engine-agnostic and
