@@ -2208,12 +2208,26 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH pair graph, memoized per
+    session/sf like the ANN index builds: the iterative min-label rounds
+    end in a ``localCheckpoint``, so the returned frame is a stable
+    materialized artifact — the shared build consumed by both the group
+    assignment and the cluster-size report (each used to re-run the
+    full propagation)."""
+    per = _TRAIN_CACHE.setdefault(spark, {})
+    key = ("dedup_components", sf_dir)
+    if key not in per:
+        pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+        per[key] = dedup.connected_components(pairs)
+    return per[key]
+
+
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup group assignment: connected components (iterative min-label
     propagation) over the MinHash-LSH pair graph; oracled against a DuckDB
     recursive-CTE transitive closure."""
-    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
-    return dedup.connected_components(pairs)
+    return _dedup_components(spark, sf_dir)
 
 
 def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2264,8 +2278,7 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the component output (group-size count, then size histogram);
     oracled against the recursive-CTE transitive closure like
     dedup_groups."""
-    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
-    comp = dedup.connected_components(pairs)
+    comp = _dedup_components(spark, sf_dir)
     sizes = comp.groupBy("group_id").agg(F.count("*").alias("cluster_size"))
     return (
         sizes.groupBy("cluster_size")
@@ -4270,20 +4283,20 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
 #: r4-verified text/dataset/events entries).
 #:
 #: Staleness ledger AFTER this round (r8 planning): the only rows older
-#: than r5 are 35 r4 rows — the 12-slot fill below leaves tsdb_increase,
-#: tsdb_resets_changes, tsdb_range_agg, tsdb_moving_avg,
-#: text_decontaminate, dataset_dedup_apply, dataset_length_histogram,
-#: top_customers_per_segment, events_sessionize, events_asof_click
-#: un-rotated, plus events_window_agg, sim_topk_bruteforce,
-#: text_pipeline, events_funnel, text_langid, text_quality, text_tokens,
-#: text_fingerprint, text_tfidf_keywords, text_repetition,
-#: dataset_sample, doc_packing, q6_revenue_delta, dedup_embedding_cosine,
-#: dedup_embedding_cosine_lsh, dedup_exact, dedup_ngram_jaccard,
-#: dedup_minhash_lsh, dedup_groups, dedup_incremental,
-#: streaming_stateful_rate, dataset_mixture_sample, emb_quantize_int8,
-#: tsdb_rollup_serve, dedup_bloom — queue them first for r8 (note the
-#: dedup shingle-chain members must keep their relative order:
-#: exact/embedding before the ngram→minhash→groups→incremental chain).
+#: than r5 are 37 r4 rows — the 10-slot fill below leaves tsdb_irate,
+#: tsdb_delta, tsdb_increase, tsdb_resets_changes, tsdb_range_agg,
+#: tsdb_moving_avg, text_decontaminate, dataset_dedup_apply,
+#: dataset_length_histogram, top_customers_per_segment,
+#: events_sessionize, events_asof_click un-rotated, plus
+#: events_window_agg, sim_topk_bruteforce, text_pipeline, events_funnel,
+#: text_langid, text_quality, text_tokens, text_fingerprint,
+#: text_tfidf_keywords, text_repetition, dataset_sample, doc_packing,
+#: q6_revenue_delta, dedup_embedding_cosine, dedup_embedding_cosine_lsh,
+#: dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
+#: dedup_incremental, streaming_stateful_rate, dataset_mixture_sample,
+#: emb_quantize_int8, tsdb_rollup_serve, dedup_bloom — queue them first
+#: for r8 (note the dedup shingle-chain members must keep their relative
+#: order: exact/embedding before the ngram→minhash→incremental chain).
 _R7_WINDOW = [
     # r3 rows under the r6-memoized load path (verdict r6 task 1)
     "q1_pricing_summary", "q3_shipping_priority",
@@ -4308,12 +4321,13 @@ _R7_WINDOW = [
     "streaming_dedup", "sim_pq_recall", "sim_pq_trained_recall",
     "sim_pq_opq_recall", "sim_lsh_recall", "sim_lsh_multiprobe_recall",
     "sim_ivf_recall", "sim_ivf_trained_recall", "sim_matryoshka_recall",
-    # oldest-r4-first fill (12 slots; the rest queue for r8, see ledger)
+    # r7-touched late: the shared component build under groups/stats
+    "dedup_groups", "dedup_cluster_stats",
+    # oldest-r4-first fill (10 slots; the rest queue for r8, see ledger)
     "tsdb_read_eq", "tsdb_read_name_regex", "tsdb_read_nre",
     "tsdb_label_regex", "tsdb_downsample_30s",
     "tsdb_downsample_range_clamp", "tsdb_series_assembly",
     "tsdb_ignore_label", "tsdb_rate", "tsdb_label_project",
-    "tsdb_irate", "tsdb_delta",
 ]
 assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
 
