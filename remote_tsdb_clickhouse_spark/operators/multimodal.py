@@ -1917,6 +1917,16 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """
     import pandas as pd
 
+    # Schedule-size guard: the emitted row count derives from
+    # attacker-influenceable timeline fields (AVI dwMicroSecPerFrame,
+    # GIF delays, meta.duration_ms), so a crafted container or metadata
+    # row can demand millions of schedule rows off a tiny payload — an
+    # allocation DoS in the exploded output, same class as
+    # MAX_DECODE_PIXELS.  Real containers degrade to the stub path past
+    # the cap; the stub itself truncates (a legit 10-hour video at
+    # 500 ms sampling is ~72k rows, comfortably under it).
+    MAX_SAMPLED_FRAMES = 100_000
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # content-addressed MJPEG-frame decode cache, partition-scoped:
         # decode(frame_bytes) is a pure function, and real video corpora
@@ -1964,6 +1974,11 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                             raise ValueError("AVI contains no frame chunks")
                         frame_ms = max(1, upf // 1000)
                         total = frame_ms * len(jfs)
+                        if total // every_ms > MAX_SAMPLED_FRAMES:
+                            raise ValueError(
+                                f"AVI timeline demands {total // every_ms} "
+                                f"sampled frames (cap {MAX_SAMPLED_FRAMES})"
+                            )
                         rows = []
                         for k, ts in enumerate(range(0, total, every_ms)):
                             fi = min(ts // frame_ms, len(jfs) - 1)
@@ -1990,6 +2005,11 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                             for delay, _ in gframes:
                                 starts.append(t)
                                 t += delay if delay > 0 else every_ms
+                            if t // every_ms > MAX_SAMPLED_FRAMES:
+                                raise ValueError(
+                                    f"GIF timeline demands {t // every_ms} "
+                                    f"sampled frames (cap {MAX_SAMPLED_FRAMES})"
+                                )
                             rows = []
                             for k, ts in enumerate(range(0, t, every_ms)):
                                 fi = max(i for i, s in enumerate(starts) if s <= ts)
@@ -2008,7 +2028,9 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                         continue
                 except DECODE_ERRORS:
                     pass
-                duration = int(meta["duration_ms"] or 0)
+                # metadata is only semi-trusted: truncate rather than raise
+                # (there is no further fallback below the stub)
+                duration = min(int(meta["duration_ms"] or 0), every_ms * MAX_SAMPLED_FRAMES)
                 for k, ts in enumerate(range(0, duration, every_ms)):
                     ids.append(mid)
                     idxs.append(k)

@@ -879,6 +879,30 @@ def test_sample_frames_frameless_avi_degrades_to_stub(spark):
     ]
 
 
+def test_sample_frames_timeline_caps(spark):
+    """A crafted dwMicroSecPerFrame (or huge duration metadata) demands
+    millions of schedule rows off a tiny payload; real containers past
+    the cap degrade to the stub path, and the stub truncates."""
+    jpg = mm.encode_jpeg(8, 8, [(5, 5, 5)] * 64, gray=True)
+    # 50 frames at dwMicroSecPerFrame=0xFFFFFFFF -> ~2.1e8 ms timeline
+    # -> ~537k sampled rows demanded at 400 ms
+    hostile = mm.encode_avi_mjpeg(8, 8, [jpg] * 50, usec_per_frame=0xFFFFFFFF)
+    meta = {"format": "avi", "width": 8, "height": 8,
+            "sample_rate": None, "duration_ms": 900}
+    big_meta = dict(meta, duration_ms=1 << 60)
+    rows = [
+        (1, "video", bytearray(hostile), meta),
+        (2, "video", bytearray(b"nota video"), big_meta),  # stub, huge meta
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.sample_frames(media, every_ms=400).groupBy("media_id").count().collect()
+    counts = {r["media_id"]: r["count"] for r in out}
+    # hostile AVI fell through to the stub schedule (900 ms / 400)
+    assert counts[1] == 3
+    # stub truncated at the cap rather than exploding
+    assert counts[2] == 100_000
+
+
 def test_hostile_header_allocation_caps():
     """Every decoder sizes stores from attacker-controlled header fields;
     forged giant headers must raise ValueError at header parse — BEFORE
