@@ -4297,6 +4297,14 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
 #: emb_quantize_int8, tsdb_rollup_serve, dedup_bloom — queue them first
 #: for r8 (note the dedup shingle-chain members must keep their relative
 #: order: exact/embedding before the ngram→minhash→incremental chain).
+#:
+#: Deferred r8 perf item (do it FIRST so its staleness lands in the r8
+#: window, not after it): `_samples` persists as ONE cached partition
+#: (testdata events is a single parquet row group), so every tsdb
+#: query's first map stage is single-core — `spread()` before the
+#: persist would parallelize all 22, but it changes the load path under
+#: every tsdb row, exactly the class of silent staleness the r6->r7
+#: rotation was spent clearing.  Pair the change with window slots.
 _R7_WINDOW = [
     # r3 rows under the r6-memoized load path (verdict r6 task 1)
     "q1_pricing_summary", "q3_shipping_priority",
