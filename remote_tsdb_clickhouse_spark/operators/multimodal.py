@@ -652,6 +652,13 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             scans.append(
                 (scan_comps, ss, se, ahal >> 4, ahal & 15, dri, segments, dict(huff))
             )
+            # every scan sweeps the full declared block grid, so scan COUNT
+            # multiplies decode CPU: a hostile stream of thousands of tiny
+            # SOS segments costs minutes off a small payload.  Real
+            # progressive encoders emit ~10 scans; 256 is spec-generous
+            # (same hostile-CPU class as MAX_DECODE_PIXELS)
+            if len(scans) > 256:
+                raise ValueError("more than 256 JPEG scans")
             pos = q
             continue
         # APPn / COM / others: skip

@@ -926,6 +926,21 @@ def test_hostile_header_allocation_caps():
     with pytest.raises(mm.DECODE_ERRORS):
         mm.decode_jpeg(jpeg0)
 
+    # JPEG: a stream of thousands of tiny SOS segments multiplies decode
+    # CPU by the scan count; past 256 scans it must raise, not grind
+    dqt = bytes([0]) + bytes(range(1, 65))
+    sof_g = bytes([8, 0, 8, 0, 8, 1]) + bytes([1, 0x11, 0])
+    dht = bytes([0x00]) + bytes([0, 1] + [0] * 14) + bytes([0])  # 1 code
+    sos = bytes([1, 1, 0x00, 0, 0, 0])  # DC-only scan, empty entropy data
+    def seg2(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+    many_scans = (
+        b"\xff\xd8" + seg2(0xDB, dqt) + seg2(0xC2, sof_g) + seg2(0xC4, dht)
+        + seg2(0xDA, sos) * 1000 + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="256 JPEG scans"):
+        mm.decode_jpeg(many_scans)
+
     # PNG: giant IHDR rejected before any geometry-derived allocation
     def pchunk(t, d):
         return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
