@@ -811,8 +811,20 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             if ss == 0:
                 if ah == 0:
                     t = decode_sym(huff[(0, td)])
+                    # the magnitude category is an unvalidated Huffman
+                    # symbol byte; past 15 it is corrupt and receive(t)
+                    # would build a t-bit integer (fuzz finding)
+                    if t > 15:
+                        raise ValueError(f"JPEG DC magnitude category {t}")
                     dc_pred[cid] += extend(receive(t), t)
-                    coef[0] = dc_pred[cid] << al
+                    v = dc_pred[cid] << al
+                    if not -(1 << 31) <= v < 1 << 31:
+                        # a valid stream's DC predictor stays in sample
+                        # range; a corrupt one can walk past int32 and the
+                        # numpy store would raise OverflowError — which is
+                        # not in DECODE_ERRORS (fuzz finding)
+                        raise ValueError("JPEG DC predictor out of range")
+                    coef[0] = v
                 else:
                     if read_bit():
                         # two's-complement OR appends magnitude bit ``al``
@@ -849,7 +861,10 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 raise ValueError(f"SOS references undefined component {cid}")
             if ss == 0 and ah == 0 and (0, td) not in huff:
                 raise ValueError(f"SOS references undefined DC table {td}")
-            if se > 0 and (1, ta) not in huff:
+            # the AC decoder runs whenever the band extends past DC (se>0)
+            # OR the scan starts past DC (ss>0 — a corrupt ss>se scan
+            # still takes the AC path; fuzz finding)
+            if (se > 0 or ss > 0) and (1, ta) not in huff:
                 raise ValueError(f"SOS references undefined AC table {ta}")
         if len(scan_comps) == 1:
             # non-interleaved scan: raster over the component's TRUE block
@@ -1251,6 +1266,12 @@ def _gif_lzw_decode(
     MAX_DECODE_PIXELS).  Decoding stops once ``limit`` indices exist —
     a legitimate stream's trailing data beyond the frame is ignored
     either way."""
+    # one attacker-controlled byte sizes the root table (1 << n entries)
+    # and LZW codes cap at 12 bits, so anything past 11 is both invalid
+    # and an allocation bomb (found by the bit-flip fuzz: a mutated
+    # min_code_size of 255 asks for a 2^255-entry table)
+    if not 1 <= min_code_size <= 11:
+        raise ValueError(f"GIF LZW min code size {min_code_size} out of range")
     clear = 1 << min_code_size
     end = clear + 1
     bitpos = 0

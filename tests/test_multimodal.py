@@ -1019,6 +1019,18 @@ def test_png_inflate_is_bounded_by_scanline_geometry():
         mm.decode_png(corrupt)
 
 
+def test_gif_lzw_min_code_size_bounded():
+    """One attacker-controlled byte sizes the LZW root table
+    (1 << min_code_size entries); a mutated 255 would demand a
+    2^255-entry list (bit-flip fuzz finding) — out-of-range must raise
+    before any allocation."""
+    import pytest
+
+    for bad in (0, 12, 44, 255):
+        with pytest.raises(ValueError, match="min code size"):
+            mm._gif_lzw_decode(bad, b"\x00\x01\x02")
+
+
 def test_gif_lzw_expansion_bounded_by_frame_geometry():
     """LZW expands up to ~4000:1; the decoder must stop emitting indices
     at the frame's declared pixel count instead of materializing the
