@@ -798,6 +798,47 @@ def _valid_bmp() -> bytes:
     )
 
 
+def test_operators_survive_hostile_payload_batch(spark):
+    """The end-to-end guarantee all the decoder hardening exists for: a
+    batch mixing mutated real payloads of every format runs through all
+    three media operators WITHOUT a task failure — each hostile item
+    individually degrades (stub features / stub schedule / stub
+    resample) while valid rows in the same batch still decode."""
+    import random
+
+    rng = random.Random(424242)
+    px = [((r * 5 + c * 11) % 256,) * 3 for r in range(8) for c in range(8)]
+    valids = [
+        mm.encode_png(8, 8, px),
+        mm.encode_jpeg(8, 8, px, gray=True),
+        mm.encode_jpeg(8, 8, px, gray=True, progressive=True),
+        mm.encode_gif(4, 4, [(100, [(1, 2, 3)] * 16)]),
+        mm.encode_avi_mjpeg(8, 8, [mm.encode_jpeg(8, 8, px, gray=True)], 500_000),
+        mm.encode_wav([0.1, -0.1] * 16, 8000),
+    ]
+
+    def mutate(payload: bytes) -> bytearray:
+        buf = bytearray(payload)
+        for _ in range(rng.randint(1, 6)):
+            buf[rng.randrange(len(buf))] ^= rng.randint(1, 255)
+        return buf
+
+    rows = []
+    for i in range(60):
+        payload = valids[i % len(valids)]
+        content = bytearray(payload) if i % 3 == 0 else mutate(payload)
+        rows.append(
+            (i, ["image", "video", "audio"][i % 3], content,
+             {"format": "mixed", "width": 8, "height": 8,
+              "sample_rate": 8000, "duration_ms": 800})
+        )
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    # completing the jobs IS the assertion: any escape kills the task
+    assert mm.extract_features(media).count() == 60
+    assert mm.sample_frames(media, every_ms=400).count() > 0
+    assert mm.resample_audio(media, target_rate=16000).count() == 20
+
+
 def test_sample_frames_corrupt_container_degrades_to_stub(spark):
     """A payload with AVI (or GIF) magic but a corrupt body must fall
     through to the stub duration-driven schedule — no task failure, no
