@@ -526,7 +526,9 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     spectral selection, successive approximation (DC first/refine, AC
     first/refine with EOB runs), interleaved DC scans and single-component
     AC scans over the component's own (non-MCU-padded) block grid.
-    Arithmetic coding, hierarchical mode, and 12-bit precision gate to
+    Both **8- and 12-bit** sample precision decode (12-bit level-shifts
+    around 2048 and reduces to 8-bit output via the high bits, mirroring
+    the PNG 16→8 path); arithmetic coding and hierarchical mode gate to
     NotImplementedError.  Returns ``(width, height, pixels)`` row-major
     RGB tuples.
 
@@ -570,9 +572,12 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                         tab[_JPEG_ZIGZAG[k]] = seg[i + 1 + k]
                     i += 65
                 qt[tq] = tab
-        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
-            if seg[0] != 8:
-                raise NotImplementedError("only 8-bit JPEG precision supported")
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 (extended) sequential, SOF2 progressive
+            if seg[0] not in (8, 12):
+                raise NotImplementedError(
+                    f"only 8/12-bit JPEG precision supported (got {seg[0]})"
+                )
+            precision = seg[0]
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             ncomp = seg[5]
@@ -598,7 +603,7 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     raise ValueError(f"JPEG sampling factors {hs}x{vs} out of range")
                 comps.append((cid, hs, vs, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, precision)
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"only baseline/progressive Huffman JPEG supported (SOF marker 0x{m:02x})"
@@ -665,7 +670,13 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         pos += 2 + seglen
     if frame is None or not scans:
         raise ValueError("missing SOF/SOS")
-    h, w, comps = frame
+    h, w, comps, precision = frame
+    # 12-bit samples level-shift around 2048, clamp to 0..4095, and
+    # reduce to 8-bit output by dropping the low bits (the standard fast
+    # high-byte path, mirroring the PNG 16->8 reduction)
+    mid = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    pshift = precision - 8
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -838,9 +849,9 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
                 (ac_refine if ah else ac_first)(coef, huff[(1, ta)])
             if streaming:  # straight to pixels, no cross-scan store
                 deq = coef.astype(np.float64) * qtab_f[geom[cid][2]]
-                block = C.T @ deq.reshape(8, 8) @ C + 128.0
-                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(block), 0, 255
+                block = C.T @ deq.reshape(8, 8) @ C + mid
+                planes[cid][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    np.clip(np.round(block), 0, maxv).astype(np.int32) >> pshift
                 ).astype(np.uint8)
 
         def restart():
@@ -901,9 +912,9 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             for by in range(bh_pad):
                 for bx in range(bw_pad):
                     deq = coefs[cid][by, bx].astype(np.float64) * qtab
-                    block = C.T @ deq.reshape(8, 8) @ C + 128.0
-                    pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                        np.round(block), 0, 255
+                    block = C.T @ deq.reshape(8, 8) @ C + mid
+                    pl[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        np.clip(np.round(block), 0, maxv).astype(np.int32) >> pshift
                     ).astype(np.uint8)
             planes[cid] = pl
 
@@ -930,12 +941,33 @@ def decode_jpeg(content: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     return w, h, pixels
 
 
+#: Generic Huffman tables for 12-bit streams, where Annex K's ranges are
+#: too small (DC categories reach 15, AC sizes 14): all 16 DC categories
+#: as 5-bit codes, and EOB/ZRL plus every (run 0-15, size 1-14) AC symbol
+#: as 9-bit codes — valid canonical tables (Kraft sums 0.5/0.47, and the
+#: max assigned code is never the reserved all-ones word).
+_JPEG_DC16 = (
+    [0, 0, 0, 0, 16] + [0] * 11,
+    list(range(16)),
+)
+#: AC: 14 EOBn symbols (progressive EOB-run lengths, (r << 4) for r
+#: 1-14) at 8 bits, then EOB/ZRL plus every (run, size 1-14) pair at 9
+#: bits — 240 symbols, Kraft sum 14/256 + 226/512 ≈ 0.50.
+_JPEG_AC12 = (
+    [0] * 7 + [14, 226] + [0] * 7,
+    [r << 4 for r in range(1, 15)]
+    + [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+)
+
+
 def encode_jpeg(
     width: int,
     height: int,
     pixels: list[tuple[int, int, int]],
     gray: bool = False,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Inverse of :func:`decode_jpeg` for fixtures/tests: **all-ones
     quantization tables** (coefficients stored exactly, so smooth fixtures
@@ -958,29 +990,43 @@ def encode_jpeg(
 
     if len(pixels) != width * height:
         raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
+    if precision not in (8, 12):
+        raise ValueError(f"JPEG precision must be 8 or 12 (got {precision})")
+    # 12-bit fixtures scale 8-bit input samples <<4, so decode's >>4
+    # high-byte reduction round-trips the original values exactly
+    scale = 1 << (precision - 8)
+    mid = float(1 << (precision - 1))
     arr = np.asarray(pixels, dtype=np.float64).reshape(height, width, 3)
     if gray:
-        comps_px = [arr[:, :, 0]]  # caller contract: r==g==b for gray
+        comps_px = [arr[:, :, 0] * scale]  # caller contract: r==g==b for gray
     else:
         r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
         comps_px = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
-            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+            (0.299 * r + 0.587 * g + 0.114 * b) * scale,
+            (128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b) * scale,
+            (128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b) * scale,
         ]
     C = _dct_matrix()
 
     enc_dc = [dict() for _ in range(2)]
     enc_ac = [dict() for _ in range(2)]
-    for (bits, vals), store in [
-        (_JPEG_HUFF_DC_LUM, enc_dc[0]),
-        (_JPEG_HUFF_DC_CHR, enc_dc[1]),
-        (_JPEG_HUFF_AC_LUM, enc_ac[0]),
-        (_JPEG_HUFF_AC_CHR, enc_ac[1]),
-    ]:
+    if precision == 12:  # Annex K ranges are 8-bit-only; use the generic tables
+        table_plan = [
+            (_JPEG_DC16, enc_dc[0]), (_JPEG_DC16, enc_dc[1]),
+            (_JPEG_AC12, enc_ac[0]), (_JPEG_AC12, enc_ac[1]),
+        ]
+    else:
+        table_plan = [
+            (_JPEG_HUFF_DC_LUM, enc_dc[0]),
+            (_JPEG_HUFF_DC_CHR, enc_dc[1]),
+            (_JPEG_HUFF_AC_LUM, enc_ac[0]),
+            (_JPEG_HUFF_AC_CHR, enc_ac[1]),
+        ]
+    for (bits, vals), store in table_plan:
         for k, (length, code) in enumerate(_jpeg_code_assignments(bits)):
             store[vals[k]] = (code, length)
-    if progressive:  # EOBn symbols require the custom AC table
+    if progressive and precision != 12:  # EOBn symbols require the custom
+        # AC table (the 12-bit generic table already includes them)
         prog_ac: dict[int, tuple[int, int]] = {}
         for k, (length, code) in enumerate(_jpeg_code_assignments(_JPEG_PROG_AC[0])):
             prog_ac[_JPEG_PROG_AC[1][k]] = (code, length)
@@ -1003,7 +1049,7 @@ def encode_jpeg(
                     block[ys:, :] = block[ys - 1, :]
                 if xs < 8:
                     block[:, xs:] = block[:, xs - 1 : xs]
-                f = C @ (block - 128.0) @ C.T
+                f = C @ (block - mid) @ C.T
                 blocks[ci].append(np.round(f.reshape(64)[_JPEG_ZIGZAG]).astype(np.int64))
 
     # per-scan bit emitter (each scan is byte-aligned and 1-padded)
@@ -1233,16 +1279,23 @@ def encode_jpeg(
     out += seg(0xDB, bytes([0x00]) + zz_ones)  # DQT table 0 (all ones)
     if ncomp == 3:
         out += seg(0xDB, bytes([0x01]) + zz_ones)
-    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    sof = bytes([precision]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
         sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 4:4:4
-    out += seg(0xC2 if progressive else 0xC0, sof)
-    ac_lum = _JPEG_PROG_AC if progressive else _JPEG_HUFF_AC_LUM
-    ac_chr = _JPEG_PROG_AC if progressive else _JPEG_HUFF_AC_CHR
+    # 12-bit sequential is SOF1 (extended); baseline SOF0 is 8-bit-only
+    seq_marker = 0xC1 if precision == 12 else 0xC0
+    out += seg(0xC2 if progressive else seq_marker, sof)
+    if precision == 12:
+        dc_lum = dc_chr = _JPEG_DC16
+        ac_lum = ac_chr = _JPEG_AC12
+    else:
+        dc_lum, dc_chr = _JPEG_HUFF_DC_LUM, _JPEG_HUFF_DC_CHR
+        ac_lum = _JPEG_PROG_AC if progressive else _JPEG_HUFF_AC_LUM
+        ac_chr = _JPEG_PROG_AC if progressive else _JPEG_HUFF_AC_CHR
     for tc, th, (bits, vals) in [
-        (0, 0, _JPEG_HUFF_DC_LUM),
+        (0, 0, dc_lum),
         (1, 0, ac_lum),
-    ] + ([(0, 1, _JPEG_HUFF_DC_CHR), (1, 1, ac_chr)] if ncomp == 3 else []):
+    ] + ([(0, 1, dc_chr), (1, 1, ac_chr)] if ncomp == 3 else []):
         out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
     for chunk in scans:
         out += chunk

@@ -1219,6 +1219,32 @@ def test_decode_png_adam7_interlaced():
     assert mm.decode_png(png) == (w, h, [px for row in img for px in row])
 
 
+def test_jpeg_12bit_precision_decode():
+    """12-bit streams (SOF1/SOF2, precision byte 12) decode with the
+    2048 level shift and reduce to 8-bit output via the high bits; the
+    fixture encoder scales 8-bit input <<4 so solid colors round-trip
+    EXACTLY, sequential and progressive alike."""
+    for g in (0, 7, 128, 200, 255):
+        for prog in (False, True):
+            b = mm.encode_jpeg(8, 8, [(g, g, g)] * 64, gray=True,
+                               precision=12, progressive=prog)
+            assert mm.decode_jpeg(b) == (8, 8, [(g, g, g)] * 64), (g, prog)
+    # gray gradients decode identically to the 8-bit encoding (the DCT
+    # math is scale-invariant; >>4 undoes the <<4)
+    px = [((r * 11 + c * 5) % 256,) * 3 for r in range(8) for c in range(8)]
+    assert (
+        mm.decode_jpeg(mm.encode_jpeg(8, 8, px, gray=True, precision=12))
+        == mm.decode_jpeg(mm.encode_jpeg(8, 8, px, gray=True))
+    )
+    # color differs only by sub-LSB chroma rounding
+    pxc = [((r * 11) % 256, (c * 17) % 256, (r * c) % 256) for r in range(8) for c in range(8)]
+    d12 = mm.decode_jpeg(mm.encode_jpeg(8, 8, pxc, precision=12))
+    d8 = mm.decode_jpeg(mm.encode_jpeg(8, 8, pxc))
+    assert max(
+        max(abs(x - y) for x, y in zip(a, b)) for a, b in zip(d12[2], d8[2])
+    ) <= 4
+
+
 def test_jpeg_16bit_quant_tables_decode():
     """Pq=1 DQT segments carry 16-bit big-endian entries (T.81 B.2.4.1);
     rewriting a baseline stream's 8-bit tables into the 16-bit form with
