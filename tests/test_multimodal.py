@@ -750,6 +750,7 @@ def test_decoders_survive_bitflips_on_valid_payloads():
         (mm.decode_png, png_i),
         (mm.decode_jpeg, jb),
         (mm.decode_jpeg, jp),
+        (mm.decode_jpeg, mm.encode_jpeg(8, 8, px, gray=True, precision=12)),
         (mm.decode_gif, mm.encode_gif(4, 4, [(100, [(1, 2, 3)] * 16), (50, [(9, 9, 9)] * 16)])),
         (mm.decode_avi, mm.encode_avi_mjpeg(8, 8, [jb, jp], 500_000)),
         (mm.decode_wav, mm.encode_wav([0.1, -0.2, 0.3, 0.0] * 8, 8000)),
