@@ -60,9 +60,17 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
-def events_to_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load ``events.parquet`` and shape it into the samples model."""
-    ev = read_events(spark, sf_dir)
+def samples_from_events(ev: DataFrame) -> DataFrame:
+    """Shape a normalized events frame into the samples model.
+
+    Split out from :func:`events_to_samples` so callers can control the
+    partitioning of ``ev`` BEFORE the label derivation runs: the regexp
+    extraction + array build is the family's first map stage, and when the
+    input is a single parquet row group (one scan partition) it would
+    otherwise execute on one core.  At cluster scale the events table has
+    many files/row groups and no repartition is needed — ``spread()`` is a
+    no-op there (util.py file-count short-circuit).
+    """
     base = F.array(
         F.concat(F.lit("k="), F.regexp_extract("props", r'"k": ([0-9]+)', 1)),
         F.concat(F.lit("user="), F.col("user_id").cast("string")),
@@ -76,3 +84,8 @@ def events_to_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.concat(base, extra)).alias("labels"),
         F.col("value").alias("value"),
     )
+
+
+def events_to_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load ``events.parquet`` and shape it into the samples model."""
+    return samples_from_events(read_events(spark, sf_dir))
