@@ -3563,9 +3563,23 @@ def stage_dedup_stream_input(spark: SparkSession, sf_dir: str) -> str:
     staging = per.get(sf_dir)
     if staging is not None:
         return staging
+    # uid-scoped name + ownership check: the shared path is otherwise
+    # predictable, and on a multi-user host another user could pre-create
+    # it with a _STAGED marker to poison the streaming input (r7 advisor).
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    final = os.path.join(tempfile.gettempdir(), f"graft_dedup_stream_{tag}")
-    if os.path.isfile(os.path.join(final, "_STAGED")):
+    final = os.path.join(tempfile.gettempdir(), f"graft_dedup_stream_u{uid}_{tag}")
+
+    def _owned_and_staged(path: str) -> bool:
+        try:
+            st = os.stat(path)
+        except OSError:
+            return False
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            return False
+        return os.path.isfile(os.path.join(path, "_STAGED"))
+
+    if _owned_and_staged(final):
         per[sf_dir] = final
         return final
     staging = tempfile.mkdtemp(prefix="graft_dedup_stream_build_")
@@ -3598,9 +3612,9 @@ def stage_dedup_stream_input(spark: SparkSession, sf_dir: str) -> str:
         os.rename(staging, final)  # atomic publish (rename preserves mtimes)
         staging = final
     except OSError:
-        # raced: another process published first — use theirs if complete,
-        # else serve this process from its private copy
-        if os.path.isfile(os.path.join(final, "_STAGED")):
+        # raced: another process published first — use theirs only if
+        # complete AND owned by this uid, else keep the private copy
+        if _owned_and_staged(final):
             shutil.rmtree(staging, ignore_errors=True)
             staging = final
     per[sf_dir] = staging

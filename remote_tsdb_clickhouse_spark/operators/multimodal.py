@@ -65,6 +65,15 @@ DECODE_ERRORS = (ValueError, NotImplementedError, IndexError, struct.error)
 #: the pure-python codec.
 MAX_DECODE_PIXELS = 1 << 18
 
+#: Cumulative cap for multi-frame GIF decode: each frame snapshot copies
+#: the full canvas, so the budget is frames*width*height.  Sized to 4x the
+#: single-image cap so legitimate animations keep a useful frame budget
+#: (256 full-canvas frames at 64x64, 16 at 256x256) while a hostile frame
+#: chain over a large screen still can't multiply the per-canvas bound
+#: away (r7 advisor: the old check reused MAX_DECODE_PIXELS, degrading
+#: real multi-frame GIFs to the stub 4x sooner than documented).
+MAX_GIF_TOTAL_PIXELS = 4 * MAX_DECODE_PIXELS
+
 try:  # real image codec, absent in this environment
     from PIL import Image  # noqa: F401
 
@@ -1506,13 +1515,13 @@ def decode_gif(
                     raise ValueError(f"GIF color index {idx} out of table range")
                 canvas[cy * width + cx] = table[idx]
         # each frame snapshot copies the canvas; cap CUMULATIVE emitted
-        # pixels so a long hostile frame chain over a large screen can't
-        # multiply the per-canvas bound away (256 full-canvas frames at
-        # 64x64 still fit — far beyond any fixture)
-        if (len(frames) + 1) * width * height > MAX_DECODE_PIXELS:
+        # pixels (own 4x budget — see MAX_GIF_TOTAL_PIXELS) so a long
+        # hostile frame chain over a large screen can't multiply the
+        # per-canvas bound away
+        if (len(frames) + 1) * width * height > MAX_GIF_TOTAL_PIXELS:
             raise ValueError(
                 f"GIF frame count {len(frames) + 1} at {width}x{height} "
-                f"exceeds decode cap ({MAX_DECODE_PIXELS} total pixels)"
+                f"exceeds decode cap ({MAX_GIF_TOTAL_PIXELS} total pixels)"
             )
         frames.append((delay_ms, list(canvas)))
         if disposal == 2:  # restore the frame rect to background
@@ -1657,13 +1666,16 @@ def extract_features(media: DataFrame) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # content-addressed memo, partition-scoped: the feature vector is
         # a pure function of the payload bytes, and media corpora repeat
-        # payloads (thumbnails, logos, fixture sets); an md5 probe (~us)
+        # payloads (thumbnails, logos, fixture sets); a hash probe (~us)
         # replaces a pure-python decode (~ms) on every repeat.  Entry cap
         # bounds worker memory; past it, decode per item as before.
+        # blake2b, not md5: payloads are attacker-controlled and md5
+        # collisions are constructible — a colliding pair would serve one
+        # payload's features for the other (r7 advisor).
         memo: dict[bytes, list] = {}
 
         def featurize(content: bytes) -> list:
-            key = hashlib.md5(content).digest()
+            key = hashlib.blake2b(content, digest_size=16).digest()
             f = memo.get(key)
             if f is None:
                 f = _featurize(content)
@@ -2025,7 +2037,9 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
 
         def frame_png(jf: bytes) -> bytes:
             nonlocal cache_bytes
-            key = b"F" + hashlib.md5(jf).digest()  # F/G: frame vs payload
+            # blake2b (collision-resistant) — hostile payloads must not be
+            # able to alias cache slots; F/G prefix: frame vs payload
+            key = b"F" + hashlib.blake2b(jf, digest_size=16).digest()
             png = png_cache.get(key)
             if png is None:
                 w, h, px = decode_jpeg(jf)
@@ -2075,7 +2089,7 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                         # frame_png: the sampled timeline is a pure function
                         # of the payload, and GIF payloads repeat across
                         # rows in real corpora)
-                        digest = b"G" + hashlib.md5(b).digest()
+                        digest = b"G" + hashlib.blake2b(b, digest_size=16).digest()
                         rows = png_cache.get(digest)
                         if rows is None:
                             w, h, gframes = decode_gif(b)
@@ -2116,6 +2130,8 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
                     ids.append(mid)
                     idxs.append(k)
                     tss.append(ts)
+                    # md5 here is an OUTPUT value (the stub frame payload the
+                    # oracles hash), not a cache key — no collision concern
                     frames.append(hashlib.md5(b + ts.to_bytes(8, "little")).digest())
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_ts_ms": tss, "frame": frames}

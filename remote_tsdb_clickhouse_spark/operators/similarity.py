@@ -1095,7 +1095,18 @@ def ivf_pq_topk(
             raise ValueError(
                 "prebuilt index lacks 'params'; build it with ivf_pq_build"
             )
-        if got != want:
+        # compare key-wise rather than dict-equality so indexes persisted
+        # BEFORE a params key existed (e.g. pre-id_col/vec_col) stay
+        # servable when otherwise compatible (r8 advisor follow-up); the
+        # numeric core keys are mandatory, newer keys checked if recorded
+        core = ("n_queries", "n_centroids", "nprobe", "m", "k")
+        missing = [kk for kk in core if kk not in got]
+        if missing:
+            raise ValueError(f"prebuilt index params lack {missing}; rebuild it")
+        mismatched = {
+            kk: (got[kk], want[kk]) for kk in want if kk in got and got[kk] != want[kk]
+        }
+        if mismatched:
             raise ValueError(f"index built with {got}, serve requested {want}")
     idx = index or ivf_pq_build(
         emb, n_queries, n_centroids, nprobe, m, k, id_col, vec_col

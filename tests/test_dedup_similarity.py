@@ -365,6 +365,28 @@ def test_ivf_serve_paths_match_self_built(spark):
             emb, n_queries=5, topk=3, n_centroids=8, m=4, k=8,
             index={k2: v for k2, v in idx.items() if k2 != "params"},
         )
+    # a LEGACY index persisted before id_col/vec_col were recorded must
+    # stay servable when otherwise compatible (key-wise compare, r8) ...
+    legacy = dict(idx)
+    legacy["params"] = {
+        k2: v for k2, v in idx["params"].items() if k2 not in ("id_col", "vec_col")
+    }
+    r = sorted(
+        map(
+            tuple,
+            similarity.ivf_pq_topk(
+                emb, n_queries=5, topk=3, n_centroids=8, m=4, k=8, index=legacy
+            ).collect(),
+        )
+    )
+    assert r == q
+    # ... but one missing a NUMERIC core key has unknown provenance
+    nocore = dict(idx)
+    nocore["params"] = {k2: v for k2, v in idx["params"].items() if k2 != "m"}
+    with pytest.raises(ValueError, match="lack"):
+        similarity.ivf_pq_topk(
+            emb, n_queries=5, topk=3, n_centroids=8, m=4, k=8, index=nocore
+        )
 
     # the assignment serve path must also be result-identical and treat
     # an EMPTY cent_rows list as present (it used `or`, which silently

@@ -1086,6 +1086,26 @@ def test_gif_lzw_expansion_bounded_by_frame_geometry():
     assert len(out) <= 16 + 4096  # one entry past the limit at most
 
 
+def test_gif_cumulative_frame_budget_is_4x_single_image_cap():
+    """Multi-frame GIFs get their own 4x cumulative pixel budget
+    (MAX_GIF_TOTAL_PIXELS): 100 frames at 64x64 (656 Kpx cumulative,
+    > the 256 Kpx single-image cap) must decode, while a chain past the
+    4x budget must raise the typed decode-cap error (r7 advisor: the old
+    check reused MAX_DECODE_PIXELS and degraded legit animations 4x
+    sooner than documented)."""
+    import pytest
+
+    w = h = 64
+    frame = [(1, 2, 3)] * (w * h)
+    ok = mm.encode_gif(w, h, [(10, frame)] * 100)
+    gw, gh, frames = mm.decode_gif(ok)
+    assert (gw, gh, len(frames)) == (w, h, 100)
+    assert 100 * w * h > mm.MAX_DECODE_PIXELS  # budget really is > 1x cap
+    too_many = mm.encode_gif(w, h, [(10, frame)] * 257)
+    with pytest.raises(ValueError, match="decode cap"):
+        mm.decode_gif(too_many)
+
+
 def test_resample_audio_hostile_wav_degrades_to_stub(spark):
     """A payload with WAV magic but a corrupt body (or a crafted rate-0
     fmt chunk, which would divide-by-zero the resampler) must fall
