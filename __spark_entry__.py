@@ -4296,75 +4296,65 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
         multimodal.extract_features(warm).collect()
 
 
-#: The round-7 driver correctness window (the harness hashes the FIRST 50
-#: ``queries()`` entries each round — VERDICT r1).  Exactly the r6
-#: verdict's task-1 rotation: slots 1-18 are the rows whose last driver
-#: hash (r3) predates the r6 ``_tbl``/relation memoization
-#: (``_TABLE_CACHE`` below) — the load path beneath them changed, so they
-#: go first; next the queries whose code r7 touches (the multimodal
-#: hostile-payload hardening: iterative AVI walk + header allocation caps
-#: flow under every image/video decode; the IVF prebuilt-index
-#: validation; the streaming-dedup staging change), whose r6 rows will
-#: cover superseded code the moment r7 lands; the rest are
-#: oldest-r4-first fill (the tsdb matcher/downsample/rate block + the
-#: r4-verified text/dataset/events entries).
+#: The round-8 driver correctness window (the harness hashes the FIRST 50
+#: ``queries()`` entries each round — VERDICT r1).  Exactly the r7
+#: verdict's task-1 rotation: the r8 OPENER spread the raw events before
+#: the samples derivation (``_samples`` above), changing the load path
+#: under every ``_samples`` reader — so the window is the 35 rows whose
+#: last driver hash is r4 (the oldest surviving cohort, incl. the 7 r4
+#: tsdb rows) plus the 15 tsdb rows with r5-era hashes (the next-oldest
+#: members of the spread-staled family).  After this round no driver row
+#: predates r5.  The dedup shingle-chain keeps its required relative
+#: order (exact/embedding before ngram -> minhash -> incremental).
 #:
-#: Staleness ledger AFTER this round (r8 planning): the only rows older
-#: than r5 are 37 r4 rows — the 10-slot fill below leaves tsdb_irate,
-#: tsdb_delta, tsdb_increase, tsdb_resets_changes, tsdb_range_agg,
-#: tsdb_moving_avg, text_decontaminate, dataset_dedup_apply,
-#: dataset_length_histogram, top_customers_per_segment,
-#: events_sessionize, events_asof_click un-rotated, plus
-#: events_window_agg, sim_topk_bruteforce, text_pipeline, events_funnel,
-#: text_langid, text_quality, text_tokens, text_fingerprint,
-#: text_tfidf_keywords, text_repetition, dataset_sample, doc_packing,
-#: q6_revenue_delta, dedup_embedding_cosine, dedup_embedding_cosine_lsh,
-#: dedup_exact, dedup_ngram_jaccard, dedup_minhash_lsh,
-#: dedup_incremental, streaming_stateful_rate, dataset_mixture_sample,
-#: emb_quantize_int8, tsdb_rollup_serve, dedup_bloom — queue them first
-#: for r8 (note the dedup shingle-chain members must keep their relative
-#: order: exact/embedding before the ngram→minhash→incremental chain).
-#:
-#: Deferred r8 perf item (do it FIRST so its staleness lands in the r8
-#: window, not after it): `_samples` persists as ONE cached partition
-#: (testdata events is a single parquet row group), so every tsdb
-#: query's first map stage is single-core — `spread()` before the
-#: persist would parallelize all 22, but it changes the load path under
-#: every tsdb row, exactly the class of silent staleness the r6->r7
-#: rotation was spent clearing.  Pair the change with window slots.
-_R7_WINDOW = [
-    # r3 rows under the r6-memoized load path (verdict r6 task 1)
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q4_late_shipment_priority", "q5_local_supplier_volume",
-    "q7_nation_trade_volume", "q8_market_share",
-    "q9_product_type_profit", "q10_returned_item_reporting",
-    "q12_ship_lateness_priority", "q13_customer_order_distribution",
-    "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_cardinality", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_or_predicate_revenue",
-    "q22_inactive_customer_balance", "sales_rollup",
-    # r7-touched: the decode hardening + content-addressed memos flow
-    # under every image/video/audio query (incl. the decode_wav rate
-    # guard under resample/audio_energy); IVF prebuilt-index validation;
-    # the shared exact-top-10 recall baseline rewrote the exact side of
-    # every sim_*_recall plan; streaming-dedup staging memoization
-    "multimodal_features", "multimodal_png_features",
-    "multimodal_jpeg_features", "multimodal_gif_frames",
-    "multimodal_frame_sample", "multimodal_resize",
-    "multimodal_resample", "multimodal_audio_energy",
-    "sim_ivf_balance", "sim_ivf_pq_topk", "sim_ivf_pq_recall",
-    "streaming_dedup", "sim_pq_recall", "sim_pq_trained_recall",
-    "sim_pq_opq_recall", "sim_lsh_recall", "sim_lsh_multiprobe_recall",
-    "sim_ivf_recall", "sim_ivf_trained_recall", "sim_matryoshka_recall",
-    # r7-touched late: the shared component build under groups/stats
-    "dedup_groups", "dedup_cluster_stats",
-    # oldest-r4-first fill (10 slots; the rest queue for r8, see ledger)
-    "tsdb_read_eq", "tsdb_read_name_regex", "tsdb_read_nre",
-    "tsdb_label_regex", "tsdb_downsample_30s",
-    "tsdb_downsample_range_clamp", "tsdb_series_assembly",
-    "tsdb_ignore_label", "tsdb_rate", "tsdb_label_project",
+#: Staleness ledger AFTER this round (r9 planning): the only rows older
+#: than r6 are the 22 r5 rows this window could not fit —
+#: ch_pushdown_read, dataset_shuffle_shards, dedup_bloom, dedup_lines,
+#: doc_chunk_texts, doc_chunk_windows, events_bucketed_join,
+#: events_salted_stats, q11_important_parts, q20_promotable_suppliers,
+#: q21_waiting_suppliers, q2_min_cost_region, sim_matryoshka_topk,
+#: sim_pq_adc_topk, sim_pq_codes, sim_pq_trained, sim_topk_lsh_multiprobe,
+#: streaming_windowed_max, text_bigram_lm, text_pii_scrub,
+#: text_quality_filter, text_vocab — queue those 22 FIRST for r9.  Next
+#: priority: the spread-staled ``_samples`` readers not re-hashed here —
+#: the 10 tsdb rows with r6 hashes (tsdb_label_values, tsdb_mad_over_time,
+#: tsdb_max_gap, tsdb_retention_serve, tsdb_rollup_hierarchy,
+#: tsdb_series_count, tsdb_stale_series, tsdb_subquery_maxrate,
+#: tsdb_sum_by_label, tsdb_topk_series) and the 10 with r7 hashes
+#: (tsdb_read_eq, tsdb_read_name_regex, tsdb_read_nre, tsdb_label_regex,
+#: tsdb_downsample_30s, tsdb_downsample_range_clamp, tsdb_series_assembly,
+#: tsdb_ignore_label, tsdb_rate, tsdb_label_project).  22+10+10 = 42;
+#: fill the last 8 slots oldest-r6-first.  After r9 every row's hash
+#: postdates the r8 spread except the r6/r7 cohorts that never read
+#: ``_samples`` — they are current already.
+_R8_WINDOW = [
+    # r4-hashed tsdb rows (oldest cohort, spread-staled family first)
+    "tsdb_irate", "tsdb_delta", "tsdb_increase", "tsdb_resets_changes",
+    "tsdb_range_agg", "tsdb_moving_avg", "tsdb_rollup_serve",
+    # r5-hashed tsdb rows (next-oldest members of the spread-staled family)
+    "tsdb_binary_ratio", "tsdb_compact_serve", "tsdb_count_values",
+    "tsdb_deriv", "tsdb_exp_smooth", "tsdb_histogram_buckets",
+    "tsdb_histogram_quantile", "tsdb_label_join", "tsdb_label_replace",
+    "tsdb_offset_ratio", "tsdb_predict_linear", "tsdb_quantile_over_time",
+    "tsdb_sliding_range_max", "tsdb_stddev_over_time",
+    "tsdb_topk_per_bucket",
+    # remaining r4-hashed rows: streaming + events + text families
+    "streaming_stateful_rate", "events_sessionize", "events_asof_click",
+    "events_window_agg", "events_funnel",
+    "text_decontaminate", "text_pipeline", "text_langid", "text_quality",
+    "text_tokens", "text_fingerprint", "text_tfidf_keywords",
+    "text_repetition",
+    # r4-hashed dataset/classic/similarity rows
+    "dataset_dedup_apply", "dataset_length_histogram", "dataset_sample",
+    "dataset_mixture_sample", "doc_packing", "q6_revenue_delta",
+    "top_customers_per_segment", "sim_topk_bruteforce",
+    "emb_quantize_int8",
+    # r4-hashed dedup rows — shingle-chain relative order is load-bearing:
+    # exact/embedding before the ngram -> minhash -> incremental chain
+    "dedup_exact", "dedup_embedding_cosine", "dedup_embedding_cosine_lsh",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_incremental",
 ]
-assert len(_R7_WINDOW) == 50 and len(set(_R7_WINDOW)) == 50
+assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4375,7 +4365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # matcher/downsample/rate block + r4-touched families; r5 all 50
     # never-verified adds (union after r5: 140/160 with zero failures
     # ever); r6 the late-r5/IVF/oldest-r3 rotation (union 160/160); r7
-    # the _R7_WINDOW rotation (stale-TPC-H + r7-touched + oldest-r4).
+    # the _R7_WINDOW rotation (stale-TPC-H + r7-touched + oldest-r4);
+    # r8 the _R8_WINDOW rotation (all 35 r4 rows + 15 oldest spread-staled
+    # tsdb rows).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -4566,7 +4558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R7_WINDOW}
+    out = {name: base[name] for name in _R8_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 
