@@ -90,6 +90,10 @@ T0 = 1704067200000  # 2024-01-01
 T5 = 1704412800000  # 2024-01-05
 T20 = 1705708800000  # 2024-01-20
 
+#: Cached-samples partition count at bench scale — the measured knee of the
+#: spread sweep documented in _samples(); no-op at cluster scale.
+_SAMPLES_SPREAD = 4
+
 
 def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_query_confs(spark)
@@ -111,14 +115,21 @@ def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extraction + array build) would run single-core — and the persisted
     # cache would hold ONE partition, serializing every downstream stage
     # that reads it.  Round-robin the RAW events first so the derivation
-    # itself parallelizes and the cache lands as defaultParallelism
-    # partitions; at cluster scale the table has thousands of row groups
-    # and spread() short-circuits to a no-op (util.py file-count bound).
+    # itself parallelizes; at cluster scale the table has thousands of
+    # row groups and spread() short-circuits to a no-op (util.py
+    # file-count bound), so the partition count below is local-bench-only.
+    # The count is the measured knee, NOT defaultParallelism: every tsdb
+    # query schedules one task per cached partition on its first stage, so
+    # at sf0.1 the per-query scheduling cost of 32 tiny tasks exceeds the
+    # parallelism win.  12-query family probe, min of 3 reps (r8):
+    # 1 (no spread) 6.21 s, 4 -> 5.92 s, 8 -> 6.10 s, 16 -> 6.67 s,
+    # 32 -> 7.49 s.  Same knee-sweep method as streaming_dedup's
+    # shuffle-partition knob.
     per = _TABLE_CACHE.setdefault(spark, {})
     key = (sf_dir, "__samples")
     df = per.get(key)
     if df is None:
-        df = samples_from_events(spread(_events(spark, sf_dir)))
+        df = samples_from_events(spread(_events(spark, sf_dir), _SAMPLES_SPREAD))
         per[key] = df
     if not df.is_cached:
         df.persist()
