@@ -90,9 +90,33 @@ T0 = 1704067200000  # 2024-01-01
 T5 = 1704412800000  # 2024-01-05
 T20 = 1705708800000  # 2024-01-20
 
-#: Cached-samples partition count at bench scale — the measured knee of the
-#: spread sweep documented in _samples(); no-op at cluster scale.
+#: Cached-samples partition count at LOCAL-BENCH scale — the measured knee
+#: of the spread sweep documented in _samples().  Scope guard (r8 advisor):
+#: the knee is only passed to spread() when defaultParallelism is at or
+#: below the local-bench core count (_samples_spread below).  Why the
+#: guard is needed: spread()'s file-count short-circuit only fires at
+#: roughly n_files >= 2 * target * maxPartitionBytes / openCostInBytes
+#: (~256 files at target=4 under the default 128 MiB / 4 MiB confs), so a
+#: mid-scale deployment whose events table is a handful of large-but-few
+#: files falls through the short-circuit and would be CAPPED at 4
+#: partitions despite hundreds of cores; beyond local parallelism the
+#: guard defers to spread()'s default target (defaultParallelism).
 _SAMPLES_SPREAD = 4
+_LOCAL_BENCH_PARALLELISM = 32
+
+
+def _samples_spread(default_parallelism: int) -> int | None:
+    """``min_partitions`` for the cached-samples spread: the measured
+    local knee at local-bench parallelism, ``None`` (= spread()'s own
+    defaultParallelism target) beyond it.  Pure function of
+    defaultParallelism so the scale guard is unit-testable.  At local[32]
+    this returns exactly the pre-guard constant — a provable local no-op
+    (tests/test_entry_misc.py::test_samples_spread_guard asserts both the
+    function and the cached frame's partition count), so the r8-hashed
+    tsdb cohort's driver hashes stay valid."""
+    if default_parallelism <= _LOCAL_BENCH_PARALLELISM:
+        return _SAMPLES_SPREAD
+    return None
 
 
 def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +153,12 @@ def _samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, "__samples")
     df = per.get(key)
     if df is None:
-        df = samples_from_events(spread(_events(spark, sf_dir), _SAMPLES_SPREAD))
+        df = samples_from_events(
+            spread(
+                _events(spark, sf_dir),
+                _samples_spread(spark.sparkContext.defaultParallelism),
+            )
+        )
         per[key] = df
     if not df.is_cached:
         df.persist()
@@ -3582,13 +3611,27 @@ def stage_dedup_stream_input(spark: SparkSession, sf_dir: str) -> str:
     final = os.path.join(tempfile.gettempdir(), f"graft_dedup_stream_u{uid}_{tag}")
 
     def _owned_and_staged(path: str) -> bool:
+        # lstat + symlink rejection: os.stat FOLLOWS symlinks, so another
+        # user could alias this name to a dir this uid legitimately owns
+        # for a DIFFERENT sf_dir and pass the uid check on the target's
+        # owner (r8 advisor — same poisoning class as r7, via aliasing).
+        # The marker-content check additionally binds the directory to
+        # THIS sf_dir, so even an owned-but-wrong dataset is rejected.
+        import stat as statmod
+
         try:
-            st = os.stat(path)
+            st = os.lstat(path)
         except OSError:
+            return False
+        if statmod.S_ISLNK(st.st_mode):
             return False
         if hasattr(os, "getuid") and st.st_uid != os.getuid():
             return False
-        return os.path.isfile(os.path.join(path, "_STAGED"))
+        try:
+            with open(os.path.join(path, "_STAGED")) as fh:
+                return fh.read() == os.path.abspath(sf_dir)
+        except OSError:
+            return False
 
     if _owned_and_staged(final):
         per[sf_dir] = final
@@ -3618,7 +3661,10 @@ def stage_dedup_stream_input(spark: SparkSession, sf_dir: str) -> str:
         shutil.move(f"{chunk_dir}/{part}", dst)
         os.utime(dst, (t0 + i * 10, t0 + i * 10))
     with open(f"{staging}/_STAGED", "w") as fh:
-        fh.write(sf_dir)
+        # abspath: the marker is the dataset identity _owned_and_staged
+        # checks, and abspath normalizes spelling so sharing still works
+        # across processes that name the same dir differently
+        fh.write(os.path.abspath(sf_dir))
     try:
         os.rename(staging, final)  # atomic publish (rename preserves mtimes)
         staging = final

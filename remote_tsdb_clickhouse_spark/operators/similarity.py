@@ -1108,6 +1108,29 @@ def ivf_pq_topk(
         }
         if mismatched:
             raise ValueError(f"index built with {got}, serve requested {want}")
+        if "id_col" not in got or "vec_col" not in got:
+            # legacy index persisted before column provenance was recorded
+            # in params: the key-wise relaxation above would let one built
+            # from a DIFFERENT vector column serve silently (wrong
+            # centroids/codebook -> plausible wrong neighbors).  Cheap
+            # structural guard (r9 advisor): the caller's vector
+            # dimensionality must match the index centroids' width and m
+            # must divide it.  One-row metadata probe, legacy path only —
+            # indexes built by ivf_pq_build since record both columns and
+            # never reach here.
+            width = int(index["c_mat"].shape[1])
+            if width % m != 0:
+                raise ValueError(
+                    f"legacy index centroid width {width} not divisible by m={m};"
+                    " rebuild it with ivf_pq_build"
+                )
+            probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+            if probe is not None and probe["d"] != width:
+                raise ValueError(
+                    f"legacy index built over {width}-dim vectors but column"
+                    f" {vec_col!r} has {probe['d']}-dim vectors; rebuild it"
+                    " with ivf_pq_build"
+                )
     idx = index or ivf_pq_build(
         emb, n_queries, n_centroids, nprobe, m, k, id_col, vec_col
     )

@@ -387,6 +387,25 @@ def test_ivf_serve_paths_match_self_built(spark):
         similarity.ivf_pq_topk(
             emb, n_queries=5, topk=3, n_centroids=8, m=4, k=8, index=nocore
         )
+    # ... and a legacy index must still fail LOUDLY on structural
+    # mismatch (r9 advisor): vectors of a different dimensionality than
+    # the index centroids (the built-from-a-different-column case), or a
+    # centroid width m doesn't divide, must raise instead of serving
+    # plausible wrong neighbors
+    emb4 = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="dim vectors"):
+        similarity.ivf_pq_topk(
+            emb4, n_queries=5, topk=3, n_centroids=8, m=4, k=8, index=legacy
+        )
+    ragged = dict(legacy)
+    ragged["c_mat"] = idx["c_mat"][:, :7]
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.ivf_pq_topk(
+            emb, n_queries=5, topk=3, n_centroids=8, m=4, k=8, index=ragged
+        )
 
     # the assignment serve path must also be result-identical and treat
     # an EMPTY cent_rows list as present (it used `or`, which silently
