@@ -386,3 +386,35 @@ def test_containment_plain_route_single_index_scan_shape(spark):
     plan = _plan(spark, "dedup_containment")
     assert "Union" not in plan, plan
     assert "Generate explode" in plan, plan
+
+
+def test_doc_stats_column_pruned_single_shuffle(spark):
+    # the corpus profile reads exactly the three needed columns of the
+    # documents table (text/embedding-free scan — at 100 TB the payload
+    # columns dominate bytes) and combines map-side: one hash exchange
+    plan = _plan(spark, "doc_stats_by_source")
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "n_chars" in plan and "text:string" not in plan, plan
+
+
+def test_lapsed_customers_pruned_pushed_one_shuffle(spark):
+    # both EXCEPT branches must push their year range into the parquet
+    # scan and prune to (o_custkey, o_orderdate) before the distinct
+    # shuffle; the subtract itself joins broadcast at this SF
+    plan = _plan(spark, "customers_lapsed")
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate,1997-01-01" in plan, plan
+    assert "o_totalprice" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_dataset_split_mapside_membership(spark):
+    # split membership is pure Catalyst expression work (md5/conv/when)
+    # over a two-column pruned scan: no Python, no join, and only the
+    # final (split, lang) aggregation shuffles
+    plan = _plan(spark, "dataset_split")
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
