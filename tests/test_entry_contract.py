@@ -23,6 +23,24 @@ def test_queries_are_callables():
         assert callable(fn), name
 
 
+def test_verification_windows_are_valid_rotations():
+    """The driver hashes the FIRST 50 queries() entries each round, so the
+    active window must be hoisted to the front, and the prepared next-round
+    window must name only real queries (a typo'd name would silently shrink
+    the next rotation)."""
+    names = list(entry.queries())
+    assert names[:50] == entry._R9_WINDOW  # active round's hoist
+    for window in (entry._R9_WINDOW, entry._R10_WINDOW):
+        assert len(window) == 50 and len(set(window)) == 50
+        missing = set(window) - set(names)
+        assert not missing, f"window names not in queries(): {missing}"
+    # r10 leads with the rows whose serve/setup paths r9's advisor fixes
+    # touched, so their hashes postdate those diffs first thing next round
+    assert entry._R10_WINDOW[:3] == [
+        "sim_ivf_pq_topk", "sim_ivf_pq_recall", "streaming_dedup",
+    ]
+
+
 def test_oracle_sql_compiles_in_duckdb():
     """Each oracle must at least parse/bind against empty tables of the
     driver's schemas — catches typos without running Spark."""
