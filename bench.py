@@ -172,6 +172,27 @@ def main() -> None:
     time.sleep(1.0)
     base_steal = steal_frac(steal_ticks() - b0, time.perf_counter() - bt0)
 
+    # Host-speed calibration: a fixed, deterministic, all-core CPU-bound
+    # job (pure codegen arithmetic over range(), one partial-agg exchange,
+    # no I/O, no Python) timed min-of-3 right before the suite.  Purpose:
+    # total_query_sec is compared round-over-round, but this shared host's
+    # effective CPU varies per boot (r9 measured the EXACT r8-benched tree
+    # at 129.2 s on a boot where the driver had recorded 102.2 s — a ~1.26x
+    # uniform host factor, confirmed by an A/B at identical nproc/MemTotal/
+    # CPU model; see BENCH_NOTES.md).  Publishing the same fixed workload's
+    # time alongside the total lets any two rounds be compared at equal
+    # host speed (ratio the calibrations) without changing the headline
+    # metric or its methodology.  Inner mods keep every term < 1e6 so the
+    # 4e9-row sum stays far inside int64 under ANSI mode.
+    calib_trials = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(4_000_000_000).selectExpr(
+            "sum(id % 1000003 * (id % 999983) % 1000003) AS s"
+        ).collect()
+        calib_trials.append(round(time.perf_counter() - t0, 3))
+    host_calib = min(calib_trials)
+
     timings: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
     steals: dict[str, float] = {}
@@ -290,6 +311,7 @@ def main() -> None:
             "trials": trials,
             "steal_frac": steals,
             "base_steal_frac": round(base_steal, 3),
+            "host_calib_trials": calib_trials,
         },
         separators=(",", ":"),
     ), file=sys.stderr)
@@ -304,6 +326,7 @@ def main() -> None:
                 "queries": top10,
                 "n_queries": len(timings),
                 "sf": sf,
+                "host_calib_sec": host_calib,
             },
             separators=(",", ":"),
         )
