@@ -418,3 +418,72 @@ def test_dataset_split_mapside_membership(spark):
     assert "Join" not in plan, plan
     assert "partial_count" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q1_single_shuffle_pruned_pushed(spark):
+    # the heaviest TPC-H scan in the suite: a 7-column pruned lineitem
+    # read with the shipdate bound pushed, map-side partial aggregation,
+    # and exactly the one (returnflag, linestatus) exchange — at 100 TB
+    # everything besides that exchange is embarrassingly parallel
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan, plan
+    assert "l_comment" not in plan and "l_orderkey" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_dedup_lines_three_linear_shuffles(spark):
+    # CCNet-style line dedup is documented as 3 linear shuffles (line-hash
+    # agg, doc reassembly, stats) plus one broadcast of the duplicate-hash
+    # set — no sort-merge join and nothing quadratic may creep in
+    plan = _plan(spark, "dedup_lines")
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_lsh_all_joins_are_equi(spark):
+    # the LSH pair generation must stay a band-key equi-join (hash or
+    # sort-merge are both fine at scale); a cartesian or broadcast
+    # nested-loop join would mean the banding degenerated to all-pairs
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # shingle explode + signature build: bounded generates (the exact
+    # count depends on which shared dedup frames are currently cached —
+    # 6 cold, fewer when the persisted shingle/signature frames substitute
+    # subtrees, and a couple more when only parts substitute), no Python
+    assert plan.count("Generate explode") <= 10, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_dedup_incremental_no_quadratic_join(spark):
+    # probing the 16-int signature index must be equi-join shaped end to
+    # end; the corpus side is never nested-loop scanned per new doc
+    plan = _plan(spark, "dedup_incremental")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_simhash_banded_two_shuffles(spark):
+    # pigeonhole banding: fingerprint build + band-bucket join with at
+    # most two hash exchanges — a blowup here means the banding stopped
+    # pre-bucketing candidates and the pair join went wide
+    plan = _plan(spark, "dedup_simhash")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Generate explode") <= 4, plan
+
+
+def test_ivf_recall_single_window_no_corpus_shuffle(spark):
+    # same contract as sim_topk_ivf, through the recall diagnostic: the
+    # IVF serving path keeps centroid assignment as a collected-centroid
+    # projection (one final top-k Window) and joins the broadcast exact
+    # baseline — no cartesian, no second window over the corpus
+    plan = _plan(spark, "sim_ivf_recall")
+    assert plan.count("- Window ") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
