@@ -193,6 +193,25 @@ def main() -> None:
         calib_trials.append(round(time.perf_counter() - t0, 3))
     host_calib = min(calib_trials)
 
+    # Stall probe: a ~30 ms all-core reference op whose healthy time is
+    # measured here once.  The documented failure mode of this host is a
+    # multi-second vCPU preemption that /proc/stat steal does NOT show;
+    # min-of-2 back-to-back trials both land inside one stretch (r9: the
+    # same query measured 1.8 s and 10.0 s as min-of-2 in back-to-back
+    # suite runs on one boot).  After a slow trial the probe tells stalled
+    # host apart from genuinely slow query: a stalled host slows the
+    # fixed probe identically, a slow query does not.
+    def _stall_probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(8_000_000).selectExpr("sum(id % 1000003) AS s").collect()
+        return time.perf_counter() - t0
+
+    probe_base = min(_stall_probe() for _ in range(5))
+    probe_bad = max(4.0 * probe_base, 0.15)
+
+    def _host_stalled() -> bool:
+        return _stall_probe() > probe_bad
+
     timings: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
     steals: dict[str, float] = {}
@@ -248,21 +267,38 @@ def main() -> None:
             # 0.37 s queries spiking to 6.6 s with steal ticks at zero), so
             # a steal-gated retry never fires and 1-3 arbitrary queries per
             # run carry 5-20 s of hypervisor noise.  Re-time every slow
-            # first trial instead.  The warm-cache bias this used to risk
+            # first trial instead; since r9 a slow RE-time additionally
+            # consults the stall probe (see _host_stalled above) because
+            # back-to-back trials can both land inside one multi-second
+            # preemption stretch.  The warm-cache bias this used to risk
             # (first trial materializing the family's persisted frames,
             # min() then reporting the warm path) is closed structurally:
             # family_warmup pre-materializes shared frames before the
             # timer, so trial 1 and trial 2 see the same cache state.  Both
             # trials stay visible in the BENCH_DETAIL JSON.
             if t1 > 1.5:
-                t0 = time.perf_counter()
-                len(qs[name](spark, sf_dir).collect())
-                t2 = time.perf_counter() - t0
-                trials[name].append(round(t2, 3))
-                timings[name] = round(min(t1, t2), 3)
+                # up to 3 re-times: normally exactly one (the historical
+                # min-of-2).  Extra trials fire ONLY when the stall probe
+                # says the host is currently preempted right after a slow
+                # re-time — then the re-time measured the hypervisor, not
+                # the query — and each waits (bounded) for the probe to
+                # recover first, so back-to-back trials can no longer both
+                # land inside one preemption stretch.
+                for extra in range(3):
+                    t0 = time.perf_counter()
+                    len(qs[name](spark, sf_dir).collect())
+                    t2 = time.perf_counter() - t0
+                    trials[name].append(round(t2, 3))
+                    if t2 <= 1.5 or extra == 2 or not _host_stalled():
+                        break
+                    deadline = time.perf_counter() + 15.0
+                    while time.perf_counter() < deadline and _host_stalled():
+                        time.sleep(1.0)
+                timings[name] = round(min(trials[name]), 3)
                 print(
                     f"# {name}: {timings[name]:.3f}s ({n} rows) "
-                    f"[steal {sf1:.2f}, trials {t1:.3f}/{t2:.3f}]",
+                    f"[steal {sf1:.2f}, trials "
+                    + "/".join(f"{t:.3f}" for t in trials[name]) + "]",
                     file=sys.stderr,
                 )
             else:
