@@ -54,3 +54,21 @@ def test_oracle_sql_compiles_in_duckdb():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     for name, sql in entry.oracle_sql().items():
         con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
+
+
+def test_staleness_tool_validates_prepared_window():
+    """tools/staleness_ledger.py is the mechanical check behind the
+    rotation plan: the prepared window must verify against the recorded
+    correctness files plus the active (pending) window."""
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [_sys.executable, _os.path.join(repo, "tools", "staleness_ledger.py"),
+         "--pending", "_R9_WINDOW", "--check", "_R10_WINDOW"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "_R10_WINDOW: OK" in proc.stdout, proc.stdout
