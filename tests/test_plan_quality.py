@@ -493,3 +493,47 @@ def test_ivf_recall_single_window_no_corpus_shuffle(spark):
     assert plan.count("- Window ") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_multimodal_zero_shuffle_arrow_only(spark):
+    # decode/feature-extract is embarrassingly parallel: one Arrow-batched
+    # MapInPandas over the scan (two when a sampler chains onto a decoder),
+    # zero exchanges, and never a row-at-a-time Python node — at 100 TB the
+    # media bytes must stay in place
+    for name, n_nodes in [("multimodal_features", 1), ("multimodal_frame_sample", 2)]:
+        plan = _plan_cold(spark, name)
+        assert plan.count("MapInPandas") == n_nodes, plan
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+
+def test_asof_join_is_union_and_scan(spark):
+    # the as-of join is a union of tagged sides + one partitioned window
+    # scan — there must be NO join operator (a range join would explode at
+    # scale) and at most the two hash exchanges (union partitioning + agg)
+    for name in ["events_asof_click", "events_asof_next"]:
+        plan = _plan_cold(spark, name)
+        assert "Join" not in plan, plan
+        assert plan.count("- Window ") == 1, plan
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_fingerprint_projection_only(spark):
+    # rolling-hash fingerprinting is pure expression work over a pruned
+    # scan: no shuffle-by-key (only _docs()'s round-robin spread of the
+    # single parquet file), zero Python, zero joins
+    plan = _plan_cold(spark, "text_fingerprint")
+    assert "hashpartitioning" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    # the 13-gram shingle equi-join must broadcast the (small) benchmark
+    # side; a cartesian or nested-loop fallback means the equi-keys were
+    # lost and the overlap check went all-pairs
+    plan = _plan_cold(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
