@@ -112,3 +112,51 @@ def test_asof_forward_direction(spark):
     }
     assert tol["p1"].ts_right == 10.0
     assert tol["p2"].ts_right is None  # 30 - 25 = 5 > 4
+
+
+def test_randomized_sweep_vs_reference(spark):
+    """Seeded 200-key randomized sweep against an independent brute-force
+    reference of the documented semantics (inclusive nearest, tolerance
+    nulling, left-join NULLs).  Keys are independent partitions, so one
+    asof_join call evaluates 200 generated scenarios at once — duplicate
+    left timestamps, empty sides, exact-tie matches, out-of-tolerance
+    gaps — per direction/tolerance combination."""
+    import random
+
+    rng = random.Random(0)
+    left_rows, right_rows = [], []
+    for k in range(200):
+        for i in range(rng.randint(0, 5)):
+            left_rows.append((k, rng.randint(0, 30), f"L{k}_{i}"))
+        for t in rng.sample(range(0, 31), rng.randint(0, 5)):
+            right_rows.append((k, t, float(rng.randint(1, 999))))
+    left = spark.createDataFrame(left_rows, "k INT, t INT, tag STRING")
+    right = spark.createDataFrame(right_rows, "k INT, t INT, v DOUBLE")
+    rmap = {}
+    for k, t, v in right_rows:
+        rmap.setdefault(k, []).append((t, v))
+
+    def brute(k, lt, direction, tol):
+        if direction == "backward":
+            cand = [(t, v) for t, v in rmap.get(k, []) if t <= lt]
+            match = max(cand) if cand else None
+        else:
+            cand = [(t, v) for t, v in rmap.get(k, []) if t >= lt]
+            match = min(cand) if cand else None
+        if match is not None and tol is not None and abs(match[0] - lt) > tol:
+            match = None
+        return match
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 3):
+            out = asof_join(
+                left, right, on=["k"], left_ts="t", right_ts="t",
+                right_cols=["v"], tolerance_s=tol, direction=direction,
+            ).collect()
+            assert len(out) == len(left_rows)
+            for r in out:
+                want = brute(r.k, r.t, direction, tol)
+                got = None if r.t_right is None else (r.t_right, r.v_right)
+                assert got == want, (
+                    f"{direction} tol={tol} k={r.k} t={r.t}: got {got}, want {want}"
+                )
