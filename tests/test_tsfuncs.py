@@ -278,3 +278,57 @@ def test_stddev_over_time_exactness(spark):
     assert r.n == 2 and r.sum_micro == 4_000_000
     assert r.stddev_micro == 1_000_000
     assert r.last_v == 3.0
+
+
+def test_randomized_sweep_vs_reference(spark):
+    """Seeded 150-series randomized sweep: delta / increase /
+    resets_changes against independently written Python references of the
+    PromQL semantics.  Series are independent groups, so one call per
+    operator covers every generated scenario (single samples, monotone
+    counters, multiple resets, constants).  Integer-valued doubles keep
+    the decimal-exact aggregation comparison bit-exact."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    series = {}
+    for s in range(150):
+        slb = [f"case={s}"]
+        ts = sorted(rng.sample(range(0, 3600, 10), rng.randint(1, 8)))
+        vals = []
+        v = float(rng.randint(0, 50))
+        for _ in ts:
+            if vals and rng.random() < 0.25:  # counter reset
+                v = float(rng.randint(0, 5))
+            else:
+                v += float(rng.randint(0, 20))
+            vals.append(v)
+        series[s] = list(zip(ts, vals))
+        rows += [("m", slb, _ts(t), val) for t, val in series[s]]
+    g = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+
+    def ref(pts):
+        ts = [t for t, _ in pts]
+        vs = [v for _, v in pts]
+        dv = [b - a for a, b in zip(vs, vs[1:])]
+        return {
+            "delta": (vs[-1] - vs[0], max(ts) - min(ts), len(pts)),
+            "increase": sum(v2 if d < 0 else d for d, (_, v2) in zip(dv, pts[1:])),
+            "resets": sum(1 for d in dv if d < 0),
+            "changes": sum(1 for d in dv if d != 0),
+        }
+
+    want = {s: ref(pts) for s, pts in series.items()}
+
+    got_d = {int(r.slb[0][5:]): (r.delta, r.range_s, r.n_samples)
+             for r in delta(g).collect()}
+    got_i = {int(r.slb[0][5:]): r.increase for r in increase(g).collect()}
+    got_rc = {int(r.slb[0][5:]): (r.resets, r.changes)
+              for r in resets_changes(g).collect()}
+    assert set(got_d) == set(want)
+    for s, w in want.items():
+        assert got_d[s] == w["delta"], (s, got_d[s], w["delta"])
+        assert got_i[s] == w["increase"], (s, got_i[s], w["increase"])
+        assert got_rc[s] == (w["resets"], w["changes"]), (s, got_rc[s], w)
