@@ -332,3 +332,52 @@ def test_randomized_sweep_vs_reference(spark):
         assert got_d[s] == w["delta"], (s, got_d[s], w["delta"])
         assert got_i[s] == w["increase"], (s, got_i[s], w["increase"])
         assert got_rc[s] == (w["resets"], w["changes"]), (s, got_rc[s], w)
+
+
+def test_histogram_quantile_randomized_sweep(spark):
+    """Seeded 150-series sweep of histogram_quantile across five quantiles
+    vs a forward-scan Python reference of the Prometheus rules (first
+    bucket whose cumulative count reaches the rank; first-bucket
+    interpolation from 0; +Inf rank returns the highest finite bound) —
+    the Spark side is a reversed CASE chain over wide cum columns, so the
+    two walk the buckets in opposite orders and share no code."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import histogram_quantile
+
+    rng = random.Random(11)
+    bounds = [4, 16, 32]
+    rows, series = [], {}
+    for s in range(150):
+        vals = [float(rng.randint(0, 40)) for _ in range(rng.randint(1, 12))]
+        series[s] = vals
+        rows += [("m", [f"case={s}"], _ts(10 * i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+
+    def ref(vals, q_num, q_den):
+        total = len(vals)
+        cums = [sum(1 for v in vals if v <= b) for b in bounds]
+        rank = q_num * total
+        cum_lo, lo = 0, 0
+        for i, cum in enumerate(cums):
+            if rank <= q_den * cum:
+                hi = bounds[i]
+                n = cum - cum_lo
+                return lo * 10**6 + ((hi - lo) * 10**6 * (rank - q_den * cum_lo)) // (
+                    q_den * n
+                )
+            cum_lo, lo = cum, bounds[i]
+        return bounds[-1] * 10**6
+
+    for q_num, q_den in [(1, 4), (1, 2), (3, 4), (9, 10), (1, 1)]:
+        got = {
+            int(r.slb[0][5:]): r.q_mu
+            for r in histogram_quantile(df, q_num, q_den, bounds).collect()
+        }
+        for s, vals in series.items():
+            assert got[s] == ref(vals, q_num, q_den), (
+                f"q={q_num}/{q_den} case={s} vals={vals}: "
+                f"got {got[s]}, want {ref(vals, q_num, q_den)}"
+            )
