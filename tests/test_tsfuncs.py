@@ -381,3 +381,34 @@ def test_histogram_quantile_randomized_sweep(spark):
                 f"q={q_num}/{q_den} case={s} vals={vals}: "
                 f"got {got[s]}, want {ref(vals, q_num, q_den)}"
             )
+
+
+def test_quantile_over_time_randomized_sweep(spark):
+    """Seeded 150-series sweep of the discrete (type-1) quantiles vs a
+    sorted-list index reference, including q=0.0/1.0 edges, heavy ties,
+    and single-sample series — both sides use IEEE doubles for the
+    floor((n-1)*q) index so the comparison is bit-exact."""
+    import math
+    import random
+
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import quantile_over_time
+
+    rng = random.Random(13)
+    qs = [0.0, 0.25, 0.5, 0.9, 0.95, 1.0]
+    rows, series = [], {}
+    for s in range(150):
+        vals = [float(rng.randint(0, 9)) for _ in range(rng.randint(1, 15))]
+        series[s] = vals
+        rows += [("m", [f"case={s}"], _ts(10 * i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+    out = quantile_over_time(df, qs).collect()
+    assert len(out) == len(series)
+    names = [f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in qs]
+    for r in out:
+        vals = sorted(series[int(r.slb[0][5:])])
+        assert r.n_samples == len(vals)
+        for q, name in zip(qs, names):
+            want = vals[math.floor((len(vals) - 1) * q)]
+            assert r[name] == want, (r.slb, q, r[name], want, vals)
