@@ -412,3 +412,61 @@ def test_quantile_over_time_randomized_sweep(spark):
         for q, name in zip(qs, names):
             want = vals[math.floor((len(vals) - 1) * q)]
             assert r[name] == want, (r.slb, q, r[name], want, vals)
+
+
+def test_rate_and_range_aggregate_randomized_sweep(spark):
+    """Seeded 150-series sweep: per_second_rate (adjacent pairs, resets to
+    NULL, first sample dropped), irate (last pair only), and
+    range_aggregate (floor-aligned buckets, decimal-exact avg) against
+    plain Python references.  Integer values and timestamps keep every
+    compared double exact."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
+        per_second_rate as psr,
+    )
+
+    rng = random.Random(17)
+    rows, series = [], {}
+    for s in range(150):
+        ts = sorted(rng.sample(range(0, 600, 5), rng.randint(1, 10)))
+        vals = [float(rng.randint(0, 100)) for _ in ts]
+        series[s] = list(zip(ts, vals))
+        rows += [("m", [f"case={s}"], _ts(t), v) for t, v in series[s]]
+    g = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+
+    def pair_rates(pts):
+        return {
+            t2: (None if v2 - v1 < 0 else (v2 - v1) / (t2 - t1))
+            for (t1, v1), (t2, v2) in zip(pts, pts[1:])
+        }
+
+    got_rate = {}
+    for r in psr(g).withColumn("te", F.col("t").cast("long")).collect():
+        got_rate.setdefault(int(r.slb[0][5:]), {})[r.te] = r.rate
+    for s, pts in series.items():
+        assert got_rate.get(s, {}) == pair_rates(pts), (s, pts)
+
+    got_irate = {int(r.slb[0][5:]): r.irate for r in irate(g).collect()}
+    for s, pts in series.items():
+        want = pair_rates(pts)
+        if want:
+            assert got_irate[s] == want[pts[-1][0]], (s, pts)
+        else:
+            assert s not in got_irate  # single sample: no irate row
+
+    out = range_aggregate(g, 60).collect()
+    got_ra = {(int(r.slb[0][5:]), int(r.bucket_t)): r for r in out}
+    want_ra = {}
+    for s, pts in series.items():
+        buckets = {}
+        for t, v in pts:
+            buckets.setdefault(t - t % 60, []).append(v)
+        for b, vs in buckets.items():
+            want_ra[(s, b)] = (sum(vs) / len(vs), min(vs), max(vs), len(vs))
+    assert set(got_ra) == set(want_ra)
+    for k, w in want_ra.items():
+        r = got_ra[k]
+        assert (r.avg_v, r.min_v, r.max_v, r.n) == w, (k, r, w)
