@@ -502,3 +502,44 @@ def test_bloom_no_false_negatives_property(spark):
         out = bloom_membership(docs, docs, k=k, m=m).collect()
         assert len(out) == 40
         assert all(r.maybe_member for r in out), (k, m)
+
+
+def test_minhash_planted_duplicates_randomized(spark):
+    """Seeded planted-duplicate sweep for the LSH scale path: exact
+    duplicates share the full signature, so they MUST pair (probability 1,
+    no S-curve involved), and the post-banding exact-Jaccard verification
+    means no emitted pair may fall below the threshold — checked against
+    an independently computed word-3-gram Jaccard."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(60)]
+    rows, texts = [], {}
+    planted = []
+    did = 0
+    for _ in range(25):
+        text = " ".join(rng.choice(vocab) for _ in range(rng.randint(8, 30)))
+        rows.append((did, text)); texts[did] = text
+        if rng.random() < 0.5:  # plant an exact duplicate
+            rows.append((did + 1, text)); texts[did + 1] = text
+            planted.append((did, did + 1))
+            did += 2
+        else:
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = {(r.doc_a, r.doc_b) for r in
+             minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b").collect()}
+
+    def jaccard(a, b):
+        def sh(t):
+            w = t.split()
+            return {" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1))}
+        sa, sb = sh(a), sh(b)
+        return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+    for a, b in planted:
+        assert (a, b) in pairs or (b, a) in pairs, (a, b, texts[a])
+    for a, b in pairs:
+        assert jaccard(texts[a], texts[b]) >= 0.8, (a, b, jaccard(texts[a], texts[b]))
