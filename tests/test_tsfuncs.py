@@ -470,3 +470,36 @@ def test_rate_and_range_aggregate_randomized_sweep(spark):
     for k, w in want_ra.items():
         r = got_ra[k]
         assert (r.avg_v, r.min_v, r.max_v, r.n) == w, (k, r, w)
+
+
+def test_mad_over_time_randomized_sweep(spark):
+    """Seeded 150-series sweep of the two-stage discrete median (median of
+    values, then median of absolute deviations) vs a sorted-list index
+    reference — integer values keep the single IEEE subtraction exact, so
+    the comparison is bit-exact including even/odd lengths and ties."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import mad_over_time
+
+    rng = random.Random(29)
+    rows, series = [], {}
+    for s in range(150):
+        vals = [float(rng.randint(0, 20)) for _ in range(rng.randint(1, 13))]
+        series[s] = vals
+        rows += [("m", [f"case={s}"], _ts(10 * i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "metric_name string, slb array<string>, t timestamp, max_0 double"
+    )
+
+    def disc_median(vs):
+        vs = sorted(vs)
+        return vs[(len(vs) - 1) // 2]
+
+    out = mad_over_time(df).collect()
+    assert len(out) == len(series)
+    for r in out:
+        vals = series[int(r.slb[0][5:])]
+        med = disc_median(vals)
+        mad = disc_median([abs(v - med) for v in vals])
+        assert (r.n_samples, r.median_v, r.mad_v) == (len(vals), med, mad), (
+            r.slb, vals, med, mad, r)
