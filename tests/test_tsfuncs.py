@@ -503,3 +503,55 @@ def test_mad_over_time_randomized_sweep(spark):
         mad = disc_median([abs(v - med) for v in vals])
         assert (r.n_samples, r.median_v, r.mad_v) == (len(vals), med, mad), (
             r.slb, vals, med, mad, r)
+
+
+def test_label_replace_randomized_sweep(spark):
+    """Seeded 150-labelset sweep of label_replace across five patterns vs
+    a Python re.fullmatch reference of the Prometheus rules: anchored
+    match on src (absent src = empty string), dst set to capture group 1
+    replacing any existing dst, empty expansion removes dst, no match
+    passes the series through unchanged, labelset stays sorted."""
+    import random
+    import re as pyre
+
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import label_replace
+
+    rng = random.Random(31)
+    values = ["", "42", "7", "abc", "abc42", "9x", "x=y", "00", "z"]
+    cases = []
+    for s in range(150):
+        labels = [f"case={s}"]
+        if rng.random() < 0.8:
+            labels.append(f"user={rng.choice(values)}")
+        if rng.random() < 0.4:
+            labels.append(f"shard={rng.choice(values)}")
+        if rng.random() < 0.3:
+            labels.append(f"job={rng.choice(['web', 'db'])}")
+        cases.append(sorted(labels))
+    df = spark.createDataFrame(
+        [("m", lb, _ts(1), 1.0) for lb in cases],
+        "metric_name string, slb array<string>, t timestamp, max_0 double",
+    )
+
+    def ref(labels, dst, src, pattern):
+        sv = next((x[len(src) + 1:] for x in labels if x.startswith(src + "=")), "")
+        m = pyre.fullmatch(f"(?:{pattern})", sv)
+        if not m:
+            return list(labels)
+        cap = m.group(1) or ""
+        out = [x for x in labels if not x.startswith(dst + "=")]
+        if cap:
+            out = sorted(out + [f"{dst}={cap}"])
+        return out
+
+    for pattern in ["([0-9])[0-9]*", "([0-9]*)", "([a-z]+)[0-9]*",
+                    "(x|y)z?.*", "(.*)"]:
+        got = {r.case_key: list(r.slb) for r in
+               label_replace(df, "shard", "user", pattern)
+               .withColumn("case_key", F.filter("slb", lambda x: x.like("case=%"))[0])
+               .select("case_key", "slb").collect()}
+        for lb in cases:
+            key = lb[0] if lb[0].startswith("case=") else next(
+                x for x in lb if x.startswith("case="))
+            assert got[key] == ref(lb, "shard", "user", pattern), (
+                pattern, lb, got[key], ref(lb, "shard", "user", pattern))
