@@ -22,6 +22,14 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+#: Host-speed calibration job (see the calibration block in main()): the
+#: FIXED workload whose time is published as host_calib_sec.  Module-level
+#: so tests can pin the job and its deterministic result — changing either
+#: silently breaks cross-round comparability, so drift must fail the suite.
+CALIB_N = 4_000_000_000
+CALIB_SQL = "sum(id % 1000003 * (id % 999983) % 1000003) AS s"
+CALIB_EXPECTED = 2_000_015_793_174_243
+
 
 def warm_streaming_machinery(spark) -> None:
     """First use of the micro-batch planner + state store provider +
@@ -187,10 +195,14 @@ def main() -> None:
     calib_trials = []
     for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(4_000_000_000).selectExpr(
-            "sum(id % 1000003 * (id % 999983) % 1000003) AS s"
-        ).collect()
+        calib_sum = spark.range(CALIB_N).selectExpr(CALIB_SQL).collect()[0]["s"]
         calib_trials.append(round(time.perf_counter() - t0, 3))
+        if calib_sum != CALIB_EXPECTED:
+            print(
+                f"# WARNING calib sum {calib_sum} != pinned {CALIB_EXPECTED}: "
+                "host_calib_sec is not comparable across rounds",
+                file=sys.stderr,
+            )
     host_calib = min(calib_trials)
 
     # Stall probe: a ~30 ms all-core reference op whose healthy time is

@@ -44,3 +44,21 @@ def test_bytes_conf_parses_suffixes(spark):
     assert _bytes_conf(spark, "graft.test.bytes.suffixed", 0) == 128 << 20
     assert _bytes_conf(spark, "graft.test.bytes.kb", 0) == 4 << 10
     assert _bytes_conf(spark, "graft.test.bytes.absent", 42) == 42
+
+
+def test_bench_calibration_job_pinned(spark):
+    """The bench's host-speed calibration job must stay byte-for-byte the
+    same workload across rounds (its published time is the cross-round
+    host-speed normalizer): run the module's own CALIB_SQL at a reduced
+    row count scaled from the same expression and pin the full-size
+    constant via the module fields."""
+    import bench
+
+    assert bench.CALIB_N == 4_000_000_000
+    assert bench.CALIB_EXPECTED == 2_000_015_793_174_243
+    # the expression itself is deterministic: check a cheap 1e7-row prefix
+    # against a locally computed reference of the same arithmetic
+    n = 10_000_000
+    got = spark.range(n).selectExpr(bench.CALIB_SQL).collect()[0]["s"]
+    want = sum(i % 1000003 * (i % 999983) % 1000003 for i in range(n))
+    assert got == want
