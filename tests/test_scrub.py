@@ -107,3 +107,45 @@ class TestChunkTokenWindows:
         )
         assert "Exchange" not in plan, plan
         assert "Generate explode" in plan, plan
+
+
+def test_pii_randomized_sweep(spark):
+    """Seeded 150-document sweep of pii_scan vs a Python re reference
+    applying the same progressive redaction order, over texts assembled
+    from real PII spans and near-miss decoys (no-TLD emails, three-octet
+    dotted numbers, non-555 phone shapes, PII glued to punctuation)."""
+    import random
+    import re as pyre
+
+    from remote_tsdb_clickhouse_spark.operators.scrub import (
+        EMAIL_PATTERN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+        pii_scan,
+    )
+
+    rng = random.Random(37)
+    pieces = [
+        "hello", "world,", "x.", "(note)", "a@b", "user@host",  # decoys
+        "1.2.3", "999.12", "556-1234", "55-1234",
+        "bob@mail.example.com", "a.b-c@x-1.org;",  # emails
+        "10.0.300.1", "8.8.8.8,",  # ipv4 (octet range not validated)
+        "555-0199", "555-1234.",  # phones
+    ]
+    rows = [(d, " ".join(rng.choice(pieces) for _ in range(rng.randint(1, 25))))
+            for d in range(150)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def ref(text):
+        n_em = len(pyre.findall(EMAIL_PATTERN, text))
+        t1 = pyre.sub(EMAIL_PATTERN, "<EMAIL>", text)
+        n_ip = len(pyre.findall(IPV4_PATTERN, t1))
+        t2 = pyre.sub(IPV4_PATTERN, "<IP>", t1)
+        n_ph = len(pyre.findall(PHONE_PATTERN, t2))
+        return n_em, n_ip, n_ph, pyre.sub(PHONE_PATTERN, "<PHONE>", t2)
+
+    texts = dict(rows)
+    for r in pii_scan(df).collect():
+        want = ref(texts[r.doc_id])
+        got = (r.n_emails, r.n_ipv4, r.n_phones, r.redacted)
+        assert got == want, (texts[r.doc_id], got, want)
