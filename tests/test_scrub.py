@@ -149,3 +149,44 @@ def test_pii_randomized_sweep(spark):
         want = ref(texts[r.doc_id])
         got = (r.n_emails, r.n_ipv4, r.n_phones, r.redacted)
         assert got == want, (texts[r.doc_id], got, want)
+
+
+def test_chunk_windows_randomized_sweep(spark):
+    """Seeded sweep of chunk_token_windows across four (window, overlap)
+    configs and 120 random document lengths vs closed-form Python
+    references, checking chunk indices, offsets, partial-final sizes,
+    full token coverage, and (one config) the materialized chunk text."""
+    import math
+    import random
+
+    from remote_tsdb_clickhouse_spark.operators.scrub import chunk_token_windows
+
+    rng = random.Random(41)
+    lens = {d: rng.randint(0, 100) for d in range(120)}
+    rows = [(d, " ".join(f"w{i}" for i in range(n))) for d, n in lens.items()]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def ref(n, w, o):
+        stride = w - o
+        n_chunks = 1 + math.ceil(max(0, n - w) / stride)
+        return [(i, i * stride, min(w, n - i * stride)) for i in range(n_chunks)]
+
+    for w, o, with_text in [(32, 8, True), (10, 0, False), (5, 4, False), (7, 3, False)]:
+        got = {}
+        for r in chunk_token_windows(df, window=w, overlap=o, with_text=with_text).collect():
+            assert r.n_tokens == lens[r.doc_id]
+            got.setdefault(r.doc_id, []).append(r)
+        for d, n in lens.items():
+            want = ref(n, w, o)
+            chunks = sorted(got[d], key=lambda r: r.chunk_idx)
+            assert [(r.chunk_idx, r.start_tok, r.n_tok_chunk) for r in chunks] == want, (
+                d, n, w, o)
+            covered = set()
+            for r in chunks:
+                covered.update(range(r.start_tok, r.start_tok + r.n_tok_chunk))
+            assert covered == set(range(n)), (d, n, w, o)
+            if with_text:
+                for r in chunks:
+                    assert r.chunk_text == " ".join(
+                        f"w{i}" for i in range(r.start_tok, r.start_tok + r.n_tok_chunk)
+                    ), (d, r)
