@@ -1,0 +1,90 @@
+"""Randomized sweeps for the text-analysis primitives vs Python references.
+
+These expressions underpin dedup shingles, chunking, vocab, quality
+scoring, and language ID; until now they were verified only through the
+entry queries' DuckDB oracles (written by the same author — correlated-
+interpretation risk).  The references here are independent Python
+implementations of the documented semantics.
+"""
+
+from __future__ import annotations
+
+import random
+import re as pyre
+
+import pytest
+from pyspark.sql import functions as F
+
+from remote_tsdb_clickhouse_spark.functions.textfuncs import (
+    BPE_ISH_PATTERN,
+    STOPWORDS,
+    langid_expr,
+    nonascii_ratio,
+    punct_ratio,
+    token_count_bpe_ish,
+    tokens,
+)
+
+PIECES = [
+    "Hello", "WORLD", "the", "der", "le", "el", "und", "et", "y",
+    "a1b2", "42", "7", "...", "!!!", "(x)", "a-b", "e@d",
+    "héllo", "naïve", "日本語テキスト", "中文内容测试", "", " ", "\t", "\n",
+    "foo,bar;baz", "x" * 40, "1.2.3", "the the the",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(43)
+    rows = [(d, " ".join(rng.choice(PIECES) for _ in range(rng.randint(0, 20))))
+            for d in range(150)]
+    return rows, spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _py_tokens(t):
+    return pyre.sub(r"[^a-zA-Z0-9 ]", " ", t).lower().split()
+
+
+def test_tokens_randomized_sweep(corpus):
+    rows, df = corpus
+    got = {r.doc_id: r.toks for r in
+           df.select("doc_id", tokens("text").alias("toks")).collect()}
+    for d, t in rows:
+        assert got[d] == _py_tokens(t), (t, got[d], _py_tokens(t))
+
+
+def test_bpe_ish_count_randomized_sweep(corpus):
+    rows, df = corpus
+    got = {r.doc_id: r.n for r in
+           df.select("doc_id", token_count_bpe_ish("text").alias("n")).collect()}
+    for d, t in rows:
+        assert got[d] == len(pyre.findall(BPE_ISH_PATTERN, t)), (t, got[d])
+
+
+def test_ratios_randomized_sweep(corpus):
+    rows, df = corpus
+    got = {r.doc_id: (r.p, r.na) for r in df.select(
+        "doc_id", punct_ratio("text").alias("p"), nonascii_ratio("text").alias("na")
+    ).collect()}
+    for d, t in rows:
+        punct = len(pyre.sub(r"[a-zA-Z0-9\s]", "", t))
+        nonascii = sum(1 for ch in t if ord(ch) > 0x7F)
+        denom = max(len(t), 1)
+        assert got[d] == (punct / denom, nonascii / denom), (t, got[d])
+
+
+def test_langid_randomized_sweep(corpus):
+    rows, df = corpus
+    got = {r.doc_id: r.lang for r in
+           df.select("doc_id", langid_expr("text").alias("lang")).collect()}
+    for d, t in rows:
+        nonascii = sum(1 for ch in t if ord(ch) > 0x7F) / max(len(t), 1)
+        if nonascii > 0.3:
+            want = "zh"
+        else:
+            toks = _py_tokens(t)
+            hits = {lang: sum(1 for x in toks if x in ws)
+                    for lang, ws in STOPWORDS.items()}
+            want = next(lang for lang in ["en", "de", "fr", "es"]
+                        if hits[lang] == max(hits.values()))
+        assert got[d] == want, (t, got[d], want)
