@@ -56,3 +56,40 @@ def test_salt_spreads_hot_key(spark):
     df = spark.createDataFrame([("hot", float(i)) for i in range(4000)], "k STRING, v DOUBLE")
     n = salt(df.repartition(8), ["k"], n_salts=8).select("__salt").distinct().count()
     assert n >= 4  # the single key occupies several sub-keys
+
+
+def test_salted_agg_randomized_equivalence(spark):
+    """Seeded randomized equivalence: salted two-phase aggregation must
+    match a plain groupBy for all four decomposable aggregates on a
+    Zipf-ish skewed key distribution, across three salt counts (including
+    n_salts larger than some groups' row counts).  Integer-valued doubles
+    keep the reordered sums exact."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.operators.layout import salted_agg
+
+    rng = random.Random(47)
+    keys = ["hot"] * 60 + [f"warm{i}" for i in range(1, 10) for _ in range(6)] + [
+        f"cold{i}" for i in range(30)
+    ]
+    rows = [(rng.choice(keys), float(rng.randint(-50, 50))) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+    want = {
+        r.k: (r.s, r.c, r.mn, r.mx)
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("v").alias("c"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    for n_salts in (2, 16, 64):
+        out = salted_agg(
+            df, ["k"], {"v": "sum"}, n_salts=n_salts
+        ).join(
+            salted_agg(df, ["k"], {"v": "count"}, n_salts=n_salts), "k"
+        ).join(
+            salted_agg(df, ["k"], {"v": "min"}, n_salts=n_salts), "k"
+        ).join(
+            salted_agg(df, ["k"], {"v": "max"}, n_salts=n_salts), "k"
+        )
+        got = {r.k: (r.sum_v, r.count_v, r.min_v, r.max_v) for r in out.collect()}
+        assert got == want, n_salts
