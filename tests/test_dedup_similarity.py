@@ -543,3 +543,47 @@ def test_minhash_planted_duplicates_randomized(spark):
         assert (a, b) in pairs or (b, a) in pairs, (a, b, texts[a])
     for a, b in pairs:
         assert jaccard(texts[a], texts[b]) >= 0.8, (a, b, jaccard(texts[a], texts[b]))
+
+
+def test_connected_components_randomized_graphs(spark):
+    """Seeded random-graph sweep of the iterative min-label propagation vs
+    a Python union-find reference: 3 graph shapes (sparse random, long
+    chains that stress the iteration count, disjoint cliques) in one
+    call, labels checked node-for-node."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.operators.dedup import connected_components
+
+    rng = random.Random(53)
+    edges = []
+    # sparse random graph on nodes 0..199
+    for _ in range(120):
+        a, b = rng.randrange(200), rng.randrange(200)
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    # two long chains (diameter ~40 — forces multiple propagation rounds)
+    for base in (1000, 2000):
+        edges += [(base + i, base + i + 1) for i in range(40)]
+    # disjoint cliques
+    for base in (3000, 3100):
+        nodes = [base + i for i in range(6)]
+        edges += [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    got = {r.doc_id: r.group_id for r in connected_components(pairs).collect()}
+    assert got == want
