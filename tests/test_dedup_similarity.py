@@ -587,3 +587,58 @@ def test_connected_components_randomized_graphs(spark):
     pairs = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
     got = {r.doc_id: r.group_id for r in connected_components(pairs).collect()}
     assert got == want
+
+
+def test_jaccard_and_containment_bruteforce_randomized(spark):
+    """Seeded corpus of near-copies vs an all-pairs brute force: the exact
+    n-gram Jaccard pairs and the directed containment pairs must match
+    the reference EXACTLY on BOTH routes (plain inverted index and the
+    AllPairs prefix-filter path) — completeness of the prefix bound is
+    the property a fixture-based oracle can miss."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(59)
+    vocab = [f"w{i}" for i in range(80)]
+    texts = {}
+    did = 0
+    for _ in range(14):
+        base = [rng.choice(vocab) for _ in range(rng.randint(6, 24))]
+        texts[did] = " ".join(base); did += 1
+        for _ in range(rng.randint(0, 2)):  # near-copies: 0-2 token edits
+            mut = list(base)
+            for _ in range(rng.randint(0, 2)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            texts[did] = " ".join(mut); did += 1
+        if rng.random() < 0.5:  # embed the base verbatim in a longer doc
+            pad = [rng.choice(vocab) for _ in range(rng.randint(3, 10))]
+            texts[did] = " ".join(pad + base); did += 1
+
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    shs = {d: sh(t) for d, t in texts.items()}
+    want_j, want_c = set(), set()
+    for a in texts:
+        for b in texts:
+            sa, sb = shs[a], shs[b]
+            if a < b and sa and sb and len(sa & sb) / len(sa | sb) >= 0.8:
+                want_j.add((a, b))
+            if a != b and sa and len(sa & sb) / len(sa) >= 0.9:
+                want_c.add((a, b))
+
+    docs = spark.createDataFrame(list(texts.items()), "doc_id LONG, text STRING")
+    for pf in (False, True):
+        got_j = {(r.doc_a, r.doc_b) for r in
+                 ngram_jaccard_pairs(docs, threshold=0.8, prefix_filter=pf)
+                 .select("doc_a", "doc_b").collect()}
+        assert got_j == want_j, (pf, got_j ^ want_j)
+        got_c = {(r.doc_inner, r.doc_outer) for r in
+                 containment_pairs(docs, threshold=0.9, prefix_filter=pf)
+                 .select("doc_inner", "doc_outer").collect()}
+        assert got_c == want_c, (pf, got_c ^ want_c)
