@@ -642,3 +642,36 @@ def test_jaccard_and_containment_bruteforce_randomized(spark):
                  containment_pairs(docs, threshold=0.9, prefix_filter=pf)
                  .select("doc_inner", "doc_outer").collect()}
         assert got_c == want_c, (pf, got_c ^ want_c)
+
+
+def test_bloom_membership_no_false_negatives_randomized(spark):
+    """Seeded sweep of the Bloom guarantee: every new doc whose text is
+    literally present in the reference corpus MUST report
+    maybe_member=true (zero false negatives, the property that makes the
+    filter usable for dedup), across three filter sizes including an
+    undersized m that forces false positives."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.operators.dedup import bloom_membership
+
+    rng = random.Random(61)
+    vocab = [f"w{i}" for i in range(50)]
+    ref_texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 15)))
+                 for _ in range(40)]
+    members = rng.sample(range(40), 15)
+    new_rows = []
+    for d in range(30):
+        if d < 15:
+            new_rows.append((d, ref_texts[members[d]]))  # exact member
+        else:
+            new_rows.append((d, " ".join(rng.choice(vocab)
+                                         for _ in range(rng.randint(4, 15)))))
+    ref = spark.createDataFrame([(i, t) for i, t in enumerate(ref_texts)],
+                                "doc_id LONG, text STRING")
+    new = spark.createDataFrame(new_rows, "doc_id LONG, text STRING")
+    for m in (64, 1024, 4096):
+        got = {r.doc_id: r.maybe_member
+               for r in bloom_membership(new, ref, k=4, m=m).collect()}
+        assert len(got) == 30  # every new doc reported
+        for d in range(15):
+            assert got[d], (m, d)  # the Bloom contract: no false negatives
