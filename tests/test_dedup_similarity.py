@@ -675,3 +675,46 @@ def test_bloom_membership_no_false_negatives_randomized(spark):
         assert len(got) == 30  # every new doc reported
         for d in range(15):
             assert got[d], (m, d)  # the Bloom contract: no false negatives
+
+
+def test_line_dedup_randomized_block_corpus(spark):
+    """Seeded sweep of CCNet line dedup on a block-aligned corpus: docs
+    are concatenations of 8-token blocks drawn from a pool where some
+    blocks are corpus-wide boilerplate (df > max_doc_freq) and some are
+    rare; kept/dropped counts and the reassembled text are checked
+    against a Python reference of the documented segment/df semantics."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.operators.dedup import line_dedup
+
+    rng = random.Random(67)
+    K = 8
+    pool = [" ".join(f"b{i}t{j}" for j in range(K)) for i in range(30)]
+    boiler = pool[:4]  # planted in many docs
+    docs = {}
+    for d in range(40):
+        blocks = []
+        if rng.random() < 0.7:
+            blocks.append(rng.choice(boiler))
+        blocks += rng.sample(pool[4:], rng.randint(1, 5))
+        if rng.random() < 0.3:
+            blocks.append(rng.choice(boiler))
+        docs[d] = blocks
+    rows = [(d, " ".join(bs)) for d, bs in docs.items()]
+
+    df_count = {}
+    for bs in docs.values():
+        for s in set(bs):
+            df_count[s] = df_count.get(s, 0) + 1
+
+    out = line_dedup(
+        spark.createDataFrame(rows, "doc_id LONG, text STRING"),
+        seg_tokens=K, max_doc_freq=2,
+    ).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        bs = docs[r.doc_id]
+        kept = [s for s in bs if df_count[s] <= 2]
+        assert (r.n_kept, r.n_dropped) == (len(kept), len(bs) - len(kept)), (
+            r.doc_id, bs)
+        assert r.clean_text == " ".join(kept), r.doc_id
