@@ -718,3 +718,35 @@ def test_line_dedup_randomized_block_corpus(spark):
         assert (r.n_kept, r.n_dropped) == (len(kept), len(bs) - len(kept)), (
             r.doc_id, bs)
         assert r.clean_text == " ".join(kept), r.doc_id
+
+
+def test_exact_dedup_normalization_identity_randomized(spark):
+    """Seeded sweep of exact dedup: documents equal up to normalization
+    (case, punctuation, whitespace runs) must share a content hash with
+    keeper = min id; distinct token streams must not collide."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.operators.dedup import exact_dedup
+
+    rng = random.Random(71)
+    vocab = [f"w{i}" for i in range(40)]
+    rows, expect = [], {}
+    did = 0
+    for g in range(25):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+        canon = " ".join(toks)
+        n = rng.randint(1, 4)
+        expect[canon] = (did, n)
+        for _ in range(n):
+            variant = "  ".join(
+                t.upper() if rng.random() < 0.5 else t for t in toks
+            )
+            if rng.random() < 0.5:
+                variant = variant.replace(" ", " , ", 1) + "!"
+            rows.append((did, variant)); did += 1
+    out = exact_dedup(spark.createDataFrame(rows, "doc_id LONG, text STRING")).collect()
+    got = {}
+    for r in out:
+        got[r.content_hash] = (r.keeper_id, r.n_copies)
+    assert len(got) == len(expect)  # no collisions across distinct streams
+    assert sorted(got.values()) == sorted(expect.values())
