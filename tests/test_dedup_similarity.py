@@ -750,3 +750,187 @@ def test_exact_dedup_normalization_identity_randomized(spark):
         got[r.content_hash] = (r.keeper_id, r.n_copies)
     assert len(got) == len(expect)  # no collisions across distinct streams
     assert sorted(got.values()) == sorted(expect.values())
+
+
+def test_simhash_bruteforce_randomized(spark):
+    """Seeded sweep of the SimHash path vs a Python re-implementation of
+    the identical md5-based fingerprint: ``simhash_values`` must match
+    bit-for-bit (same tokenizer, same per-bit vote-with-tie-sets-one),
+    and ``simhash_pairs``'s 4-byte-block candidate generation must emit
+    EXACTLY the all-pairs Hamming<=3 set — complete by pigeonhole, with
+    the first-matching-block filter leaving one row per pair."""
+    import hashlib
+    import random
+    import re
+
+    from remote_tsdb_clickhouse_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_values,
+    )
+
+    def py_simhash(text):
+        cleaned = re.sub(r"[^a-zA-Z0-9 ]", " ", text).lower()
+        toks = [t for t in re.split(r"\s+", cleaned) if t]
+        if not toks:
+            return None
+        votes = [0] * 32
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            for j in range(32):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(32) if votes[j] >= 0)
+
+    rng = random.Random(71)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> near-dups happen
+    rows = []
+    for i in range(36):
+        base = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 10)))
+        rows.append((2 * i, base))
+        # a 0/1-token mutation plus case/punctuation noise the normalizing
+        # tokenizer must strip identically in both engines
+        w = base.split()
+        if rng.random() < 0.6:
+            w[rng.randrange(len(w))] = rng.choice(vocab)
+        noisy = " ".join(x.upper() if rng.random() < 0.3 else x for x in w)
+        rows.append((2 * i + 1, noisy + ("!" if rng.random() < 0.5 else "")))
+    rows.append((999, "!!! ..."))  # zero tokens -> no fingerprint row
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    want_vals = {i: py_simhash(t) for i, t in rows}
+    want_vals = {i: v for i, v in want_vals.items() if v is not None}
+    got_vals = {r.doc_id: r.simhash for r in simhash_values(docs).collect()}
+    assert got_vals == want_vals
+
+    out = simhash_pairs(docs, max_hamming=3).collect()
+    assert len(out) == len({(r.doc_a, r.doc_b) for r in out})  # one row/pair
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    ids = sorted(want_vals)
+    want = {}
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            d = bin(want_vals[a] ^ want_vals[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+
+
+def test_brute_force_topk_randomized_vs_reference(spark):
+    """Seeded sweep of the exact cosine top-k vs a Python reference that
+    replays the identical IEEE op order (sequential-fold dot on
+    float32-rounded components), so cosines are bit-identical and the
+    (cos desc, neighbor_id asc) rank order must match row-for-row.  A
+    zero vector exercises the zero-norm -> cos 0 branch."""
+    import math
+    import random
+
+    import numpy as np
+
+    from remote_tsdb_clickhouse_spark.operators.similarity import brute_force_topk
+
+    rng = random.Random(97)
+    n, d, kk = 40, 8, 7
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(n)]
+    rows.append((n, [0.0] * d))  # zero-norm corpus vector
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    out = brute_force_topk(emb, queries, k=kk).collect()
+
+    f32 = {i: [float(np.float32(x)) for x in v] for i, v in rows}
+
+    def pdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    nrm = {i: math.sqrt(pdot(v, v)) for i, v in f32.items()}
+    want = {}
+    for q in range(5):
+        scored = []
+        for i, v in f32.items():
+            if i == q:
+                continue
+            c = pdot(f32[q], v) / (nrm[q] * nrm[i]) if nrm[q] > 0 and nrm[i] > 0 else 0.0
+            scored.append((-c, i))
+        scored.sort()
+        want[q] = [(i, -negc, r + 1) for r, (negc, i) in enumerate(scored[:kk])]
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.cos, r.rank))
+    for q in got:
+        got[q].sort(key=lambda t: t[2])
+    assert set(got) == set(want)
+    for q in want:
+        assert [(i, r) for i, _, r in got[q]] == [(i, r) for i, _, r in want[q]], q
+        for (_, gc, _), (_, wc, _) in zip(got[q], want[q]):
+            # Spark rounds HALF_UP to 4 decimals; compare against the
+            # unrounded reference with the rounding slack
+            assert abs(gc - wc) <= 5.1e-5, (q, gc, wc)
+
+
+def test_pq_adc_topk_randomized_vs_reference(spark):
+    """Seeded ADC sweep: pq_adc_topk's per-Arrow-batch partial top-k +
+    final window vs a global (unbatched) Python all-pairs reference built
+    from the SAME deterministic codebook and the separately-exactness-
+    tested pq_codes output.  Codes map to table positions through an
+    id->position dict (independent of the operator's searchsorted), the
+    id space is sparse, and planted duplicate vectors force equal-ADC
+    ties through the (adc, neighbor_id) tie-break."""
+    import random
+
+    import numpy as np
+
+    from remote_tsdb_clickhouse_spark.operators.similarity import (
+        PQ_SCALE,
+        _pq_centroids,
+        pq_adc_topk,
+        pq_codes,
+    )
+
+    rng = random.Random(131)
+    d, m, k, n_q, topk = 8, 4, 16, 6, 5
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(n_q)]
+    vid = n_q
+    for _ in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(d)]
+        rows.append((vid, v))
+        if rng.random() < 0.3:  # exact duplicate -> equal ADC distances
+            vid += 1 + rng.randrange(3)
+            rows.append((vid, list(v)))
+        vid += 1 + rng.randrange(2)  # sparse, non-contiguous ids
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    out = pq_adc_topk(emb, n_queries=n_q, topk=topk, m=m, k=k).collect()
+
+    cent_ids, cent_mat = _pq_centroids(emb, k, "vec_id", "embedding")
+    sub = d // m
+    cent_sub = cent_mat.reshape(len(cent_ids), m, sub)
+    pos = {int(c): i for i, c in enumerate(cent_ids)}
+    codes_rows = pq_codes(emb, m=m, k=k).collect()
+    f32 = {
+        i: np.asarray([float(np.float32(x)) for x in v], dtype=np.float64)
+        for i, v in rows
+    }
+    want = {}
+    for qid in range(n_q):
+        qv = np.floor(f32[qid] * PQ_SCALE).astype(np.int64).reshape(m, sub)
+        table = [
+            [int(((qv[s] - cent_sub[c, s]) ** 2).sum()) for c in range(len(cent_ids))]
+            for s in range(m)
+        ]
+        scored = []
+        for r in codes_rows:
+            if r.vec_id == qid:
+                continue
+            a = sum(table[s][pos[r[f"code{s}"]]] for s in range(m))
+            scored.append((a, r.vec_id))
+        scored.sort()
+        want[qid] = [(nid, a, rk + 1) for rk, (a, nid) in enumerate(scored[:topk])]
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.adc, r.rk))
+    for q in got:
+        got[q].sort(key=lambda t: t[2])
+    assert got == want
