@@ -934,3 +934,147 @@ def test_pq_adc_topk_randomized_vs_reference(spark):
     for q in got:
         got[q].sort(key=lambda t: t[2])
     assert got == want
+
+
+def test_ivf_probe_all_equals_bruteforce_randomized(spark):
+    """Seeded IVF completeness sweep: with ``nprobe == n_centroids`` every
+    query scores every inverted list, so the result must equal the exact
+    brute-force top-k row-for-row — for ANY coarse quantizer.  Checked
+    with both the deterministic smallest-id centroids and a k-means
+    trained quantizer, over a sparse id space."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_train_centroids,
+        ivf_topk,
+    )
+
+    rng = random.Random(173)
+    d, nc, kk = 8, 6, 5
+    rows, vid = [], 0
+    for _ in range(45):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(d)]))
+        vid += 1 + rng.randrange(3)  # sparse, non-contiguous ids
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    queries = emb.limit(4)
+
+    def as_map(res):
+        out = {}
+        for r in res:
+            out.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos))
+        for q in out:
+            out[q].sort()
+        return out
+
+    want = as_map(brute_force_topk(emb, queries, k=kk).collect())
+    got = as_map(
+        ivf_topk(emb, queries, k=kk, n_centroids=nc, nprobe=nc).collect()
+    )
+    assert got == want
+    trained = ivf_train_centroids(emb, n_centroids=nc, n_iters=2)
+    got_tr = as_map(
+        ivf_topk(
+            emb, queries, k=kk, n_centroids=nc, nprobe=nc, centroids=trained
+        ).collect()
+    )
+    assert got_tr == want
+
+
+def test_cosine_pairs_randomized_vs_reference(spark):
+    """Seeded sweep of the block-GEMM cosine_pairs vs an all-pairs numpy
+    reference built with the identical normalize-then-GEMM arithmetic:
+    the (a < b, cos >= threshold) pair set must match exactly, with
+    planted exact duplicates (cos 1.0), a zero vector (scores 0 with
+    everything -> excluded at a positive threshold), and sparse ids."""
+    import random
+
+    import numpy as np
+
+    from remote_tsdb_clickhouse_spark.operators.similarity import cosine_pairs
+
+    rng = random.Random(211)
+    d, thr = 16, 0.45
+    rows, vid = [], 0
+    for i in range(70):
+        v = [rng.uniform(-1, 1) for _ in range(d)]
+        rows.append((vid, v))
+        if rng.random() < 0.15:  # exact duplicate -> cos 1.0 pair
+            vid += 1 + rng.randrange(3)
+            rows.append((vid, list(v)))
+        vid += 1 + rng.randrange(2)
+    rows.append((vid + 1, [0.0] * d))  # zero-norm vector
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    out = cosine_pairs(emb, threshold=thr).collect()
+    got = {(r.id_a, r.id_b): r.cos for r in out}
+    assert len(got) == len(out)  # no duplicate pairs emitted
+
+    ids = np.array([i for i, _ in rows], dtype=np.int64)
+    mat = np.array(
+        [[float(np.float32(x)) for x in v] for _, v in rows], dtype=np.float64
+    )
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    sims = unit @ unit.T
+    want = {}
+    for a in range(len(ids)):
+        for b in range(len(ids)):
+            if ids[b] > ids[a] and sims[a, b] >= thr:
+                want[(int(ids[a]), int(ids[b]))] = sims[a, b]
+    assert set(got) == set(want)
+    for key, wc in want.items():
+        assert abs(got[key] - wc) <= 5.1e-5, (key, got[key], wc)
+    dup_pairs = [key for key, wc in want.items() if wc >= 0.999999]
+    assert dup_pairs  # the planted duplicates actually exercised cos=1.0
+    for key in dup_pairs:
+        assert got[key] == 1.0
+
+
+def test_quantize_int8_histogram_randomized_vs_reference(spark):
+    """Seeded sweep of the SQ8 code histogram vs a pure-Python dict
+    reference of the same exact int64 micro-unit arithmetic: per-dim
+    min/max, code assignment, and counts must match exactly.  One
+    dimension is constant (mx == mn -> every code 0) and one spans a
+    huge range to exercise the scaling."""
+    import random
+
+    import numpy as np
+
+    from remote_tsdb_clickhouse_spark.operators.similarity import (
+        quantize_int8_histogram,
+    )
+
+    rng = random.Random(229)
+    d, n, codes = 6, 80, 16
+    rows = []
+    for i in range(n):
+        v = [rng.uniform(-1, 1) for _ in range(d)]
+        v[2] = 0.25  # constant dimension -> mn == mx
+        v[3] = rng.uniform(-1000.0, 1000.0)  # wide-range dimension
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    out = quantize_int8_histogram(emb, codes=codes).collect()
+
+    import math
+
+    comp = {}  # dim -> list of micro ints
+    for _, v in rows:
+        for dim, x in enumerate(v):
+            comp.setdefault(dim, []).append(
+                math.floor(float(np.float32(x)) * 1000000.0)
+            )
+    want = {}
+    for dim, vals in comp.items():
+        mn, mx = min(vals), max(vals)
+        hist = {}
+        for vi in vals:
+            q = ((vi - mn) * codes) // (mx - mn + 1)
+            hist[q] = hist.get(q, 0) + 1
+        for q, cnt in hist.items():
+            want[(dim, q)] = (cnt, mn, mx)
+    got = {(r.dim, r.qcode): (r.n, r.mn_micro, r.mx_micro) for r in out}
+    assert got == want
+    assert all(q == 0 for (dim, q) in got if dim == 2)  # constant dim
