@@ -167,3 +167,78 @@ def test_stateful_dedup_stream_cross_batch(spark, tmp_path):
     assert len(out2) == 5  # checkpoint: batch 1 emitted once, not reprocessed
     assert not out2[4].is_first and out2[4].n_seen_before == 2  # state crossed batches
     assert out2[5].is_first and out2[5].n_seen_before == 0
+
+
+def test_sessionized_stream_randomized_vs_reference(spark, tmp_path):
+    """Seeded sweep of the built-in session-window sessionization vs a
+    Python merge reference: per-series event streams with inter-event
+    gaps clustered strictly below and strictly above the session gap
+    (never exactly at the boundary), split across 3 micro-batches via
+    maxFilesPerTrigger=1 so sessions must merge across batches.  Session
+    start is the first event, end is last event + gap, with per-session
+    count and max checked key-for-key.  The watermark is wider than the
+    whole event span: rows are shuffled across batches, and Spark drops
+    input rows behind the advanced watermark even in complete mode, so a
+    narrow watermark would silently shrink sessions."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    from remote_tsdb_clickhouse_spark.streaming.ingest import sessionized_stream
+
+    rng = random.Random(307)
+    base = datetime(2024, 1, 1)
+    gap_s = 300
+    rows, expect = [], {}
+    for key_i in range(6):
+        metric = f"m{key_i % 3}"
+        labels = [f"job=j{key_i}"]
+        t, events = 0, []
+        for _ in range(rng.randint(5, 25)):
+            t += rng.choice([rng.randint(1, 200), rng.randint(301, 900)])
+            events.append((t, round(rng.uniform(0, 100), 3)))
+        for ts, v in events:
+            rows.append((base + timedelta(seconds=ts), metric, labels, v))
+        sessions, cur = [], None
+        for ts, v in events:  # ascending by construction
+            if cur is None or ts >= cur[1]:
+                if cur is not None:
+                    sessions.append(cur)
+                cur = [ts, ts + gap_s, 0, float("-inf")]
+            cur[1] = ts + gap_s
+            cur[2] += 1
+            cur[3] = max(cur[3], v)
+        if cur is not None:
+            sessions.append(cur)
+        base_epoch = int(base.replace(tzinfo=timezone.utc).timestamp())
+        expect[(metric, labels[0])] = sorted(
+            (base_epoch + s, base_epoch + e, n, mx) for s, e, n, mx in sessions
+        )
+
+    staging = str(tmp_path / "sess_staging")
+    rng.shuffle(rows)
+    third = (len(rows) + 2) // 3
+    for i in range(3):  # 3 files -> 3 micro-batches
+        _stage_batch(spark, staging, rows[i * third:(i + 1) * third])
+
+    src = (
+        spark.readStream.schema(SAMPLES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    agg = sessionized_stream(src, gap="5 minutes", watermark="24 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_sweep")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM sess_sweep").collect():
+        got.setdefault((r.metric_name, r.labels_str), []).append(
+            (r.s_start, r.s_end, r.n_samples, r.max_v)
+        )
+    for k in got:
+        got[k].sort()
+    assert got == expect
