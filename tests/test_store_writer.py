@@ -209,3 +209,67 @@ def test_tsv_export_time_slice_bounds(spark, tmp_path):
         schema="metric_name STRING, labels_str STRING, ts_ms LONG, value DOUBLE",
     )
     assert sorted(r["value"] for r in got.collect()) == [2.0, 3.0]
+
+
+def test_tsv_roundtrip_randomized_sweep(spark, tmp_path):
+    """Seeded randomized TSV export/import round trip: many series across
+    several day partitions with format-legal special characters in label
+    values (slashes, colons, equals in the value part) and extreme
+    doubles (1e308, 5e-324, -0.0, 17-significant-digit sums).  The
+    re-imported store must equal the original bit-for-bit — values
+    compared via their IEEE bit pattern so -0.0 vs 0.0 and last-ulp
+    drift in the shortest-round-trip printing would be caught.  Labels
+    compare as sorted sets: the raw store preserves request order while
+    ``import_tsv`` canonicalizes via ``array_sort`` — the same
+    normalization every query-facing read applies (P2 ``arraySort``
+    parity, ``read_plan.py``), so label ORDER is explicitly not part of
+    the round-trip contract; membership and exact bytes are."""
+    import random
+    import struct
+
+    rng = random.Random(401)
+    base_ms = 1704067200000  # 2024-01-01
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+
+    extreme = [1e308, 5e-324, -0.0, 0.1 + 0.2, -1e-300, 123456789.123456789]
+    label_pool = [
+        ("instance", "10.0.0.1:9100"),
+        ("path", "/api/v1/query"),
+        ("q", "0.999"),
+        ("expr", "a=b"),  # '=' inside the value: split must be on the FIRST '='
+        ("job", "node_exporter"),
+    ]
+    n_rows = 0
+    for i in range(30):
+        name = rng.choice(["up", "go_goroutines", "http:requests:rate5m", f"m_{i}"])
+        labels = rng.sample(label_pool, rng.randint(0, 3))
+        samples = []
+        for _ in range(rng.randint(1, 6)):
+            t = base_ms + rng.randrange(4) * 86_400_000 + rng.randrange(86_400) * 1000
+            v = rng.choice(extreme) if rng.random() < 0.3 else rng.uniform(-1e6, 1e6)
+            samples.append((v, t))
+        writer.write(wr(name, labels, samples))
+        n_rows += len(samples)
+
+    out = tmp_path / "sweep_dump"
+    # duplicate (series, ts) rows may exist across writes; export counts rows
+    assert store.export_tsv(str(out)) == store.read().count()
+
+    store2 = SamplesStore(spark, str(tmp_path / "samples_rt"))
+    assert store2.import_tsv(str(out)) == store.read().count()
+
+    def canon(df):
+        rows = []
+        for r in df.collect():
+            rows.append(
+                (
+                    r["metric_name"],
+                    tuple(sorted(r["labels"])),
+                    r["ts"],
+                    struct.pack("<d", r["value"]),
+                )
+            )
+        return sorted(rows)
+
+    assert canon(store.read()) == canon(store2.read())
