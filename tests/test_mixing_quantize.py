@@ -70,3 +70,59 @@ def test_quantize_int8_histogram(spark):
     d0 = sorted(by_dim[0], key=lambda r: r["qcode"])
     assert d0[0]["qcode"] == 0
     assert d0[-1]["qcode"] == 255
+
+
+def test_mixture_randomized_water_filling_sweep(spark):
+    """Seeded randomized sweep of the water-filling math and the rank
+    selection: random source counts (including size-1 and heavily skewed)
+    and random integer weights, checked against an independent Python
+    model of N* = min_k floor(c_k*W/w_k), take_k = floor(w_k*N*/W).  The
+    selected ids must equal the Python reference selection exactly — the
+    md5-rank tie-broken by id — so the sample is reproducible down to the
+    document level, not just the counts."""
+    import hashlib
+    import random
+
+    rng = random.Random(911)
+    for _ in range(8):
+        n_sources = rng.randint(1, 5)
+        counts = [rng.choice([1, 2, 3, rng.randint(4, 40)]) for _ in range(n_sources)]
+        weights = {f"s{k}": rng.randint(1, 9) for k in range(n_sources)}
+        rows, did = [], 0
+        for k, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((did, f"s{k}"))
+                did += 1
+        docs = spark.createDataFrame(rows, "doc_id LONG, source STRING").repartition(5)
+
+        w = F.lit(None).cast("long")
+        expr = None
+        for src, wt in weights.items():
+            expr = (F.when(F.col("source") == src, wt) if expr is None
+                    else expr.when(F.col("source") == src, wt))
+        w = expr
+
+        # independent Python model
+        bigw = sum(weights.values())
+        n_star = min((c * bigw) // weights[f"s{k}"] for k, c in enumerate(counts))
+        want_take = {f"s{k}": (weights[f"s{k}"] * n_star) // bigw
+                     for k in range(len(counts))}
+
+        got_take = {r["source"]: r["n_take"]
+                    for r in mixing.mixture_take_counts(docs, w).collect()}
+        assert got_take == want_take, (counts, weights)
+
+        # reference selection: md5(str(id)) rank within source, tie by id
+        by_src = {}
+        for i, src in rows:
+            by_src.setdefault(src, []).append(i)
+        want_ids = set()
+        for src, ids in by_src.items():
+            ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            want_ids.update(ranked[: want_take[src]])
+
+        got_ids = {r["doc_id"] for r in mixing.mixture_sample(docs, w).collect()}
+        assert got_ids == want_ids, (counts, weights)
+        # take never exceeds availability and hits the exact mixture floor
+        for k, c in enumerate(counts):
+            assert 0 <= want_take[f"s{k}"] <= c
