@@ -179,3 +179,93 @@ def test_concurrent_writes_then_read(server):
     series = resp.results[0].timeseries
     assert len(series) == 4  # one per shard
     assert all(len(ts.samples) == 5 for ts in series)
+
+
+def test_protocol_roundtrip_randomized_sweep(spark, tmp_path):
+    """Seeded randomized end-to-end protocol sweep, wire bytes included:
+    random WriteRequests (multi-series, sub-second timestamp junk,
+    extreme doubles) go through encode -> snappy+proto decode -> writer ->
+    store, then random remote-read queries (mid-second bounds, open ends)
+    through handle_read_request and a full ReadResponse encode/decode.
+    The decoded series must equal a pure-Python model of the reference
+    semantics end to end: ms//1000 truncation, per-second grouped max,
+    inclusive upper bound, sorted-label series identity, __name__
+    re-expansion, ms re-expansion of the truncated second."""
+    import random
+
+    rng = random.Random(1201)
+    base_ms = 1704067200000  # 2024-01-01
+    span_ms = 3 * 86_400_000
+    store = SamplesStore(spark, str(tmp_path / "samples"))
+    writer = TimeseriesWriter(store)
+
+    names = ["up", "http_requests_total", "node_cpu"]
+    label_pool = [("instance", "10.0.0.1:9100"), ("job", "omada"),
+                  ("path", "/api/v1/query"), ("zone", "eu-west")]
+    extreme = [1e308, 5e-324, 123456789.123456789, -1.5e-300]
+    written = []  # (name, sorted-"k=v"-tuple, ts_ms, value)
+    for _ in range(10):
+        series = []
+        for _ in range(rng.randint(1, 3)):
+            name = rng.choice(names)
+            labels = sorted(rng.sample(label_pool, rng.randint(0, 3)))
+            samples = []
+            for _ in range(rng.randint(1, 5)):
+                t = base_ms + rng.randrange(span_ms)  # arbitrary ms junk
+                v = rng.choice(extreme) if rng.random() < 0.2 else rng.uniform(-1e4, 1e4)
+                samples.append((v, t))
+                written.append(
+                    (name, tuple(f"{k}={v2}" for k, v2 in labels), t, v)
+                )
+            series.append(
+                prompb.TimeSeries(
+                    labels=[prompb.Label("__name__", name)]
+                    + [prompb.Label(k, v2) for k, v2 in labels],
+                    samples=[prompb.Sample(v, t) for v, t in samples],
+                )
+            )
+        req = prompb.WriteRequest(timeseries=series)
+        # the real wire path: proto-encode, snappy-frame, cap-check, decode
+        writer.write(codec.decode_write_request(codec.encode_write_request(req)))
+
+    from remote_tsdb_clickhouse_spark.server.service import handle_read_request
+
+    for _ in range(5):
+        start_ms = base_ms + rng.randrange(span_ms) + rng.randrange(1000)
+        end_ms = 0 if rng.random() < 0.3 else start_ms + rng.randrange(span_ms)
+        name = rng.choice(names)
+        q = ReadQuery(
+            start_ms=start_ms, end_ms=end_ms,
+            matchers=(LabelMatcher(MatcherType.EQ, "__name__", name),),
+            hints=ReadHints(),
+        )
+        resp = handle_read_request(store.read(), prompb.ReadRequest(queries=[q]))
+        resp = prompb.decode_read_response(
+            codec.snappy_decompress(codec.encode_read_response(resp))
+        )
+
+        # pure-Python reference of the full read semantics
+        start_s, end_s = start_ms // 1000, end_ms // 1000
+        per_series = {}
+        for n, labs, t, v in written:
+            ts_s = t // 1000
+            if n != name or ts_s < start_s or (end_ms > 0 and ts_s > end_s):
+                continue
+            sec = per_series.setdefault((n, labs), {})
+            sec[ts_s] = max(sec.get(ts_s, float("-inf")), v)
+        want = []
+        for (n, labs), sec in sorted(per_series.items(), key=lambda kv: (kv[0][0], ",".join(kv[0][1]))):
+            want.append((
+                (("__name__", n),) + tuple(tuple(s.split("=", 1)) for s in labs),
+                tuple((ts_s * 1000, v) for ts_s, v in sorted(sec.items())),
+            ))
+
+        assert len(resp.results) == 1
+        got = [
+            (
+                tuple((lb.name, lb.value) for lb in ts.labels),
+                tuple((s.timestamp, s.value) for s in ts.samples),
+            )
+            for ts in resp.results[0].timeseries
+        ]
+        assert got == want, (start_ms, end_ms, name)
