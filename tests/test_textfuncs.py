@@ -88,3 +88,71 @@ def test_langid_randomized_sweep(corpus):
             want = next(lang for lang in ["en", "de", "fr", "es"]
                         if hits[lang] == max(hits.values()))
         assert got[d] == want, (t, got[d], want)
+
+
+def test_decontamination_randomized_sweep(spark):
+    """Seeded randomized sweep of the 13-gram decontamination operator
+    (run at n=5 so a small-vocabulary corpus collides naturally) against a
+    pure-Python n-gram reference: random train/benchmark docs over a tiny
+    vocabulary with casing and punctuation junk (normalization must line
+    up on both sides), verbatim benchmark spans planted into a subset of
+    train docs, and sub-n documents that must produce no n-grams.  The
+    operator's (doc_id, n_shared_ngrams, n_benchmark_docs) rows must equal
+    the reference exactly — including which clean docs are ABSENT."""
+    import re as _re
+
+    from remote_tsdb_clickhouse_spark.operators.decontaminate import ngram_contamination
+
+    rng = random.Random(1301)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    junk = ["", ",", "!", "  ", "?", ";"]
+
+    def make_doc(n_words):
+        words = []
+        for _ in range(n_words):
+            w = rng.choice(vocab)
+            if rng.random() < 0.3:
+                w = w.capitalize()
+            words.append(w + rng.choice(junk))
+        return " ".join(words)
+
+    n = 5
+    bench_rows = [(i, make_doc(rng.randint(n, 20))) for i in range(6)]
+    train_rows = []
+    for i in range(40):
+        if rng.random() < 0.25:
+            # plant a verbatim benchmark span long enough to share >=1 n-gram
+            src = rng.choice(bench_rows)[1]
+            toks = src.split()
+            if len(toks) > n:
+                lo = rng.randrange(len(toks) - n)
+                span = " ".join(toks[lo : lo + rng.randint(n, len(toks) - lo)])
+                train_rows.append((i, make_doc(rng.randint(0, 6)) + " " + span))
+                continue
+        train_rows.append((i, make_doc(rng.randint(1, 25))))  # incl. sub-n docs
+
+    def py_tokens(text):
+        return [t for t in _re.sub(r"[^a-zA-Z0-9 ]", " ", text).lower().split() if t]
+
+    def py_ngrams(text):
+        toks = py_tokens(text)
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_ngrams = {i: py_ngrams(t) for i, t in bench_rows}
+    want = {}
+    for i, t in train_rows:
+        tg = py_ngrams(t)
+        shared = tg & set().union(*bench_ngrams.values())
+        if shared:
+            hit_docs = sum(1 for g in bench_ngrams.values() if tg & g)
+            want[i] = (len(shared), hit_docs)
+
+    train = spark.createDataFrame(train_rows, "doc_id LONG, text STRING").repartition(7)
+    bench = spark.createDataFrame(bench_rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["n_shared_ngrams"], r["n_benchmark_docs"])
+        for r in ngram_contamination(train, bench, n=n).collect()
+    }
+    assert got == want
+    # the sweep must exercise real contamination, not a vacuous empty match
+    assert len(want) >= 5
