@@ -242,3 +242,68 @@ def test_sessionized_stream_randomized_vs_reference(spark, tmp_path):
     for k in got:
         got[k].sort()
     assert got == expect
+
+
+def test_stateful_dedup_randomized_cross_batch_sweep(spark, tmp_path):
+    """Seeded randomized sweep of the dedup-on-ingest state machine: 60
+    docs with content hashes drawn from a small pool (heavy duplication,
+    some singletons), arriving as 3 checkpoint-resumed availableNow runs
+    over contiguous ascending doc_id ranges — duplicate chains cross both
+    batch boundaries.  Every doc's (is_first, n_seen_before) must equal
+    the global order statistic: the count of same-hash docs with a
+    smaller doc_id.  Randomized within-batch write order checks that the
+    operator's own sort (not arrival luck) restores doc_id order."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.streaming.ingest import stateful_dedup_stream
+
+    rng = random.Random(1409)
+    staging = str(tmp_path / "dedup_staging")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    out_dir = str(tmp_path / "dedup_out")
+    schema = "doc_id BIGINT, content_hash STRING"
+
+    pool = [f"h{k}" for k in range(8)]
+    docs = []
+    for did in range(60):
+        h = pool[rng.randrange(len(pool))] if rng.random() < 0.8 else f"uniq{did}"
+        docs.append((did, h))
+
+    want = {}
+    seen = {}
+    for did, h in docs:  # docs is doc_id-ascending by construction
+        n = seen.get(h, 0)
+        want[did] = (n == 0, n)
+        seen[h] = n + 1
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(staging)
+        q = (
+            stateful_dedup_stream(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    splits = sorted(rng.sample(range(5, 55), 2))
+    lo = 0
+    for hi in [*splits, 60]:
+        batch = docs[lo:hi]
+        rng.shuffle(batch)  # within-batch arrival order is adversarial
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(
+            staging
+        )
+        run()
+        lo = hi
+
+    got = {
+        r.doc_id: (r.is_first, r.n_seen_before)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want
+    # the pool sizing must actually produce cross-batch duplicate chains
+    assert sum(1 for f, _ in want.values() if not f) >= 20
