@@ -555,3 +555,103 @@ def test_label_replace_randomized_sweep(spark):
                 x for x in lb if x.startswith("case="))
             assert got[key] == ref(lb, "shard", "user", pattern), (
                 pattern, lb, got[key], ref(lb, "shard", "user", pattern))
+
+
+def test_regression_family_randomized_sweep(spark):
+    """Seeded randomized sweep of deriv / predict_linear / exp_smooth /
+    stddev_over_time against Python references built from the documented
+    semantics (integer micro-unit quantization, exact int sufficient
+    statistics, the same fixed IEEE expression trees).  Series include
+    single samples and zero-time-variance cases (NULL slope), histories
+    shorter and longer than the smoothing window, and multi-bucket spans.
+    Python ints are arbitrary-precision, so the references are exact where
+    the implementations use DECIMAL — agreement checks the quantization
+    and the expression-tree shape, bit for bit."""
+    import math
+    import random
+
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
+        deriv,
+        exp_smooth,
+        predict_linear,
+        stddev_over_time,
+    )
+
+    rng = random.Random(1511)
+    t0, unit, window_n, bucket_s, tp = 1_704_067_200, 60, 5, 600, 100
+    series = {}
+    for s in range(60):
+        kind = rng.random()
+        if kind < 0.1:
+            ts = [t0 + rng.randrange(3 * 3600)]  # single sample -> NULL slope
+        elif kind < 0.2:
+            # all samples inside one time unit -> den == 0 -> NULL slope
+            base = t0 + rng.randrange(50) * unit
+            ts = sorted(rng.sample(range(base, base + unit), rng.randint(2, 5)))
+        else:
+            ts = sorted(rng.sample(range(t0, t0 + 3 * 3600), rng.randint(2, 12)))
+        series[s] = [(t, round(rng.uniform(0, 1000), 3)) for t in ts]
+
+    rows = [
+        ("m", [f"case={s}"], float(t), v)
+        for s, pts in series.items()
+        for t, v in pts
+    ]
+    g = spark.createDataFrame(
+        rows, "metric_name STRING, slb ARRAY<STRING>, t DOUBLE, max_0 DOUBLE"
+    )
+
+    def stats(pts):
+        tt = [int((t - t0) / unit) for t, _ in pts]
+        yy = [math.floor(v * 1_000_000) for _, v in pts]
+        n = len(pts)
+        st, sy = sum(tt), sum(yy)
+        sty = sum(a * b for a, b in zip(tt, yy))
+        stt = sum(a * a for a in tt)
+        return n, st, sy, sty, stt
+
+    got = {int(r.slb[0][5:]): r.slope_mu for r in deriv(g, t0, unit).collect()}
+    gotp = {int(r.slb[0][5:]): r.predicted_mu
+            for r in predict_linear(g, t0, tp, unit).collect()}
+    for s, pts in series.items():
+        n, st, sy, sty, stt = stats(pts)
+        num, den = n * sty - st * sy, n * stt - st * st
+        if den > 0:
+            slope = float(num) / float(den)
+            pred = float(sy) / float(n) + slope * (float(tp) - float(st) / float(n))
+            assert got[s] == slope, s
+            assert gotp[s] == pred, s
+        else:
+            assert got[s] is None and gotp[s] is None, s
+
+    S = window_n - 1
+    gote = {int(r.slb[0][5:]): (r.n_used, r.smooth_scaled)
+            for r in exp_smooth(g, window_n=window_n).collect()}
+    for s, pts in series.items():
+        recent = sorted(pts, key=lambda p: -p[0])[:window_n]
+        k = len(recent)
+        total = 0
+        for rn, (_, v) in enumerate(recent, start=1):
+            iv = math.floor(v * 1_000_000)
+            total += iv << (S - rn if rn < k else window_n - k)
+        assert gote[s] == (k, total), s
+
+    gots = {}
+    for r in stddev_over_time(g, bucket_s).collect():
+        gots[(int(r.slb[0][5:]), r.bucket_t)] = (
+            r.n, r.sum_micro, r.stddev_micro, r.last_v
+        )
+    want = {}
+    for s, pts in series.items():
+        buckets = {}
+        for t, v in pts:
+            buckets.setdefault(t - t % bucket_s, []).append((t, v))
+        for b, bp in buckets.items():
+            iv = [math.floor(v * 1_000_000) for _, v in bp]
+            n, sm, q = len(iv), sum(iv), sum(x * x for x in iv)
+            var = (float(q) - float(sm) * float(sm) / float(n)) / float(n)
+            want[(s, b)] = (
+                n, sm, math.floor(math.sqrt(max(var, 0.0))),
+                max(bp)[1],
+            )
+    assert gots == want
