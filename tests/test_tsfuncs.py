@@ -655,3 +655,73 @@ def test_regression_family_randomized_sweep(spark):
                 max(bp)[1],
             )
     assert gots == want
+
+
+def test_label_join_count_values_buckets_randomized_sweep(spark):
+    """Seeded randomized sweep for label_join, count_values, and the
+    cumulative histogram builders vs Python references of the PromQL
+    semantics.  label_join cases include missing sources (empty-string
+    contribution), dst already present (replaced), dst being one of the
+    sources, and separators that appear inside label values; the labelset
+    must stay sorted.  count_values checks the value-to-key inversion
+    with exact double equality; histogram_buckets checks cumulative
+    counts per le bound including the +Inf row."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.functions.tsfuncs import (
+        count_values,
+        histogram_buckets,
+        label_join,
+    )
+
+    rng = random.Random(1607)
+    keys = ["a", "b", "c", "dst"]
+    vals = ["x", "y-z", "p-q-r", "", "m"]
+    rows, labelsets = [], []
+    for s in range(40):
+        labs = sorted(
+            f"{k}={rng.choice(vals)}" for k in rng.sample(keys, rng.randint(0, 4))
+        )
+        labelsets.append(labs)
+        for _ in range(rng.randint(1, 4)):
+            # small value pool -> plenty of exact-double collisions
+            rows.append(("m", labs, float(rng.randrange(300)), float(rng.choice([0.5, 1.5, 2.5, 7.25]))))
+    g = spark.createDataFrame(
+        rows, "metric_name STRING, slb ARRAY<STRING>, t DOUBLE, max_0 DOUBLE"
+    )
+
+    def py_label_value(labs, name):
+        for kv in labs:
+            k, _, v = kv.partition("=")
+            if k == name:
+                return v
+        return None
+
+    srcs, sep, dst = ["a", "dst", "b"], "-", "dst"
+    got = {tuple(r.orig): tuple(r.slb) for r in
+           label_join(g.withColumn("orig", F.col("slb")), dst, sep, srcs).collect()}
+    for labs in labelsets:
+        joined = sep.join(py_label_value(labs, s) or "" for s in srcs)
+        want = tuple(sorted([kv for kv in labs if not kv.startswith("dst=")]
+                            + [f"dst={joined}"]))
+        assert got[tuple(labs)] == want, labs
+
+    got_cv = {(r.metric_name, r.value): (r.n_samples, r.n_series)
+              for r in count_values(g).collect()}
+    want_cv = {}
+    for name, labs, _, v in rows:
+        ns, sset = want_cv.setdefault((name, v), [0, set()])
+        want_cv[(name, v)][0] += 1
+        sset.add(tuple(labs))
+    assert got_cv == {k: (n, len(ss)) for k, (n, ss) in want_cv.items()}
+
+    bounds = [1, 2, 5]
+    got_hb = {}
+    for r in histogram_buckets(g, bounds).collect():
+        got_hb[(tuple(r.slb), r.le)] = r.cum
+    for labs in set(tuple(ls) for ls in labelsets):
+        vs = [v for _, ls, _, v in rows if tuple(ls) == labs]
+        if not vs:
+            continue
+        for le in [1.0, 2.0, 5.0, float("inf")]:
+            assert got_hb[(labs, le)] == sum(1 for v in vs if v <= le), (labs, le)
