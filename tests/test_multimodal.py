@@ -1502,3 +1502,69 @@ def test_extract_features_real_jpeg_path(spark):
     assert abs(feats[2] - g / 255.0) < 1e-6
     assert abs(feats[3] - g / 255.0) < 1e-6
     assert abs(feats[4] - g / 255.0) < 1e-6
+
+
+def test_png_encode_decode_randomized_roundtrip_sweep():
+    """Seeded randomized PNG round-trip: random dimensions (1x1, 1xN, Nx1,
+    odd widths up to 17x13) and random RGB pixels — including rows that
+    favor each filter type (constant rows, horizontal ramps, copies of the
+    previous row, noise) — must survive encode -> decode exactly.  The
+    decoder independently handles all five scanline filters, so agreement
+    checks the encoder's filter choices against the decoder's inverse on
+    content that exercises each."""
+    import random
+
+    rng = random.Random(1709)
+    dims = [(1, 1), (1, 7), (9, 1), (4, 4), (17, 13), (8, 5)]
+    for w, h in dims:
+        pixels = []
+        prev_row = None
+        for _ in range(h):
+            style = rng.randrange(4)
+            if style == 0:  # constant row
+                px = (rng.randrange(256),) * 3
+                row = [px] * w
+            elif style == 1:  # horizontal ramp (favors Sub filter)
+                base = rng.randrange(200)
+                row = [((base + 3 * i) % 256,) * 3 for i in range(w)]
+            elif style == 2 and prev_row is not None:  # copy (favors Up)
+                row = list(prev_row)
+            else:  # noise
+                row = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(w)]
+            pixels.extend(row)
+            prev_row = row
+        assert mm.decode_png(mm.encode_png(w, h, pixels)) == (w, h, pixels), (w, h)
+
+
+def test_wav_resample_randomized_sweep():
+    """Seeded randomized sweep of decode_wav + linear_resample: random
+    sample counts (including 1 and 2), rates, and up/down-sampling ratios
+    vs numpy.interp on the decoded (16-bit-quantized) samples.  Stereo
+    payloads must mix to the per-frame channel mean before resampling."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(1801)
+    for _ in range(10):
+        n = rng.choice([1, 2, 5, 63, 400])
+        orig = rng.choice([8000, 16000, 22050, 44100])
+        target = rng.choice([8000, 16000, 24000])
+        x = np.array([rng.uniform(-1, 1) for _ in range(n)])
+        rate, mono = mm.decode_wav(_make_wav(orig, x))
+        assert rate == orig and len(mono) == n
+        assert np.allclose(mono, x, atol=1.0 / 32768)
+
+        y = mm.linear_resample(mono, orig, target)
+        want_n = int(round(n * target / orig))
+        assert len(y) == max(want_n, 1) or len(y) == want_n, (n, orig, target)
+        pos = np.arange(len(y)) * (orig / target)
+        expect = np.interp(pos, np.arange(n), mono)
+        assert np.allclose(y, expect), (n, orig, target)
+
+        if n >= 2 and n % 2 == 0:  # stereo: interleaved L/R mean
+            rate2, mixed = mm.decode_wav(_make_wav(orig, x, channels=2))
+            # quantize each channel exactly like _make_wav (truncating
+            # int16 cast, 32768 scale), then average per frame
+            q = np.trunc(np.clip(x, -1, 1 - 1 / 32768) * 32768) / 32768.0
+            assert np.allclose(mixed, q.reshape(-1, 2).mean(axis=1), atol=1e-12)
