@@ -307,3 +307,95 @@ def test_stateful_dedup_randomized_cross_batch_sweep(spark, tmp_path):
     assert got == want
     # the pool sizing must actually produce cross-batch duplicate chains
     assert sum(1 for f, _ in want.values() if not f) >= 20
+
+
+def test_stateful_rate_randomized_cross_batch_sweep(spark, tmp_path):
+    """Seeded randomized sweep of the cross-batch rate operator: 8 series
+    with random sample times and counter-like values (increments plus
+    occasional resets), split into 3 checkpoint-resumed runs whose later
+    batches also carry late arrivals (timestamps at or before the series'
+    carried last_t — must emit nothing and not disturb state).  Expected
+    rows come from a Python replay of the per-batch semantics: per series
+    per batch, samples sorted by time, t <= last_t dropped, rate
+    (v-pv)/(t-pt) with NULL on value decrease, state carried across
+    batches."""
+    import random
+
+    rng = random.Random(1901)
+    staging = str(tmp_path / "rate_staging")
+    ckpt = str(tmp_path / "rate_ckpt")
+    out_dir = str(tmp_path / "rate_out")
+    base = datetime(2024, 1, 1)
+    from datetime import timedelta
+
+    series = {}
+    for k in range(8):
+        key = (f"m{k % 3}", f"job=j{k}")
+        ts = sorted(rng.sample(range(0, 3600, 5), rng.randint(3, 15)))
+        v = float(rng.randint(0, 100))
+        pts = []
+        for t in ts:
+            v = float(rng.randint(0, 10)) if rng.random() < 0.2 else v + rng.randint(0, 50)
+            pts.append((t, v))
+        series[key] = pts
+
+    # batch assignment: mostly time-ordered thirds, but ~15% of later-batch
+    # samples are duplicated from an earlier third as LATE arrivals
+    batches = [[], [], []]
+    for key, pts in series.items():
+        third = (len(pts) + 2) // 3
+        for i, (t, v) in enumerate(pts):
+            batches[min(i // third, 2)].append((key, t, v))
+    late = []
+    for key, pts in series.items():
+        if len(pts) >= 4 and rng.random() < 0.7:
+            t, _ = pts[rng.randrange(len(pts) // 2)]
+            late.append((key, t, 99999.0))  # late: t <= carried last_t
+    batches[2].extend(late)
+
+    # Python replay of the operator's per-batch semantics
+    state, want = {}, {}
+    for batch in batches:
+        per = {}
+        for key, t, v in batch:
+            per.setdefault(key, []).append((t, v))
+        for key, pts in per.items():
+            last = state.get(key)
+            for t, v in sorted(pts):
+                if last is not None and t <= last[0]:
+                    continue
+                if last is not None:
+                    want[(key, t)] = None if v < last[1] else (v - last[1]) / (t - last[0])
+                last = (t, v)
+            state[key] = last
+
+    def run():
+        src = spark.readStream.schema(SAMPLES_SCHEMA).parquet(staging)
+        q = (
+            stateful_rate_stream(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    for batch in batches:
+        rows = [
+            (base + timedelta(seconds=t), key[0], [key[1]], v)
+            for key, t, v in batch
+        ]
+        rng.shuffle(rows)
+        _stage_batch(spark, staging, rows)
+        run()
+
+    base_epoch = base.timestamp()  # naive, same zone as collected t
+    got = {
+        ((r.metric_name, r.labels_str), int(r.t.timestamp() - base_epoch)): r.rate
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want
+    # the generator must produce real resets and late arrivals
+    assert sum(1 for v in want.values() if v is None) >= 3 and len(late) >= 3
