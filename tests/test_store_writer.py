@@ -273,3 +273,58 @@ def test_tsv_roundtrip_randomized_sweep(spark, tmp_path):
         return sorted(rows)
 
     assert canon(store.read()) == canon(store2.read())
+
+
+def test_delete_time_range_randomized_sweep(spark, tmp_path):
+    """Seeded randomized sweep of S8 range deletes: a 6-day store takes a
+    sequence of deletes with arbitrary second-offset bounds — some
+    spanning multiple day partitions, some entirely inside one, some
+    matching nothing.  After each delete the surviving rows must equal a
+    Python filter with the exact (start, end] convention, and day
+    directories whose rows were all deleted must be gone from disk while
+    untouched days' directories remain."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(2003)
+    base = datetime(2024, 1, 1)
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+
+    live = []  # (ts_datetime, name, labels_tuple, value)
+    base_ms = 1704067200000
+    for i in range(25):
+        name = rng.choice(["up", "cpu"])
+        labels = [("job", rng.choice(["a", "b"]))]
+        samples = []
+        for _ in range(rng.randint(2, 8)):
+            off_s = rng.randrange(6 * 86_400)
+            samples.append((float(rng.randint(0, 1000)), base_ms + off_s * 1000))
+        writer.write(wr(name, labels, samples))
+        for v, t in samples:
+            live.append((base + timedelta(seconds=(t - base_ms) // 1000), name,
+                         ("job=" + labels[0][1],), v))
+
+    def snapshot():
+        return sorted(
+            (r["ts"], r["metric_name"], tuple(r["labels"]), r["value"])
+            for r in store.read().collect()
+        )
+
+    assert snapshot() == sorted(live)
+
+    for trial in range(4):
+        lo_s = rng.randrange(6 * 86_400)
+        span = rng.choice([rng.randrange(3600), rng.randrange(86_400 * 3), 10])
+        start = base + timedelta(seconds=lo_s)
+        end = base + timedelta(seconds=min(lo_s + span, 6 * 86_400))
+        store.delete_time_range(start, end)
+        live = [row for row in live if not (start < row[0] <= end)]
+        assert snapshot() == sorted(live), (trial, start, end)
+
+        on_disk = {p.name[8:] for p in (tmp_path / "samples").iterdir()
+                   if p.is_dir() and p.name.startswith("ts_date=")}
+        want_days = {row[0].date().isoformat() for row in live}
+        assert on_disk == want_days, (trial, start, end)
+
+    assert live  # the delete sequence must not have emptied the store
