@@ -328,3 +328,49 @@ def test_delete_time_range_randomized_sweep(spark, tmp_path):
         assert on_disk == want_days, (trial, start, end)
 
     assert live  # the delete sequence must not have emptied the store
+
+
+def test_compact_randomized_content_identity_sweep(spark, tmp_path):
+    """Seeded randomized compaction sweep: many small appends across 3
+    days (including duplicate (series, ts) rows from overlapping writes
+    and extreme doubles), then compact at random files_per_partition
+    targets.  Compaction is a physical rewrite only — the multiset of
+    rows must be bit-identical before and after (values compared via
+    IEEE bit patterns), every remaining day must hit the file target,
+    and a post-compaction write must still append cleanly."""
+    import random
+    import struct
+
+    rng = random.Random(2111)
+    base_ms = 1704067200000
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+
+    extreme = [1e308, 5e-324, -0.0, 0.1 + 0.2]
+    for i in range(12):
+        name = rng.choice(["up", "cpu", "io"])
+        labels = [("job", rng.choice(["a", "b"]))]
+        samples = []
+        for _ in range(rng.randint(1, 6)):
+            t = base_ms + rng.randrange(3 * 86_400) * 1000
+            v = rng.choice(extreme) if rng.random() < 0.25 else rng.uniform(-1e6, 1e6)
+            samples.append((v, t))
+        writer.write(wr(name, labels, samples))
+
+    def canon():
+        return sorted(
+            (r["ts"], r["metric_name"], tuple(r["labels"]),
+             struct.pack("<d", r["value"]))
+            for r in store.read().collect()
+        )
+
+    before = canon()
+    for target in [rng.randint(1, 3), 1]:
+        store.compact(files_per_partition=target)
+        assert canon() == before, target
+        for day_dir in (tmp_path / "samples").glob("ts_date=*"):
+            n_files = len(list(day_dir.glob("*.parquet")))
+            assert n_files <= target, (day_dir.name, n_files, target)
+
+    writer.write(wr("up", [("job", "a")], [(42.0, base_ms + 1000)]))
+    assert len(canon()) == len(before) + 1
