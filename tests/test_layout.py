@@ -93,3 +93,44 @@ def test_salted_agg_randomized_equivalence(spark):
         )
         got = {r.k: (r.sum_v, r.count_v, r.min_v, r.max_v) for r in out.collect()}
         assert got == want, n_salts
+
+
+def test_bucketed_join_randomized_content_equivalence(spark):
+    """Seeded randomized content check for the zero-exchange bucketed
+    join: both sides carry duplicate and partially-overlapping keys, so
+    the join multiplies rows — the result multiset must equal a Python
+    inner join exactly, and the plan must still contain no Exchange (the
+    correctness of the co-located path is bucket-alignment, not luck)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(2203)
+    left_rows = [(rng.randrange(50), rng.randrange(1000)) for _ in range(400)]
+    right_rows = [(rng.randrange(80), rng.randrange(1000)) for _ in range(300)]
+
+    want = Counter()
+    by_key = {}
+    for k, b in right_rows:
+        by_key.setdefault(k, []).append(b)
+    for k, a in left_rows:
+        for b in by_key.get(k, []):
+            want[(k, a, b)] += 1
+
+    left = spark.createDataFrame(left_rows, "k LONG, a LONG")
+    right = spark.createDataFrame(right_rows, "k LONG, b LONG")
+    write_bucketed(left, "bkt_rand_left", ["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed(right, "bkt_rand_right", ["k"], n_buckets=8, sort_cols=["k"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_table(spark, "bkt_rand_left").join(
+            read_table(spark, "bkt_rand_right"), "k"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = Counter((r.k, r.a, r.b) for r in j.collect())
+        assert got == want
+        assert sum(want.values()) > 400  # keys overlap enough to multiply
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bkt_rand_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_rand_right")
