@@ -399,3 +399,58 @@ def test_stateful_rate_randomized_cross_batch_sweep(spark, tmp_path):
     assert got == want
     # the generator must produce real resets and late arrivals
     assert sum(1 for v in want.values() if v is None) >= 3 and len(late) >= 3
+
+
+def test_windowed_max_randomized_cross_batch_sweep(spark, tmp_path):
+    """Seeded randomized sweep of the tumbling-window streaming max: 6
+    series with random event times (including exact window-boundary
+    timestamps, which belong to the LATER window — [start, end) tumbling
+    semantics) and values planted so several windows' maxima arrive in a
+    different micro-batch than the rest of the window's rows.  Three
+    maxFilesPerTrigger=1 batches with shuffled row assignment and a
+    watermark wider than the event span; the complete-mode result must
+    equal a Python per-(series, window) max."""
+    import random
+    from datetime import timedelta
+
+    rng = random.Random(2389)
+    base = datetime(2024, 1, 1)
+    win_s = 60
+    rows, want = [], {}
+    for k in range(6):
+        key = (f"m{k % 2}", (f"job=j{k}",))
+        for _ in range(rng.randint(5, 20)):
+            off = rng.choice([rng.randrange(1800),
+                              rng.randrange(30) * win_s])  # boundary hits
+            v = round(rng.uniform(-100, 100), 3)
+            rows.append((base + timedelta(seconds=off), key[0], list(key[1]), v))
+            wstart = base + timedelta(seconds=off - off % win_s)
+            cur = want.get((key, wstart))
+            want[(key, wstart)] = v if cur is None else max(cur, v)
+
+    staging = str(tmp_path / "wmax_staging")
+    rng.shuffle(rows)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        _stage_batch(spark, staging, rows[i * third:(i + 1) * third])
+
+    src = (
+        spark.readStream.schema(SAMPLES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    agg = windowed_max_stream(src, window="1 minute", watermark="24 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wmax_sweep")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = {
+        ((r.metric_name, tuple(r.slb)), r.t): r.max_0
+        for r in spark.sql("SELECT * FROM wmax_sweep").collect()
+    }
+    assert got == want
+    assert len(want) >= 30  # enough windows to be a real sweep
