@@ -72,3 +72,57 @@ def test_staleness_tool_validates_prepared_window():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "_R10_WINDOW: OK" in proc.stdout, proc.stdout
+
+
+def test_staleness_tool_skips_landed_pending_bump():
+    """ADVICE r9: once a pending window's own CORRECTNESS file lands (its
+    rows all carry the max recorded round), --pending must not bump them
+    to a phantom next round — the printed distribution should top out at
+    the max recorded round."""
+    import glob
+    import os as _os
+    import re as _re
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    top = max(
+        int(_re.search(r"r0*(\d+)", _os.path.basename(p)).group(1))
+        for p in glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))
+    )
+    # _R9_WINDOW's driver run is recorded (CORRECTNESS_r09.json holds its
+    # rows), so pending it must be a no-op on the distribution
+    proc = subprocess.run(
+        [_sys.executable, _os.path.join(repo, "tools", "staleness_ledger.py"),
+         "--pending", "_R9_WINDOW"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    rounds = [int(m) for m in _re.findall(r"^  r(\d+): ", proc.stdout, _re.M)]
+    assert rounds and max(rounds) <= top, proc.stdout
+
+
+def test_staleness_tool_empty_correctness_clean_error(tmp_path):
+    """ADVICE r9: with no CORRECTNESS_r*.json present the tool must exit
+    with a clear message, not a ValueError traceback."""
+    import os as _os
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    (tmp_path / "tools").mkdir()
+    shutil.copy(
+        _os.path.join(repo, "tools", "staleness_ledger.py"),
+        tmp_path / "tools" / "staleness_ledger.py",
+    )
+    (tmp_path / "__spark_entry__.py").write_text(
+        '_R1_WINDOW = [\n    "a",\n]\n'
+    )
+    proc = subprocess.run(
+        [_sys.executable, str(tmp_path / "tools" / "staleness_ledger.py")],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    assert "no CORRECTNESS" in proc.stdout, proc.stdout + proc.stderr
+    assert "Traceback" not in proc.stderr, proc.stderr

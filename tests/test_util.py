@@ -62,3 +62,19 @@ def test_bench_calibration_job_pinned(spark):
     got = spark.range(n).selectExpr(bench.CALIB_SQL).collect()[0]["s"]
     want = sum(i % 1000003 * (i % 999983) % 1000003 for i in range(n))
     assert got == want
+
+
+def test_bench_calibration_mismatch_flagged(spark, capsys):
+    """ADVICE r9: a calibration-sum mismatch must surface machine-readably
+    (ok=False -> main() nulls host_calib_sec and publishes
+    host_calib_ok=false), not just as a stderr warning.  A reduced row
+    count computes a sum != the pinned full-size constant, exercising
+    exactly the drift path."""
+    import bench
+
+    trials, ok = bench.measure_calibration(spark, n=1000)
+    assert ok is False
+    assert len(trials) == 3 and all(t >= 0 for t in trials)
+    assert "not comparable" in capsys.readouterr().err
+    # and the published-figure contract: ok=False nulls the headline field
+    assert (min(trials) if ok else None) is None

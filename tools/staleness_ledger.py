@@ -58,7 +58,11 @@ def entry_windows() -> dict[str, list[str]]:
 
 def build_map(pending: list[str] | None) -> tuple[dict[str, int], dict[str, int]]:
     """(last_round, first_seen_order) per query; `pending` rows get round
-    max+1 (the driver run that has not happened yet)."""
+    max+1 (the driver run that has not happened yet).  If the pending
+    window's rows ALL already carry the max recorded round, its driver run
+    has landed (the round's own CORRECTNESS file exists in the worktree) —
+    bumping again would misstate the distribution's round numbers, so the
+    bump is skipped (ADVICE r9)."""
     last: dict[str, int] = {}
     order: dict[str, int] = {}
     top = 0
@@ -67,7 +71,7 @@ def build_map(pending: list[str] | None) -> tuple[dict[str, int], dict[str, int]
         for i, name in enumerate(rows):
             last[name] = rnd
             order[name] = i
-    if pending:
+    if pending and not all(last.get(name) == top for name in pending):
         for i, name in enumerate(pending):
             last[name] = top + 1
             order[name] = i
@@ -88,6 +92,9 @@ def main() -> int:
             return 2
 
     last, order = build_map(windows[args.pending] if args.pending else None)
+    if not last:
+        print("no CORRECTNESS_r*.json files found — nothing to ledger")
+        return 2
     by_round: dict[int, list[str]] = {}
     for name, rnd in last.items():
         by_round.setdefault(rnd, []).append(name)
