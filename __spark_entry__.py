@@ -4412,13 +4412,11 @@ _R9_WINDOW = [
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 
 
-#: The PREPARED round-10 rotation — defined now (while the r9 staleness
-#: map is fresh) but NOT hoisted: ``queries()`` below still puts
-#: ``_R9_WINDOW`` first so the r9 driver run hashes this round's ledger;
-#: the r10 session's only rotation change is flipping the hoist line to
-#: ``_R10_WINDOW``.  Construction, per the plan in the r9 docstring
+#: The ACTIVE round-10 rotation (hoisted in ``queries()`` below; prepared
+#: in r9 while the staleness map was fresh, flipped live in r10 with no
+#: membership change).  Construction, per the plan in the r9 docstring
 #: above, against the post-r9 hash map (r6x20, r7x40, r8x50, r9x50 —
-#: verified against CORRECTNESS_r0{1..8}.json + _R9_WINDOW):
+#: verified against CORRECTNESS_r0{1..9}.json):
 #:
 #: 1. The three rows whose serve/setup paths the r9 advisor fixes
 #:    touched, first: ``sim_ivf_pq_topk`` / ``sim_ivf_pq_recall`` (the
@@ -4432,12 +4430,8 @@ assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 #:    (the TPC-H block, sales_rollup, the multimodal block,
 #:    sim_ivf_balance) — exactly filling the 50 slots.
 #:
-#: Remainder for the r11 head (10 r7-hashed rows, no known debt, pure
-#: rotation hygiene): sim_pq_recall, sim_pq_trained_recall,
-#: sim_pq_opq_recall, sim_lsh_recall, sim_lsh_multiprobe_recall,
-#: sim_ivf_recall, sim_ivf_trained_recall, sim_matryoshka_recall,
-#: dedup_groups, dedup_cluster_stats — these share the memoized recall
-#: baseline + trained builds, so keep them contiguous when they rotate in.
+#: After this round's driver run NO row's hash predates r7 and zero
+#: strict-stale rows remain (the advisor-touched trio heads the window).
 _R10_WINDOW = [
     # r9-advisor-touched serve/setup paths first
     "sim_ivf_pq_topk", "sim_ivf_pq_recall", "streaming_dedup",
@@ -4467,6 +4461,56 @@ _R10_WINDOW = [
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 
 
+#: The PREPARED round-11 rotation — defined now (while the r10 staleness
+#: map is fresh) but NOT hoisted: ``queries()`` below puts ``_R10_WINDOW``
+#: first so the r10 driver run hashes this round's ledger; the r11
+#: session's only rotation change is flipping the hoist line to
+#: ``_R11_WINDOW``.  Construction against the post-r10 hash map (r7x10,
+#: r8x50, r9x50, r10x50 — verified mechanically:
+#: ``python tools/staleness_ledger.py --pending _R10_WINDOW --check
+#: _R11_WINDOW``):
+#:
+#: 1. The complete r7 cohort (10 rows — the oldest hashes after r10):
+#:    the recall-diagnostic family plus dedup_groups/dedup_cluster_stats.
+#:    They share the memoized exact-top-10 baseline + trained IVF/PQ
+#:    builds (and the dedup pair shares the checkpointed components
+#:    build), so they stay contiguous in r7-window relative order.
+#: 2. The first 40 rows of the r8 cohort, r8-window relative order: the
+#:    22-row tsdb derived-function block, the streaming/events block,
+#:    the text-analysis block, the dataset block, and doc_packing.
+#:
+#: Remainder for the r12 head (the last 10 r8-cohort rows, no known
+#: debt, pure rotation hygiene): q6_revenue_delta,
+#: top_customers_per_segment, sim_topk_bruteforce, emb_quantize_int8,
+#: then the 6-row dedup chain (dedup_exact, dedup_embedding_cosine,
+#: dedup_embedding_cosine_lsh, dedup_ngram_jaccard, dedup_minhash_lsh,
+#: dedup_incremental) — the chain shares the staged shingle/signature
+#: persists, so keep it contiguous and in this order when it rotates in.
+_R11_WINDOW = [
+    # the complete r7 cohort (10): recall diagnostics + dedup graph rows,
+    # r7-window relative order (shared memoized builds stay contiguous)
+    "sim_pq_recall", "sim_pq_trained_recall", "sim_pq_opq_recall",
+    "sim_lsh_recall", "sim_lsh_multiprobe_recall", "sim_ivf_recall",
+    "sim_ivf_trained_recall", "sim_matryoshka_recall", "dedup_groups",
+    "dedup_cluster_stats",
+    # first 40 r8-cohort rows, r8-window relative order
+    "tsdb_irate", "tsdb_delta", "tsdb_increase", "tsdb_resets_changes",
+    "tsdb_range_agg", "tsdb_moving_avg", "tsdb_rollup_serve",
+    "tsdb_binary_ratio", "tsdb_compact_serve", "tsdb_count_values",
+    "tsdb_deriv", "tsdb_exp_smooth", "tsdb_histogram_buckets",
+    "tsdb_histogram_quantile", "tsdb_label_join", "tsdb_label_replace",
+    "tsdb_offset_ratio", "tsdb_predict_linear", "tsdb_quantile_over_time",
+    "tsdb_sliding_range_max", "tsdb_stddev_over_time",
+    "tsdb_topk_per_bucket", "streaming_stateful_rate", "events_sessionize",
+    "events_asof_click", "events_window_agg", "events_funnel",
+    "text_decontaminate", "text_pipeline", "text_langid", "text_quality",
+    "text_tokens", "text_fingerprint", "text_tfidf_keywords",
+    "text_repetition", "dataset_dedup_apply", "dataset_length_histogram",
+    "dataset_sample", "dataset_mixture_sample", "doc_packing",
+]
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is a driver contract: the window above is hoisted to the
     # front; everything else keeps the historical grouping below.
@@ -4479,7 +4523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r8 the _R8_WINDOW rotation (all 35 r4 rows + 15 oldest spread-staled
     # tsdb rows); r9 the _R9_WINDOW rotation (the full 42-row staleness
     # ledger: 22 r5 rows + 20 spread-staled r6/r7 tsdb rows + 8
-    # oldest-r6 fill).
+    # oldest-r6 fill); r10 the _R10_WINDOW rotation (the 3 r9-advisor-
+    # touched rows + the full r6 cohort + 27 r7 rows — after it no hash
+    # predates r7 and zero strict-stale rows remain).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -4670,7 +4716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R9_WINDOW}
+    out = {name: base[name] for name in _R10_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 

@@ -29,15 +29,24 @@ def test_verification_windows_are_valid_rotations():
     window must name only real queries (a typo'd name would silently shrink
     the next rotation)."""
     names = list(entry.queries())
-    assert names[:50] == entry._R9_WINDOW  # active round's hoist
-    for window in (entry._R9_WINDOW, entry._R10_WINDOW):
+    assert names[:50] == entry._R10_WINDOW  # active round's hoist
+    for window in (entry._R9_WINDOW, entry._R10_WINDOW, entry._R11_WINDOW):
         assert len(window) == 50 and len(set(window)) == 50
         missing = set(window) - set(names)
         assert not missing, f"window names not in queries(): {missing}"
     # r10 leads with the rows whose serve/setup paths r9's advisor fixes
-    # touched, so their hashes postdate those diffs first thing next round
+    # touched, so their hashes postdate those diffs first thing this round
     assert entry._R10_WINDOW[:3] == [
         "sim_ivf_pq_topk", "sim_ivf_pq_recall", "streaming_dedup",
+    ]
+    # r11 leads with the complete r7 cohort (the oldest post-r10 hashes):
+    # the recall-diagnostic family + the dedup graph pair, contiguous
+    # because they share memoized builds
+    assert entry._R11_WINDOW[:10] == [
+        "sim_pq_recall", "sim_pq_trained_recall", "sim_pq_opq_recall",
+        "sim_lsh_recall", "sim_lsh_multiprobe_recall", "sim_ivf_recall",
+        "sim_ivf_trained_recall", "sim_matryoshka_recall", "dedup_groups",
+        "dedup_cluster_stats",
     ]
 
 
@@ -67,11 +76,11 @@ def test_staleness_tool_validates_prepared_window():
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     proc = subprocess.run(
         [_sys.executable, _os.path.join(repo, "tools", "staleness_ledger.py"),
-         "--pending", "_R9_WINDOW", "--check", "_R10_WINDOW"],
+         "--pending", "_R10_WINDOW", "--check", "_R11_WINDOW"],
         capture_output=True, text=True, timeout=60,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "_R10_WINDOW: OK" in proc.stdout, proc.stdout
+    assert "_R11_WINDOW: OK" in proc.stdout, proc.stdout
 
 
 def test_staleness_tool_skips_landed_pending_bump():
