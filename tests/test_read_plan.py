@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, MatcherType
 from remote_tsdb_clickhouse_spark.plans.read_plan import (
@@ -98,3 +98,167 @@ def test_downsampled_bucket_max(spark, samples_df):
         datetime(2024, 1, 1, 0, 0, 0): 36.0,  # max(35@0s, 36@15s)
         datetime(2024, 1, 1, 0, 0, 30): 37.0,
     }
+
+
+def test_read_path_randomized_end_to_end_sweep(spark):
+    """Randomized integration sweep of the WHOLE remote-read path — F1/F2
+    time bounds (ms//1000 truncation, inclusive upper, 0 => open), the
+    matcher algebra incl. the F8 ignore-label drop, the A2 downsample
+    policy (strict >2000 ms threshold, range-beats-step clamp, halving,
+    1 s floor), A1 grouped max over duplicate (series, ts) rows, P2 label
+    re-sort, and O1/O2 series assembly — against an independent pure-
+    Python pipeline written from the Prometheus / ``read.go:13-101``
+    SEMANTICS, not from the implementation, so agreement is evidence
+    rather than tautology.  The fixed-case tests above pin each rule in
+    isolation; this sweep exercises their composition on corpora the
+    fixed cases cannot enumerate (random bounds with sub-second
+    remainders, random hint combinations, random matcher stacks over
+    serieses with missing labels and metachar values)."""
+    import random
+    import re as pyre
+
+    from pyspark.sql import functions as F
+
+    from remote_tsdb_clickhouse_spark.model import (
+        DEFAULT_READ_IGNORE_LABEL,
+        SAMPLES_SCHEMA,
+    )
+
+    rng = random.Random(0x51_0E10)
+
+    METRICS = ["up", "down", "d.wn", "up2", "http_requests_total"]
+    # ASCII-only pool (byte order == codepoint order, so Python sorted()
+    # and Spark array_sort agree; non-ASCII collation is pinned elsewhere)
+    LABEL_POOL = [
+        "job=api", "job=db", "job=a=b", "job=^anchor$",
+        "env=prod", "env=dev", "env=", "le=0.5",
+        "remote=clickhouse", "instance=10.0.0.1:9100",
+    ]
+    NAME_LITS = METRICS + ["nosuch"]
+    # Java/Python-common regex subset only
+    NAME_RES = ["up.*", "d.wn", "up|down", ".*2", "h.+total", "nosuch.*"]
+    LABEL_LITS = [
+        ("job", "api"), ("job", "db"), ("job", "a=b"), ("env", "prod"),
+        ("env", ""), ("le", "0.5"), ("remote", "clickhouse"), ("env", "nosuch"),
+    ]
+    LABEL_RES = [
+        ("job", "a.*"), ("env", "prod|dev"), ("job", "db"), ("env", ""),
+        ("le", "0\\.5"), ("instance", "10\\..*:9100"), ("job", "nosuch.*"),
+    ]
+
+    base_s = int(datetime(2024, 1, 1).timestamp())  # UTC session
+
+    def ref_interval(step_ms: int, range_ms: int) -> int | None:
+        # independent restatement of read.go:38-52
+        if step_ms <= 2000:
+            return None
+        iv_ms = range_ms if 0 < range_ms < step_ms else step_ms
+        return max((iv_ms // 2) // 1000, 1)
+
+    def ref_matches(name: str, labels: list[str], ms_) -> bool:
+        for m in ms_:
+            v = m.value
+            if m.name == "__name__":
+                ok = {
+                    MatcherType.EQ: lambda: name == v,
+                    MatcherType.NEQ: lambda: name != v,
+                    MatcherType.RE: lambda: bool(pyre.fullmatch(v, name)),
+                    MatcherType.NRE: lambda: not pyre.fullmatch(v, name),
+                }[m.type]()
+            else:
+                joined = f"{m.name}={v}"
+                if m.type == MatcherType.EQ:
+                    ok = joined == DEFAULT_READ_IGNORE_LABEL or joined in labels
+                elif m.type == MatcherType.NEQ:
+                    ok = joined not in labels
+                elif m.type == MatcherType.RE:
+                    ok = any(pyre.fullmatch(joined, x) for x in labels)
+                else:  # NRE: vacuously true on a missing label
+                    ok = not any(pyre.fullmatch(joined, x) for x in labels)
+            if not ok:
+                return False
+        return True
+
+    def rand_matchers() -> tuple[LabelMatcher, ...]:
+        out = []
+        for _ in range(rng.randrange(0, 4)):
+            t = rng.choice(list(MatcherType))
+            if rng.random() < 0.4:  # name matcher
+                if t in (MatcherType.RE, MatcherType.NRE):
+                    out.append(LabelMatcher(t, "__name__", rng.choice(NAME_RES)))
+                else:
+                    out.append(LabelMatcher(t, "__name__", rng.choice(NAME_LITS)))
+            else:
+                pool = LABEL_RES if t in (MatcherType.RE, MatcherType.NRE) else LABEL_LITS
+                k, v = rng.choice(pool)
+                out.append(LabelMatcher(t, k, v))
+        return tuple(out)
+
+    STEPS = [0, 1500, 2000, 2001, 2400, 5000, 30000, 60000]
+    RANGES = [0, 1000, 4000, 10000, 60000, 70000]
+
+    for trial in range(8):
+        n = rng.randrange(60, 140)
+        rows = []
+        for _ in range(n):
+            name = rng.choice(METRICS)
+            labels = rng.sample(LABEL_POOL, rng.randrange(0, 4))
+            off = rng.randrange(0, 7200)
+            val = float(rng.randrange(-1000, 1000))
+            rows.append((datetime(2024, 1, 1) + timedelta(seconds=off), name, labels, val))
+        df = spark.createDataFrame(rows, SAMPLES_SCHEMA)
+
+        start_ms = (base_s + rng.randrange(0, 3600)) * 1000 + rng.choice([0, 1, 500, 999])
+        end_ms = 0 if rng.random() < 0.3 else (
+            (base_s + rng.randrange(1800, 7200)) * 1000 + rng.choice([0, 1, 500, 999])
+        )
+        step_ms = rng.choice(STEPS + [rng.randrange(2001, 120000)])
+        range_ms = rng.choice(RANGES + [rng.randrange(0, 120000)])
+        q = ReadQuery(
+            start_ms=start_ms, end_ms=end_ms, matchers=rand_matchers(),
+            hints=ReadHints(step_ms=step_ms, range_ms=range_ms),
+        )
+
+        # --- independent Python pipeline -------------------------------
+        interval = ref_interval(step_ms, range_ms)
+        grouped: dict[tuple, float] = {}
+        for dt, name, labels, val in rows:
+            ts_s = int(dt.timestamp())
+            if ts_s < start_ms // 1000:
+                continue
+            if end_ms > 0 and ts_s > end_ms // 1000:
+                continue
+            if not ref_matches(name, labels, q.matchers):
+                continue
+            t = ts_s - ts_s % interval if interval else ts_s
+            key = (name, tuple(sorted(labels)), t)
+            grouped[key] = max(grouped.get(key, float("-inf")), val)
+        want_grouped = sorted((k[0], list(k[1]), k[2], v) for k, v in grouped.items())
+        series: dict[tuple, list] = {}
+        for (name, slb, t), v in grouped.items():
+            series.setdefault((name, slb), []).append((t, v))
+        want_series = sorted(
+            (name, list(slb), sorted(samples)) for (name, slb), samples in series.items()
+        )
+
+        # --- Spark plan, timestamps compared as epoch seconds ----------
+        got_grouped = sorted(
+            (r["metric_name"], r["slb"], r["t"], r["max_0"])
+            for r in read_query_grouped(df, q)
+            .select("metric_name", "slb", F.col("t").cast("long").alias("t"), "max_0")
+            .collect()
+        )
+        assert got_grouped == want_grouped, f"trial {trial}: grouped mismatch q={q}"
+        got_series = sorted(
+            (r["metric_name"], r["slb"], [tuple(s) for s in r["samples"]])
+            for r in read_query_df(df, q)
+            .select(
+                "metric_name",
+                "slb",
+                F.expr("transform(samples, s -> struct(cast(s.t as long), s.v))").alias(
+                    "samples"
+                ),
+            )
+            .collect()
+        )
+        assert got_series == want_series, f"trial {trial}: assembly mismatch q={q}"
