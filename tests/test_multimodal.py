@@ -1568,3 +1568,88 @@ def test_wav_resample_randomized_sweep():
             # int16 cast, 32768 scale), then average per frame
             q = np.trunc(np.clip(x, -1, 1 - 1 / 32768) * 32768) / 32768.0
             assert np.allclose(mixed, q.reshape(-1, 2).mean(axis=1), atol=1e-12)
+
+
+def test_gif_randomized_roundtrip_sweep():
+    """Seeded randomized GIF round-trip: random canvas shapes (1x1, 1xN,
+    Nx1, rectangular), frame counts, delays, and palette sizes chosen to
+    cross every LZW code-width boundary the encoder can emit (2..250
+    colors -> min code sizes 2..8, code widths 3..9 bits).  The fixed
+    cases above use tiny palettes only; the bit-packing boundaries at
+    wider codes are exactly where an off-by-one in the LSB-first
+    accumulator would hide."""
+    import random
+
+    rng = random.Random(0xD1F_610)
+    # palette sizes straddling each power-of-two code-size boundary
+    for n_colors in (2, 3, 4, 5, 8, 9, 16, 17, 33, 64, 65, 129, 250):
+        # canvas large enough that frame 0 can show EVERY palette color —
+        # otherwise the encoder's palette shrinks to the used subset and
+        # the wide-code boundaries are never reached
+        w = rng.choice([1, 2, 3, 7, 16]) if n_colors <= 6 else 16
+        h = rng.choice([1, 2, 5, 11]) if n_colors <= 6 else (n_colors + 15) // 16
+        palette = []
+        while len(palette) < n_colors:
+            c = (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            if c not in palette:
+                palette.append(c)
+        n_frames = rng.randrange(1, 4)
+        frames = []
+        for f in range(n_frames):
+            if f == 0:
+                # full palette usage: the encoder's table really has
+                # n_colors entries, so decode walks the full code range
+                px = [palette[i % n_colors] for i in range(w * h)]
+            else:
+                px = [palette[rng.randrange(n_colors)] for _ in range(w * h)]
+            frames.append((rng.randrange(0, 600) * 10, px))
+        gif = mm.encode_gif(w, h, frames)
+        W, H, out = mm.decode_gif(gif)
+        assert (W, H) == (w, h), (n_colors, w, h)
+        assert [d for d, _ in out] == [d for d, _ in frames], n_colors
+        for i, (_, want_px) in enumerate(frames):
+            assert out[i][1] == want_px, (n_colors, w, h, i)
+
+
+def _gif_interlace_row_order(h: int) -> list[int]:
+    """The GIF89a 4-pass interlace row sequence (spec appendix E),
+    restated independently of the decoder."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def test_gif_interlaced_frames_randomized_sweep():
+    """Randomized interlaced-GIF decode: encode the frame's rows in
+    4-pass interlace order via the (non-interlaced) encoder, then set the
+    image descriptor's interlace bit — a decoder that honors the flag
+    must un-permute the rows back to row-major; one that ignores it
+    returns the permuted canvas.  Covers multimodal.py's interlace branch
+    (previously untested) across heights hitting every pass-count shape
+    (h=1 -> pass 1 only ... h>=9 -> rows in all four passes)."""
+    import random
+
+    rng = random.Random(0x1417)
+    for h in (1, 2, 3, 4, 5, 8, 9, 16, 21):
+        w = rng.choice([1, 3, 6, 10])
+        rows = [
+            [(rng.randrange(4) * 80, rng.randrange(4) * 80, rng.randrange(4) * 80)
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        order = _gif_interlace_row_order(h)
+        assert sorted(order) == list(range(h))  # the reference order is a permutation
+        permuted = [p for r in order for p in rows[r]]
+        gif = bytearray(mm.encode_gif(w, h, [(100, permuted)]))
+        # image descriptor packed byte: header(6) + LSD(7) + GCT(3*2^depth)
+        # + GCE(8) + separator(1) + left/top(4) + dims(4)
+        depth_bits = gif[10] & 0x07  # LSD packed: GCT size = 2^(n+1)
+        packed_at = 13 + 3 * (1 << (depth_bits + 1)) + 8 + 1 + 4 + 4
+        assert gif[packed_at] == 0  # encoder wrote: no LCT, not interlaced
+        gif[packed_at] = 0x40
+        W, H, out = mm.decode_gif(bytes(gif))
+        assert (W, H) == (w, h)
+        assert out[0][1] == [p for r in rows for p in r], (w, h)
