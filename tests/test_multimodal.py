@@ -1653,3 +1653,107 @@ def test_gif_interlaced_frames_randomized_sweep():
         W, H, out = mm.decode_gif(bytes(gif))
         assert (W, H) == (w, h)
         assert out[0][1] == [p for r in rows for p in r], (w, h)
+
+
+def _build_bmp(
+    width: int,
+    height: int,
+    rows_topdown: list[list[tuple[int, int, int]]],
+    *,
+    bpp: int = 24,
+    top_down: bool = False,
+    hdr_size: int = 40,
+    palette: list[tuple[int, int, int]] | None = None,
+    clr_used: int = 0,
+) -> bytes:
+    """Independent BMP writer for the sweep below — BITMAPINFOHEADER (or a
+    larger V4/V5 header, all zero-padded extensions), bottom-up or
+    top-down storage, 4-byte row alignment, BGR(A)/palette-index pixels.
+    Written from the format spec, not from decode_bmp."""
+    import struct
+
+    nbytes = bpp // 8
+    stride = ((width * nbytes) + 3) & ~3
+    pal = b""
+    if bpp == 8:
+        assert palette is not None
+        pal = b"".join(bytes([b, g, r, 0]) for (r, g, b) in palette)
+    pixel_off = 14 + hdr_size + len(pal)
+    body = bytearray()
+    stored = rows_topdown if top_down else rows_topdown[::-1]
+    for row in stored:
+        line = bytearray()
+        for px in row:
+            if bpp == 8:
+                line.append(palette.index(px))
+            elif bpp == 24:
+                r, g, b = px
+                line += bytes([b, g, r])
+            else:  # 32
+                r, g, b = px
+                line += bytes([b, g, r, 0xFF])
+        line += b"\x00" * (stride - len(line))
+        body += line
+    out = b"BM" + struct.pack("<IHHI", pixel_off + len(body), 0, 0, pixel_off)
+    out += struct.pack(
+        "<IiiHHIIiiII",
+        hdr_size,
+        width,
+        -height if top_down else height,
+        1,
+        bpp,
+        0,
+        len(body),
+        2835,
+        2835,
+        clr_used,
+        0,
+    )
+    out += b"\x00" * (hdr_size - 40)  # V4/V5 extension fields, zeroed
+    return bytes(out) + pal + bytes(body)
+
+
+def test_bmp_randomized_decode_sweep():
+    """Seeded randomized BMP decode vs an independently-written encoder:
+    random widths hitting every 4-byte-stride padding remainder (0..3
+    bytes at 24 bpp; always exercising the 8 bpp index path), bottom-up
+    AND top-down (negative height) storage, 24/32 bpp truecolor, 8 bpp
+    palettes with explicit and defaulted biClrUsed, and oversized V4/V5
+    info headers (color table must follow 14+hdr_size, not a hardcoded
+    54)."""
+    import random
+
+    rng = random.Random(0xB347)
+    for trial in range(40):
+        bpp = rng.choice([8, 24, 24, 32])
+        w = rng.randrange(1, 9)
+        h = rng.randrange(1, 7)
+        top_down = rng.random() < 0.5
+        hdr_size = rng.choice([40, 40, 108, 124])
+        palette = None
+        clr_used = 0
+        if bpp == 8:
+            n = rng.randrange(2, 17)
+            palette = []
+            while len(palette) < n:
+                c = (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                if c not in palette:
+                    palette.append(c)
+            clr_used = 0 if rng.random() < 0.3 else n
+            rows = [[palette[rng.randrange(n)] for _ in range(w)] for _ in range(h)]
+        else:
+            rows = [
+                [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                 for _ in range(w)]
+                for _ in range(h)
+            ]
+        if bpp == 8 and clr_used == 0:
+            # defaulted biClrUsed means a 256-entry table on disk
+            palette = palette + [(0, 0, 0)] * (256 - len(palette))
+        bmp = _build_bmp(
+            w, h, rows, bpp=bpp, top_down=top_down, hdr_size=hdr_size,
+            palette=palette, clr_used=clr_used,
+        )
+        W, H, px = mm.decode_bmp(bmp)
+        assert (W, H) == (w, h), (trial, bpp, top_down, hdr_size)
+        assert px == [p for row in rows for p in row], (trial, bpp, top_down, hdr_size)
