@@ -1757,3 +1757,49 @@ def test_bmp_randomized_decode_sweep():
         W, H, px = mm.decode_bmp(bmp)
         assert (W, H) == (w, h), (trial, bpp, top_down, hdr_size)
         assert px == [p for row in rows for p in row], (trial, bpp, top_down, hdr_size)
+
+
+def test_avi_randomized_container_sweep():
+    """Seeded randomized RIFF/AVI walk: random frame counts and payload
+    sizes with a deliberate odd/even mix (odd sizes force the RIFF pad
+    byte, where an off-by-one desynchronizes every later chunk), plus a
+    hand-built variant interleaving JUNK chunks and nesting frames in a
+    ``LIST rec `` inside movi (both real AVI features) — frames must
+    come back VERBATIM and in order either way."""
+    import random
+    import struct
+
+    rng = random.Random(0xA51)
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    for trial in range(12):
+        n = rng.randrange(1, 8)
+        # guarantee at least one odd and one even payload when n >= 2
+        frames = [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40) * 2 + (i % 2)))
+                  for i in range(n)]
+        upf = rng.choice([40_000, 250_000, 500_000, 1_000_000])
+        w, h = rng.randrange(1, 64), rng.randrange(1, 64)
+        avi = mm.encode_avi_mjpeg(w, h, frames, usec_per_frame=upf)
+        got = mm.decode_avi(avi)
+        assert got == (upf, w, h, frames), trial
+
+        # rebuild the movi list by hand: JUNK padding chunks between
+        # frames, odd frames wrapped in a 'rec ' sub-LIST
+        movi_payload = b""
+        for i, jf in enumerate(frames):
+            movi_payload += chunk(b"JUNK", bytes(rng.randrange(256) for _ in range(rng.randrange(0, 9))))
+            dc = chunk(b"00dc", jf)
+            movi_payload += chunk(b"LIST", b"rec " + dc) if i % 2 else dc
+        movi = chunk(b"LIST", b"movi" + movi_payload)
+        # splice the hand-built movi into the encoder's container: keep
+        # hdrl, drop the original movi + idx1 (idx1 is conventional only);
+        # the original movi LIST's 8-byte chunk header sits right before
+        # its 'movi' type fourcc
+        movi_at = avi.index(b"movi") - 8
+        body = avi[12:movi_at] + movi
+        rebuilt = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+        got2 = mm.decode_avi(rebuilt)
+        assert got2 == (upf, w, h, frames), trial
