@@ -537,3 +537,34 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_no_cartesian_or_unlisted_bnlj_anywhere(spark):
+    """Global scale-safety net over the ENTIRE query surface: no query's
+    executed plan may contain a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed only for the queries where it is
+    the designed plan — a 1-row scalar-subquery broadcast (q11/q22's
+    HAVING thresholds, tf-idf's corpus doc count, the funnel's step-1
+    total, minhash_recall's ground-truth count) or a broadcast of the
+    bounded k-query-vector side against the corpus (the top-k family).
+    The per-query gates above pin individual shapes; this sweep catches
+    a quadratic join sneaking into ANY of the other ~150 queries, where
+    at 100 TB it would be the difference between an equi-join shuffle
+    and an unrunnable cross product."""
+    BNLJ_OK = {
+        # broadcast k query vectors x corpus (bounded small side, by design)
+        "sim_topk_filtered", "sim_topk_bruteforce",
+        "sim_matryoshka_topk", "sim_matryoshka_recall",
+        # 1-row scalar aggregate broadcast into every row
+        "q11_important_parts", "q22_inactive_customer_balance",
+        "text_tfidf_keywords", "events_funnel", "dedup_minhash_recall",
+    }
+    violations = {}
+    for name in entrymod.queries():
+        plan = _plan(spark, name)
+        hits = [n for n in ("CartesianProduct",) if n in plan]
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            hits.append("BroadcastNestedLoopJoin")
+        if hits:
+            violations[name] = hits
+    assert not violations, violations
