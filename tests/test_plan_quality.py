@@ -559,12 +559,23 @@ def test_no_cartesian_or_unlisted_bnlj_anywhere(spark):
         "q11_important_parts", "q22_inactive_customer_balance",
         "text_tfidf_keywords", "events_funnel", "dedup_minhash_recall",
     }
+    # Python execution nodes: row-at-a-time BatchEvalPython is forbidden
+    # everywhere (10-100x slower than Arrow batches); the Arrow-batched
+    # nodes (MapInPandas / FlatMapGroupsInPandas) are designed into
+    # exactly these families — PQ/IVF-PQ gather kernels, the multimodal
+    # codecs, the ClickHouse HTTP reader, and the embedding-cosine pair
+    # generators — and must not silently spread to JVM-expressible queries.
+    ARROW_OK_PREFIXES = ("sim_", "multimodal_", "dedup_embedding_cosine", "ch_pushdown")
     violations = {}
     for name in entrymod.queries():
         plan = _plan(spark, name)
-        hits = [n for n in ("CartesianProduct",) if n in plan]
+        hits = [n for n in ("CartesianProduct", "BatchEvalPython") if n in plan]
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             hits.append("BroadcastNestedLoopJoin")
+        if (
+            "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+        ) and not name.startswith(ARROW_OK_PREFIXES):
+            hits.append("unexpected Arrow-Python node")
         if hits:
             violations[name] = hits
     assert not violations, violations
