@@ -1803,3 +1803,61 @@ def test_avi_randomized_container_sweep():
         rebuilt = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
         got2 = mm.decode_avi(rebuilt)
         assert got2 == (upf, w, h, frames), trial
+
+
+def test_wav_widths_randomized_decode_sweep():
+    """Seeded randomized PCM decode across every supported sample width
+    (8-bit unsigned, 16/24/32-bit signed) and channel count (mono /
+    stereo / 4-channel): random integer sample values over each width's
+    full range vs an independent numpy normalization (unsigned-midpoint
+    for 8-bit, two's-complement sign extension for 24-bit, mean-mix
+    across channels).  The fixed-case width test pins a handful of
+    landmark values; this sweeps the ranges and the width x channels
+    cross product."""
+    import io
+    import random
+    import struct
+    import wave
+
+    import numpy as np
+
+    rng = random.Random(0x3A7E)
+
+    def build(sampwidth, nch, rate, ints):
+        frames = b""
+        for v in ints:
+            if sampwidth == 1:
+                frames += bytes([v])
+            elif sampwidth == 2:
+                frames += struct.pack("<h", v)
+            elif sampwidth == 3:
+                frames += struct.pack("<i", v)[:3]
+            else:
+                frames += struct.pack("<i", v)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sampwidth)
+            w.setframerate(rate)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    for sw in (1, 2, 3, 4):
+        lo, hi = (0, 255) if sw == 1 else (-(1 << (8 * sw - 1)), (1 << (8 * sw - 1)) - 1)
+        for nch in (1, 2, 4):
+            n_frames = rng.randrange(1, 50)
+            ints = [rng.randint(lo, hi) for _ in range(n_frames * nch)]
+            # always include the extremes somewhere
+            ints[0] = lo
+            if len(ints) > 1:
+                ints[1] = hi
+            rate = rng.choice([8000, 16000, 44100])
+            got_rate, got = mm.decode_wav(build(sw, nch, rate, ints))
+            arr = np.asarray(ints, dtype=np.float64)
+            if sw == 1:
+                norm = (arr - 128.0) / 128.0
+            else:
+                norm = arr / float(1 << (8 * sw - 1))
+            want = norm.reshape(-1, nch).mean(axis=1)
+            assert got_rate == rate, (sw, nch)
+            assert np.allclose(np.asarray(got), want, atol=1e-12), (sw, nch)
