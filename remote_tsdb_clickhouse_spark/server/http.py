@@ -111,9 +111,44 @@ def make_handler(app: AdapterApp):
                 # not an error (context.Canceled parity, main.go:147-152)
                 pass
 
+        def _read_body(self) -> bytes | None:
+            """Request body, de-chunking ``Transfer-Encoding: chunked``
+            like the reference's Go ``net/http`` does transparently
+            (Prometheus normally sends Content-Length, but a chunked
+            remote-write must not decode as an empty body).  Returns None
+            after replying 400/413 on malformed or oversized streams —
+            the chunked accumulator is bounded by the same 32 MiB wire
+            cap the read path enforces (codec.go:24), since an unbounded
+            hostile stream would otherwise buffer arbitrary memory before
+            the codec's own cap could see it."""
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            if "chunked" not in te:
+                n = int(self.headers.get("Content-Length", 0))
+                return self.rfile.read(n)
+            body = bytearray()
+            while True:
+                line = self.rfile.readline(128)
+                try:
+                    size = int(line.split(b";")[0].strip() or b"0", 16)
+                except ValueError:
+                    self._reply(400, b"malformed chunk size\n")
+                    self.close_connection = True
+                    return None
+                if size == 0:
+                    while self.rfile.readline(128) not in (b"\r\n", b"\n", b""):
+                        pass  # drain optional trailers up to the blank line
+                    return bytes(body)
+                if len(body) + size > codec.DECODE_READ_LIMIT:
+                    self._reply(413, b"chunked body exceeds 32 MiB cap\n")
+                    self.close_connection = True
+                    return None
+                body += self.rfile.read(size)
+                self.rfile.read(2)  # chunk-terminating CRLF
+
         def do_POST(self):
-            n = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(n)
+            body = self._read_body()
+            if body is None:
+                return
             if self.path == "/write":
                 self._reply(*app.handle_write(body))
             elif self.path == "/read":

@@ -269,3 +269,77 @@ def test_protocol_roundtrip_randomized_sweep(spark, tmp_path):
             for ts in resp.results[0].timeseries
         ]
         assert got == want, (start_ms, end_ms, name)
+
+
+def test_chunked_transfer_write_and_read(server):
+    """Transfer-Encoding: chunked parity with the reference's net/http
+    (which de-chunks transparently): a chunked remote-write must store
+    its samples, and a chunked remote-read must answer — reading exactly
+    Content-Length bytes (absent on chunked requests) would decode an
+    empty body instead."""
+    import http.client
+
+    srv, app = server
+    write_req = prompb.WriteRequest(
+        timeseries=[
+            prompb.TimeSeries(
+                labels=[prompb.Label("__name__", "chunked_metric"),
+                        prompb.Label("job", "ck")],
+                samples=[prompb.Sample(7.0, 1704067200000)],
+            )
+        ]
+    )
+    payload = codec.encode_write_request(write_req)
+
+    def post_chunked(path, body, chunk=7):
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        # an iterable body without Content-Length -> http.client sends
+        # Transfer-Encoding: chunked
+        conn.request(
+            "POST", path,
+            body=iter([body[i:i + chunk] for i in range(0, len(body), chunk)]),
+        )
+        r = conn.getresponse()
+        out = (r.status, r.read())
+        conn.close()
+        return out
+
+    status, _ = post_chunked("/write", payload)
+    assert status == 200
+    assert app.metrics.samples_written_total.value == 1
+
+    read_req = prompb.ReadRequest(
+        queries=[ReadQuery(
+            start_ms=0, end_ms=1704067300000,
+            matchers=(LabelMatcher(MatcherType.EQ, "__name__", "chunked_metric"),),
+        )]
+    )
+    status, body = post_chunked("/read", codec.encode_read_request(read_req))
+    assert status == 200
+    resp = prompb.decode_read_response(codec.snappy_decompress(body))
+    series = resp.results[0].timeseries
+    assert len(series) == 1
+    assert series[0].samples[0].value == 7.0
+
+
+def test_chunked_malformed_and_oversized_rejected(server):
+    """Malformed chunk-size lines get 400; a chunked stream claiming more
+    than the 32 MiB wire cap gets 413 before buffering it."""
+    import socket
+
+    srv, app = server
+
+    def raw(request: bytes) -> int:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall(request)
+        data = s.recv(1024)
+        s.close()
+        return int(data.split(b" ")[1])
+
+    head = (
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+    )
+    assert raw(head + b"zz\r\nabc\r\n0\r\n\r\n") == 400
+    # one chunk claiming 64 MiB: rejected on the size line, no buffering
+    assert raw(head + b"4000000\r\n") == 413
