@@ -105,7 +105,8 @@ def make_handler(app: AdapterApp):
                     self.send_header(k, v)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
-                self.wfile.write(body)
+                if self.command != "HEAD":  # HEAD: headers only (RFC 9110)
+                    self.wfile.write(body)
             except ConnectionError:
                 # client hung up while we were writing — nothing to do and
                 # not an error (context.Canceled parity, main.go:147-152)
@@ -145,7 +146,16 @@ def make_handler(app: AdapterApp):
                 body += self.rfile.read(size)
                 self.rfile.read(2)  # chunk-terminating CRLF
 
-        def do_POST(self):
+        def _dispatch(self):
+            """Path-only routing, method-agnostic — exact parity with the
+            reference's ``http.HandleFunc`` mux (main.go:116-153), where a
+            GET to /write runs the write handler (empty body -> decode
+            error -> 500 + error counter) and ANY method on an unknown
+            path gets the 404 banner."""
+            if self.path == "/metrics":
+                status, payload = app.handle_metrics()
+                self._reply(status, payload, {"Content-Type": "text/plain; version=0.0.4"})
+                return
             body = self._read_body()
             if body is None:
                 return
@@ -162,12 +172,7 @@ def make_handler(app: AdapterApp):
             else:
                 self._reply(404, BANNER)
 
-        def do_GET(self):
-            if self.path == "/metrics":
-                status, payload = app.handle_metrics()
-                self._reply(status, payload, {"Content-Type": "text/plain; version=0.0.4"})
-            else:
-                self._reply(404, BANNER)
+        do_GET = do_POST = do_PUT = do_DELETE = do_PATCH = do_HEAD = _dispatch
 
     return Handler
 

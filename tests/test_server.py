@@ -343,3 +343,41 @@ def test_chunked_malformed_and_oversized_rejected(server):
     assert raw(head + b"zz\r\nabc\r\n0\r\n\r\n") == 400
     # one chunk claiming 64 MiB: rejected on the size line, no buffering
     assert raw(head + b"4000000\r\n") == 413
+
+
+def test_method_agnostic_path_routing(server):
+    """The reference's mux routes by PATH only (main.go:116-153): a GET
+    to /write runs the write handler — empty body, decode error, 500 +
+    writeErrorsTotal — and any method on an unknown path gets the 404
+    banner; HEAD answers headers-only."""
+    import http.client
+
+    srv, app = server
+
+    def req(method, path):
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=30)
+        conn.request(method, path)
+        r = conn.getresponse()
+        out = (r.status, r.read())
+        conn.close()
+        return out
+
+    errs0 = app.metrics.write_errors_total.value
+    status, _ = req("GET", "/write")
+    assert status == 500
+    assert app.metrics.write_errors_total.value == errs0 + 1
+
+    rerrs0 = app.metrics.read_errors_total.value
+    status, _ = req("GET", "/read")
+    assert status == 500
+    assert app.metrics.read_errors_total.value == rerrs0 + 1
+
+    for method in ("PUT", "DELETE", "PATCH", "POST"):
+        status, body = req(method, "/nope")
+        assert (status, body) == (404, b"remote-tsdb-clickhouse-spark\n"), method
+
+    status, body = req("HEAD", "/nope")
+    assert status == 404 and body == b""  # headers only
+
+    status, body = req("POST", "/metrics")  # promhttp serves any method
+    assert status == 200 and b"write_requests_total" in body
