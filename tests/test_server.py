@@ -343,6 +343,14 @@ def test_chunked_malformed_and_oversized_rejected(server):
     assert raw(head + b"zz\r\nabc\r\n0\r\n\r\n") == 400
     # one chunk claiming 64 MiB: rejected on the size line, no buffering
     assert raw(head + b"4000000\r\n") == 413
+    # trailers after the terminal chunk are drained, then the (garbage)
+    # 3-byte body reaches the codec -> 500 from the write handler, not a
+    # hang or parse desync
+    assert raw(
+        head + b"3\r\nabc\r\n0\r\nX-Trailer: v\r\nX-T2: w\r\n\r\n"
+    ) == 500
+    # chunk extensions on the size line are ignored per RFC 9112
+    assert raw(head + b"3;ext=1\r\nabc\r\n0\r\n\r\n") == 500
 
 
 def test_method_agnostic_path_routing(server):
