@@ -129,8 +129,11 @@ def make_handler(app: AdapterApp):
             body = bytearray()
             while True:
                 line = self.rfile.readline(128)
+                size_str = line.split(b";")[0].strip()  # extensions ignored
                 try:
-                    size = int(line.split(b";")[0].strip() or b"0", 16)
+                    # an empty line here is a truncated stream, not a
+                    # terminal chunk — int(b'', 16) raises into the 400
+                    size = int(size_str, 16)
                 except ValueError:
                     self._reply(400, b"malformed chunk size\n")
                     self.close_connection = True

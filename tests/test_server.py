@@ -389,3 +389,21 @@ def test_method_agnostic_path_routing(server):
 
     status, body = req("POST", "/metrics")  # promhttp serves any method
     assert status == 200 and b"write_requests_total" in body
+
+
+def test_chunked_truncated_stream_is_malformed(server):
+    """A chunked stream cut off before the terminal 0-chunk must be
+    treated as malformed (400), never as a silently-complete body."""
+    import socket
+
+    srv, app = server
+    s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    s.sendall(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"3\r\nabc\r\n"  # ...and the client disappears
+    )
+    s.shutdown(socket.SHUT_WR)
+    data = s.recv(1024)
+    s.close()
+    assert int(data.split(b" ")[1]) == 400
