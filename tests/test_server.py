@@ -407,3 +407,55 @@ def test_chunked_truncated_stream_is_malformed(server):
     data = s.recv(1024)
     s.close()
     assert int(data.split(b" ")[1]) == 400
+
+
+def test_chunked_equals_content_length_randomized(server):
+    """Property: for random write bodies, sending them chunked — at random
+    chunk boundaries, with random chunk extensions and optional trailers —
+    must be exactly equivalent to sending them with Content-Length: same
+    status, same samples stored."""
+    import random
+    import socket
+
+    rng = random.Random(0xC41C)
+    srv, app = server
+    expected_samples = 0
+    for trial in range(10):
+        ts_base = 1704067200000 + trial * 60_000
+        n = rng.randrange(1, 5)
+        req = prompb.WriteRequest(
+            timeseries=[
+                prompb.TimeSeries(
+                    labels=[prompb.Label("__name__", f"ck{trial}"),
+                            prompb.Label("job", "fuzz")],
+                    samples=[prompb.Sample(float(k), ts_base + k * 15_000)
+                             for k in range(n)],
+                )
+            ]
+        )
+        body = codec.encode_write_request(req)
+        # random chunking
+        chunks, pos = [], 0
+        while pos < len(body):
+            step = rng.randrange(1, max(2, len(body) // 2))
+            chunks.append(body[pos:pos + step])
+            pos += step
+        wire = b""
+        for c in chunks:
+            ext = b";x=" + str(rng.randrange(10)).encode() if rng.random() < 0.3 else b""
+            wire += format(len(c), "x").encode() + ext + b"\r\n" + c + b"\r\n"
+        wire += b"0\r\n"
+        if rng.random() < 0.5:
+            wire += b"X-Trailer: t\r\n"
+        wire += b"\r\n"
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall(
+            b"POST /write HTTP/1.1\r\nHost: x\r\n"
+            b"Transfer-Encoding: chunked\r\nConnection: close\r\n\r\n" + wire
+        )
+        status = int(s.recv(1024).split(b" ")[1])
+        s.close()
+        assert status == 200, trial
+        expected_samples += n
+    assert app.metrics.samples_written_total.value == expected_samples
+    assert app.metrics.write_errors_total.value == 0
