@@ -4479,6 +4479,17 @@ assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 #:    22-row tsdb derived-function block, the streaming/events block,
 #:    the text-analysis block, the dataset block, and doc_packing.
 #:
+#: Deferred-to-r11 code note (do NOT land in r10 — it would strict-stale
+#: the 40 r9-hashed tsdb matcher rows and break the zero-stale goal):
+#: ``plans/matchers.py``'s RE2-dialect guard rejects backrefs and
+#: lookaround but not Java-only possessive quantifiers (``a*+``) or
+#: atomic groups (``(?>``); Prometheus validates RE2-side so these can't
+#: arrive over the wire, but direct API users would silently diverge.
+#: Extend ``_NON_RE2_CONSTRUCTS`` early in r11 and put the tsdb matcher
+#: rows in the r11 window's staleness accounting if the diff lands
+#: before that round's driver run (they are NOT in _R11_WINDOW — if the
+#: guard lands, swap them in for r8-cohort fill or defer the guard).
+#:
 #: Remainder for the r12 head (the last 10 r8-cohort rows, no known
 #: debt, pure rotation hygiene): q6_revenue_delta,
 #: top_customers_per_segment, sim_topk_bruteforce, emb_quantize_int8,
