@@ -11,6 +11,7 @@ from remote_tsdb_clickhouse_spark.model import SAMPLES_SCHEMA
 from remote_tsdb_clickhouse_spark.sources.samples_store import SamplesStore
 from remote_tsdb_clickhouse_spark.streaming.ingest import (
     StreamingIngest,
+    rate_demo_stream,
     stateful_rate_stream,
     windowed_max_stream,
 )
@@ -454,3 +455,15 @@ def test_windowed_max_randomized_cross_batch_sweep(spark, tmp_path):
     }
     assert got == want
     assert len(want) >= 30  # enough windows to be a real sweep
+
+
+def test_rate_demo_stream_schema(spark):
+    """The demo rate source must emit the exact samples schema so every
+    downstream operator (stateful rate, windowed max, ingest writer)
+    accepts it unchanged."""
+    df = rate_demo_stream(spark)
+    assert df.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("ts", "timestamp"), ("metric_name", "string"),
+        ("labels", "array<string>"), ("value", "double"),
+    ]
