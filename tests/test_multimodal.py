@@ -1861,3 +1861,67 @@ def test_wav_widths_randomized_decode_sweep():
             want = norm.reshape(-1, nch).mean(axis=1)
             assert got_rate == rate, (sw, nch)
             assert np.allclose(np.asarray(got), want, atol=1e-12), (sw, nch)
+
+
+def test_png_adam7_randomized_sweep():
+    """Seeded randomized Adam7 decode: random dimensions (1x1, 1xN, Nx1
+    through 12x12 — small dims leave several of the seven passes EMPTY,
+    the fiddly pass-geometry arithmetic) with a random scanline filter
+    (None/Sub/Up/Average/Paeth) per pass row, forward-filtered here with
+    per-pass ``prev`` state exactly as the spec requires.  The fixed
+    Adam7 case uses filter 0 only; this is the first coverage of
+    non-trivial filters inside interlaced passes."""
+    import random
+    import struct
+    import zlib
+
+    rng = random.Random(0xADA7)
+    adam7 = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    for trial in range(15):
+        w = rng.choice([1, 2, 3, 4, 5, 7, 8, 9, 12])
+        h = rng.choice([1, 2, 3, 4, 5, 7, 8, 9, 12])
+        img = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        raw = bytearray()
+        for x0, y0, dx, dy in adam7:
+            xs, ys = range(x0, w, dx), range(y0, h, dy)
+            if not xs or not ys:
+                continue
+            prev = bytearray(len(xs) * 3)
+            for y in ys:
+                line = bytearray()
+                for x in xs:
+                    line += bytes(img[y][x])
+                f = rng.randrange(5)
+                out = bytearray([f])
+                for i in range(len(line)):
+                    a = line[i - 3] if i >= 3 else 0
+                    b = prev[i]
+                    c = prev[i - 3] if i >= 3 else 0
+                    if f == 0:
+                        v = line[i]
+                    elif f == 1:
+                        v = line[i] - a
+                    elif f == 2:
+                        v = line[i] - b
+                    elif f == 3:
+                        v = line[i] - ((a + b) >> 1)
+                    else:
+                        v = line[i] - _paeth(a, b, c)
+                    out.append(v & 0xFF)
+                raw += out
+                prev = line
+        png = (
+            mm.PNG_SIGNATURE
+            + _pchunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+            + _pchunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _pchunk(b"IEND", b"")
+        )
+        got = mm.decode_png(png)
+        assert got == (w, h, [px for row in img for px in row]), (trial, w, h)
