@@ -1925,3 +1925,54 @@ def test_png_adam7_randomized_sweep():
         )
         got = mm.decode_png(png)
         assert got == (w, h, [px for row in img for px in row]), (trial, w, h)
+
+
+def test_png_gray_randomized_filter_sweep():
+    """Seeded randomized grayscale (type 0) and gray+alpha (type 4)
+    decode with a random filter per row: the filter neighborhood uses
+    bpp=1 and bpp=2 here (vs 3/4 in the truecolor sweeps), so Average
+    and Paeth take different a/c offsets — previously only Sub at bpp=1
+    was pinned."""
+    import random
+    import struct
+    import zlib
+
+    rng = random.Random(0x6A47)
+    for trial in range(12):
+        ctype = rng.choice([0, 4])
+        channels = 1 if ctype == 0 else 2
+        w, h = rng.randrange(1, 9), rng.randrange(1, 7)
+        vals = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        raw = bytearray()
+        prev = bytearray(w * channels)
+        for row in vals:
+            line = bytearray()
+            for v in row:
+                line += bytes([v]) if ctype == 0 else bytes([v, rng.randrange(256)])
+            f = rng.randrange(5)
+            out = bytearray([f])
+            for i in range(len(line)):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                if f == 0:
+                    v = line[i]
+                elif f == 1:
+                    v = line[i] - a
+                elif f == 2:
+                    v = line[i] - b
+                elif f == 3:
+                    v = line[i] - ((a + b) >> 1)
+                else:
+                    v = line[i] - _paeth(a, b, c)
+                out.append(v & 0xFF)
+            raw += out
+            prev = line
+        png = (
+            mm.PNG_SIGNATURE
+            + _pchunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + _pchunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _pchunk(b"IEND", b"")
+        )
+        want = [(v, v, v) for row in vals for v in row]
+        assert mm.decode_png(png) == (w, h, want), (trial, ctype, w, h)
