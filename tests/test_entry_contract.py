@@ -84,10 +84,12 @@ def test_staleness_tool_validates_prepared_window():
 
 
 def test_staleness_tool_skips_landed_pending_bump():
-    """ADVICE r9: once a pending window's own CORRECTNESS file lands (its
-    rows all carry the max recorded round), --pending must not bump them
-    to a phantom next round — the printed distribution should top out at
-    the max recorded round."""
+    """ADVICE r9/r10: once a pending window's own CORRECTNESS file lands
+    (some recorded round holds exactly its rows), --pending must not bump
+    them to a phantom next round — the printed distribution should top out
+    at the max recorded round.  The window to pend is DERIVED from the max
+    recorded round (r10 verdict: hardcoding a window name time-bombs the
+    test every time the driver lands a newer CORRECTNESS file)."""
     import glob
     import os as _os
     import re as _re
@@ -99,16 +101,51 @@ def test_staleness_tool_skips_landed_pending_bump():
         int(_re.search(r"r0*(\d+)", _os.path.basename(p)).group(1))
         for p in glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))
     )
-    # _R9_WINDOW's driver run is recorded (CORRECTNESS_r09.json holds its
-    # rows), so pending it must be a no-op on the distribution
+    # the top round's window is by construction the landed one: the driver
+    # hashes the FIRST 50 queries() entries, i.e. the round's hoisted window
+    landed_window = f"_R{top}_WINDOW"
+    assert hasattr(entry, landed_window), landed_window
     proc = subprocess.run(
         [_sys.executable, _os.path.join(repo, "tools", "staleness_ledger.py"),
-         "--pending", "_R9_WINDOW"],
+         "--pending", landed_window],
         capture_output=True, text=True, timeout=60,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     rounds = [int(m) for m in _re.findall(r"^  r(\d+): ", proc.stdout, _re.M)]
     assert rounds and max(rounds) <= top, proc.stdout
+
+
+def test_staleness_tool_skips_bump_for_older_landed_window(tmp_path):
+    """ADVICE r10 regression, pinned to a frozen fixture: pending a window
+    whose run landed in an OLDER round (a newer round's file exists) must
+    still skip the bump — landed-ness is the exact key-list match against
+    any recorded round, not a comparison with the global max round."""
+    import json
+    import os as _os
+    import re as _re
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    (tmp_path / "tools").mkdir()
+    shutil.copy(
+        _os.path.join(repo, "tools", "staleness_ledger.py"),
+        tmp_path / "tools" / "staleness_ledger.py",
+    )
+    (tmp_path / "__spark_entry__.py").write_text(
+        '_R1_WINDOW = [\n    "a", "b",\n]\n_R2_WINDOW = [\n    "c", "d",\n]\n'
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"a": {}, "b": {}}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"c": {}, "d": {}}))
+    proc = subprocess.run(
+        [_sys.executable, str(tmp_path / "tools" / "staleness_ledger.py"),
+         "--pending", "_R1_WINDOW"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    rounds = [int(m) for m in _re.findall(r"^  r(\d+): ", proc.stdout, _re.M)]
+    assert rounds and max(rounds) == 2, proc.stdout
 
 
 def test_staleness_tool_empty_correctness_clean_error(tmp_path):

@@ -59,22 +59,30 @@ def entry_windows() -> dict[str, list[str]]:
 def build_map(pending: list[str] | None) -> tuple[dict[str, int], dict[str, int]]:
     """(last_round, first_seen_order) per query; `pending` rows get round
     max+1 (the driver run that has not happened yet).  If the pending
-    window's rows ALL already carry the max recorded round, its driver run
-    has landed (the round's own CORRECTNESS file exists in the worktree) —
-    bumping again would misstate the distribution's round numbers, so the
-    bump is skipped (ADVICE r9)."""
+    window's own driver run has already landed — some recorded round's
+    CORRECTNESS file records exactly this window, keys and order — bumping
+    would misstate the distribution's round numbers, so the bump is
+    skipped (ADVICE r9).  The landed-ness test is the exact key-list
+    match, not "all rows carry the global max round" (ADVICE r10): the
+    global-max comparison made --pending on an older landed window bump
+    its rows to a phantom round the moment any newer round's file landed,
+    and a per-row round test would re-arm the same bug once a later
+    rotation re-hashes part of an old window."""
+    recorded = correctness_rounds()
     last: dict[str, int] = {}
     order: dict[str, int] = {}
     top = 0
-    for rnd, rows in correctness_rounds():
+    for rnd, rows in recorded:
         top = max(top, rnd)
         for i, name in enumerate(rows):
             last[name] = rnd
             order[name] = i
-    if pending and not all(last.get(name) == top for name in pending):
-        for i, name in enumerate(pending):
-            last[name] = top + 1
-            order[name] = i
+    if pending:
+        landed = any(list(rows) == list(pending) for _rnd, rows in recorded)
+        if not landed:
+            for i, name in enumerate(pending):
+                last[name] = top + 1
+                order[name] = i
     return last, order
 
 
