@@ -68,6 +68,11 @@ class UnsupportedMatcherError(ValueError):
 
 
 #: Java-regex constructs RE2 (the Prometheus/ClickHouse dialect) rejects.
+#: The possessive/atomic spellings guard against a quantifier character
+#: that is itself escaped (``\*+`` is a valid RE2 "one or more literal
+#: asterisks"); a double-escaped ``\\*+`` (possessive on a literal
+#: backslash) slips through as a known false negative — erring lenient
+#: keeps every valid RE2 pattern accepted.
 _NON_RE2_CONSTRUCTS = re.compile(
     r"""
     \\[1-9]            # backreferences \1..\9
@@ -75,23 +80,38 @@ _NON_RE2_CONSTRUCTS = re.compile(
   | \(\?=              # lookahead
   | \(\?!              # negative lookahead
   | \(\?<[=!]          # lookbehind
+  | (?<!\\)[*+?]\+     # possessive quantifiers a*+ a++ a?+ (Java-only)
+  | (?<!\\)\{\d+(?:,\d*)?\}\+   # possessive bounded quantifier a{m,n}+
+  | (?<!\\)\(\?>       # atomic (independent) groups (?>...)
     """,
     re.VERBOSE,
 )
+
+#: Character classes are opaque to the construct scan: ``[*+]+`` is a valid
+#: RE2 "one or more of * or +", not a possessive quantifier, and ``[(?=]``
+#: is a plain class, not lookahead.  Each class is replaced by a single
+#: placeholder atom (not deleted — deletion would splice ``a*[x]+`` into a
+#: phantom ``a*+``).
+_CHAR_CLASS = re.compile(r"(?<!\\)\[(?:\\.|[^\]\\])*\]")
 
 
 def check_re2_portable(pattern: str) -> str:
     """Reject regex constructs outside the RE2 dialect.
 
-    Prometheus would reject these patterns at parse time; accepting them here
-    (Java regex supports them) would silently diverge from reference
-    semantics, so we fail fast instead.
+    Prometheus would reject these patterns at parse time (RE2 ``match()``
+    is the dialect on both reference legs, ``read.go:113,115,130,132``);
+    accepting them here (Java regex supports them) would silently diverge
+    from reference semantics, so we fail fast instead.  Beyond
+    backreferences/lookaround, RE2 also rejects Java's possessive
+    quantifiers (``a*+``, ``a{2,3}+`` — "bad repetition operator") and
+    atomic groups (``(?>...)``), which Java would accept with
+    backtracking-pruning semantics.
     """
-    if _NON_RE2_CONSTRUCTS.search(pattern):
+    if _NON_RE2_CONSTRUCTS.search(_CHAR_CLASS.sub("C", pattern)):
         raise ValueError(
             f"regex {pattern!r} uses constructs outside the RE2 dialect "
-            "(backreference/lookaround); Prometheus-compatible matchers "
-            "cannot contain them"
+            "(backreference/lookaround/possessive quantifier/atomic group); "
+            "Prometheus-compatible matchers cannot contain them"
         )
     return pattern
 

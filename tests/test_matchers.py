@@ -117,3 +117,87 @@ def test_re2_portability_guard():
     with pytest.raises(ValueError):
         check_re2_portable(r"foo(?=bar)")
     assert check_re2_portable(r"go_.*|up") == r"go_.*|up"
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        r"a*+",          # possessive star
+        r"a++",          # possessive plus
+        r"a?+",          # possessive question
+        r"a{2,3}+",      # possessive bounded repeat
+        r"a{2}+",        # possessive exact repeat
+        r"a{2,}+",       # possessive open repeat
+        r"(?>ab)c",      # atomic group
+        r"x(?>a|b)*y",   # atomic group, nested quantifier
+    ],
+)
+def test_re2_guard_rejects_java_only_quantifiers(pattern):
+    """RE2 errors on possessive quantifiers / atomic groups ("bad
+    repetition operator" / "invalid perl operator"); Java accepts them
+    with backtracking-pruning semantics — reference parity
+    (``read.go:113,115,130,132``) requires rejecting, not diverging."""
+    with pytest.raises(ValueError, match="RE2"):
+        check_re2_portable(pattern)
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        r"a+",            # plain greedy quantifiers stay accepted
+        r"a*?",           # lazy quantifiers are valid RE2
+        r"a{2,3}",        # bounded repeat without possessive suffix
+        r"\*+",           # one-or-more literal asterisks
+        r"\++",           # one-or-more literal plus signs
+        r"a}+",           # '}' with no opening brace is a literal in RE2
+        r"[*+]+",         # quantifier chars inside a class are literals
+        r"[?+]{2}",       # same, bounded
+        r"v[0-9]+\.[0-9]+",  # realistic version-label pattern
+        r"(?:a|b)+",      # non-capturing groups are fine
+    ],
+)
+def test_re2_guard_accepts_valid_re2(pattern):
+    assert check_re2_portable(pattern) == pattern
+
+
+def test_re2_guard_never_rejects_valid_re2_randomized():
+    """Soundness sweep against a real RE2 engine (DuckDB's regexp_matches
+    is RE2): the guard may accept Java-isms RE2 would reject (those fail
+    loudly server-side), but it must NEVER reject a pattern RE2 accepts —
+    a false positive here turns a valid Prometheus matcher into an error.
+    Patterns are drawn from a grammar mixing atoms, escapes, classes,
+    groups, and quantifiers (plain / lazy / possessive suffixes)."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(0x2E_2026)
+    con = duckdb.connect()
+    atoms = ["a", "b", ".", r"\.", r"\*", r"\+", "[*+]", "[0-9]", "[^x]",
+             "(a|b)", "(?:xy)", "}", r"\}"]
+    quants = ["", "*", "+", "?", "{2}", "{2,3}", "{2,}",
+              "*?", "+?", "*+", "++", "?+", "{2,3}+", "(?=b)", "(?>a)"]
+    checked = 0
+    for _ in range(400):
+        pat = "".join(
+            rng.choice(atoms) + rng.choice(quants)
+            for _ in range(rng.randint(1, 4))
+        )
+        try:
+            con.execute("SELECT regexp_matches('zz', ?)", [pat]).fetchall()
+        except duckdb.Error:
+            continue  # RE2 rejects it: the guard may do either
+        checked += 1
+        assert check_re2_portable(pat) == pat, pat
+    assert checked > 100  # the grammar must actually exercise the accept leg
+
+
+@pytest.mark.parametrize("mtype", [RE, NRE])
+@pytest.mark.parametrize("name", ["__name__", "job"])
+def test_possessive_rejected_on_both_matcher_branches(mtype, name):
+    """The guard must fire from all four regex compile branches: name
+    RE/NRE (F5/F6) and label RE/NRE (F10/F11)."""
+    with pytest.raises(ValueError, match="RE2"):
+        compile_matcher(LabelMatcher(mtype, name, r"om.*+"))
+    with pytest.raises(ValueError, match="RE2"):
+        compile_matcher(LabelMatcher(mtype, name, r"(?>om)ada"))
