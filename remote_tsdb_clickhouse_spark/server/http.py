@@ -19,6 +19,7 @@ in plans/, this file only moves bytes.
 
 from __future__ import annotations
 
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -31,6 +32,12 @@ from remote_tsdb_clickhouse_spark.server.service import handle_read_request
 from remote_tsdb_clickhouse_spark.sources.writer import TimeseriesWriter
 
 BANNER = b"remote-tsdb-clickhouse-spark\n"
+
+#: RFC 9112 chunk-size: 1*HEXDIG, bare — no sign, no 0x prefix, no
+#: underscores (all of which Python's int(s, 16) would happily accept).
+#: 16 hex digits bounds the value below any int overflow concern; real
+#: sizes are further capped against DECODE_READ_LIMIT by the caller.
+_CHUNK_SIZE_TOKEN = re.compile(rb"[0-9a-fA-F]{1,16}")
 
 
 class AdapterApp:
@@ -95,8 +102,26 @@ class AdapterApp:
 
 def make_handler(app: AdapterApp):
     class Handler(BaseHTTPRequestHandler):
+        # Go's net/http serves HTTP/1.1 with keep-alive by default; safe
+        # here because every reply carries Content-Length and every
+        # request path reads (drains) the body before replying, while
+        # malformed-stream paths set close_connection
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *args):  # quiet
             pass
+
+        def handle_one_request(self):
+            """A client that resets the connection — typically while this
+            thread is parked in readline() awaiting its next keep-alive
+            request — is a normal disconnect, not a server error: swallow
+            it like Go's net/http (and main.go:147-152's
+            context.Canceled) instead of letting socketserver print a
+            traceback from the daemon thread."""
+            try:
+                super().handle_one_request()
+            except ConnectionError:
+                self.close_connection = True
 
         def _reply(self, status: int, body: bytes, headers: dict[str, str] | None = None):
             try:
@@ -118,36 +143,67 @@ def make_handler(app: AdapterApp):
             (Prometheus normally sends Content-Length, but a chunked
             remote-write must not decode as an empty body).  Returns None
             after replying 400/413 on malformed or oversized streams —
-            the chunked accumulator is bounded by the same 32 MiB wire
-            cap the read path enforces (codec.go:24), since an unbounded
+            BOTH body framings are bounded by the same 32 MiB wire cap
+            the read path enforces (codec.go:24), since an unbounded
             hostile stream would otherwise buffer arbitrary memory before
-            the codec's own cap could see it."""
+            the codec's own cap could see it.  Chunk-size tokens are
+            validated as strict hex BEFORE int(): Python's int(s, 16)
+            accepts '-5'/'+5'/'0x10'/'1_0', and a negative size would
+            skip both the terminal-chunk test and the cap check, then
+            read(-5) buffers until EOF — the exact unbounded-buffering
+            hole the cap exists to close (ADVICE r10)."""
             te = (self.headers.get("Transfer-Encoding") or "").lower()
             if "chunked" not in te:
-                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except ValueError:
+                    self._reply(400, b"malformed Content-Length\n")
+                    self.close_connection = True
+                    return None
+                if n < 0 or n > codec.DECODE_READ_LIMIT:
+                    self._reply(413, b"body exceeds 32 MiB cap\n")
+                    self.close_connection = True
+                    return None
                 return self.rfile.read(n)
             body = bytearray()
             while True:
                 line = self.rfile.readline(128)
                 size_str = line.split(b";")[0].strip()  # extensions ignored
-                try:
-                    # an empty line here is a truncated stream, not a
-                    # terminal chunk — int(b'', 16) raises into the 400
-                    size = int(size_str, 16)
-                except ValueError:
+                # strict hex token (Go net/http parity): an empty line is a
+                # truncated stream, not a terminal chunk
+                if not _CHUNK_SIZE_TOKEN.fullmatch(size_str):
                     self._reply(400, b"malformed chunk size\n")
                     self.close_connection = True
                     return None
+                size = int(size_str, 16)
                 if size == 0:
-                    while self.rfile.readline(128) not in (b"\r\n", b"\n", b""):
-                        pass  # drain optional trailers up to the blank line
+                    # drain optional trailers up to the blank line; a line
+                    # longer than the readline cap comes back in fragments
+                    # (e.g. a 128-byte trailer yields a second fragment of
+                    # exactly b"\r\n") — only an UNfragmented line can be
+                    # the blank terminator, or the drain exits early and
+                    # desyncs a kept-alive stream
+                    while True:
+                        frag = self.rfile.readline(128)
+                        fragmented = False
+                        while frag and not frag.endswith(b"\n"):
+                            frag = self.rfile.readline(128)
+                            fragmented = True
+                        if not fragmented and frag in (b"\r\n", b"\n", b""):
+                            break
                     return bytes(body)
                 if len(body) + size > codec.DECODE_READ_LIMIT:
                     self._reply(413, b"chunked body exceeds 32 MiB cap\n")
                     self.close_connection = True
                     return None
                 body += self.rfile.read(size)
-                self.rfile.read(2)  # chunk-terminating CRLF
+                if self.rfile.read(2) != b"\r\n":
+                    # Go's chunked reader rejects a malformed chunk
+                    # terminator ("malformed chunked encoding") instead of
+                    # resyncing on garbage
+                    self._reply(400, b"malformed chunk terminator\n")
+                    self.close_connection = True
+                    return None
 
         def _dispatch(self):
             """Path-only routing, method-agnostic — exact parity with the
@@ -155,14 +211,17 @@ def make_handler(app: AdapterApp):
             GET to /write runs the write handler (empty body -> decode
             error -> 500 + error counter) and ANY method on an unknown
             path gets the 404 banner."""
-            if self.path == "/metrics":
-                status, payload = app.handle_metrics()
-                self._reply(status, payload, {"Content-Type": "text/plain; version=0.0.4"})
-                return
+            # read (and thereby drain) the body FIRST on every path —
+            # Go's net/http consumes the request body even for handlers
+            # that ignore it, so a bodied request to /metrics must not
+            # leave unread bytes desyncing a keep-alive connection
             body = self._read_body()
             if body is None:
                 return
-            if self.path == "/write":
+            if self.path == "/metrics":
+                status, payload = app.handle_metrics()
+                self._reply(status, payload, {"Content-Type": "text/plain; version=0.0.4"})
+            elif self.path == "/write":
                 self._reply(*app.handle_write(body))
             elif self.path == "/read":
                 status, payload = app.handle_read(body)

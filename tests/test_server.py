@@ -459,3 +459,182 @@ def test_chunked_equals_content_length_randomized(server):
         expected_samples += n
     assert app.metrics.samples_written_total.value == expected_samples
     assert app.metrics.write_errors_total.value == 0
+
+
+def test_chunk_size_token_is_strict_hex(server):
+    """ADVICE r10 (high): Python's int(s, 16) accepts '-5'/'+5'/'0x10'/
+    '1_0'.  A negative size would skip the terminal-chunk test AND the
+    32 MiB cap (len(body) + size > limit is false), then read(-5) buffers
+    until EOF — so the size token must validate as bare RFC 9112 hex
+    BEFORE conversion, and every non-canonical spelling must 400."""
+    import socket
+
+    srv, app = server
+
+    def raw(request: bytes) -> int:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall(request)
+        data = s.recv(1024)
+        s.close()
+        return int(data.split(b" ")[1])
+
+    head = (
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+    )
+    for token in (b"-5", b"+5", b"0x10", b"1_0", b" ", b"10 20",
+                  b"5,5", b"f" * 17):
+        assert raw(head + token + b"\r\nabcde\r\n0\r\n\r\n") == 400, token
+    # canonical hex still works end-to-end (5 bytes of garbage -> the
+    # codec rejects it with 500, proving the chunk layer accepted it)
+    assert raw(head + b"5\r\nabcde\r\n0\r\n\r\n") == 500
+
+
+def test_chunk_terminator_must_be_crlf(server):
+    """Go's chunked reader errors on a malformed chunk terminator
+    ("malformed chunked encoding") instead of resyncing on garbage —
+    accepting arbitrary bytes there is lenient-parse divergence."""
+    import socket
+
+    srv, app = server
+    s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    s.sendall(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"3\r\nabcXX0\r\n\r\n"  # XX where the chunk's CRLF belongs
+    )
+    data = s.recv(1024)
+    s.close()
+    assert int(data.split(b" ")[1]) == 400
+
+
+def test_content_length_is_capped_and_validated(server):
+    """ADVICE r10: the Content-Length path must enforce the same 32 MiB
+    pre-buffer bound as the chunked path (413 BEFORE reading the body),
+    and a malformed Content-Length is a 400, not a traceback."""
+    import socket
+
+    srv, app = server
+
+    def raw_headers_only(headers: bytes) -> int:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall(headers)
+        data = s.recv(1024)  # reply must arrive without any body sent
+        s.close()
+        return int(data.split(b" ")[1])
+
+    assert raw_headers_only(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: 67108864\r\n\r\n"  # 64 MiB claim, no body
+    ) == 413
+    assert raw_headers_only(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: -1\r\n\r\n"
+    ) == 413
+    assert raw_headers_only(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: abc\r\n\r\n"
+    ) == 400
+
+
+def test_keepalive_reuse_after_bodied_metrics(server):
+    """r10 verdict nit: a bodied (chunked) request to /metrics must drain
+    its body — Go's net/http consumes request bodies for every handler —
+    or the unread bytes desync the next request on a kept-alive
+    connection.  The server speaks HTTP/1.1 keep-alive (net/http parity),
+    so this is directly observable: both requests on one socket must
+    answer 200 with a well-formed metrics payload."""
+    import socket
+
+    srv, app = server
+    s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+
+    def recv_response(sock) -> tuple[int, bytes]:
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += sock.recv(4096)
+        head, _, rest = buf.partition(b"\r\n\r\n")
+        n = int(
+            next(ln for ln in head.split(b"\r\n") if ln.lower().startswith(b"content-length"))
+            .split(b":")[1]
+        )
+        while len(rest) < n:
+            rest += sock.recv(4096)
+        return int(head.split(b" ")[1]), rest[:n]
+
+    s.sendall(
+        b"POST /metrics HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"6\r\nignore\r\n0\r\n\r\n"
+    )
+    status, body = recv_response(s)
+    assert status == 200 and b"write_requests_total" in body
+    s.sendall(b"GET /metrics HTTP/1.1\r\nHost: x\r\n\r\n")
+    status, body = recv_response(s)
+    assert status == 200 and b"write_requests_total" in body
+    s.close()
+
+
+def test_long_trailer_line_keeps_stream_synced(server):
+    """r10 ADVICE: the trailer drain reads 128-byte fragments, and a
+    trailer line of exactly 128+ bytes makes the NEXT fragment b"\\r\\n" —
+    which must not be mistaken for the blank terminator line (that would
+    leave the real blank line unread and desync keep-alive).  Two
+    requests on one socket, the first carrying a 128-byte trailer line."""
+    import socket
+
+    srv, app = server
+    s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    # 128 content bytes before the CRLF: readline(128) returns them with
+    # NO newline, so the line's terminating b"\r\n" arrives as its own
+    # fragment — the exact bytes the old drain mistook for the blank line
+    trailer = b"X-Long: " + b"a" * 120
+    assert len(trailer) == 128
+    s.sendall(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"3\r\nabc\r\n0\r\n" + trailer + b"\r\n\r\n"
+    )
+
+    def recv_response(sock) -> tuple[int, bytes]:
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            buf += sock.recv(4096)
+        head, _, rest = buf.partition(b"\r\n\r\n")
+        n = int(
+            next(ln for ln in head.split(b"\r\n") if ln.lower().startswith(b"content-length"))
+            .split(b":")[1]
+        )
+        while len(rest) < n:
+            rest += sock.recv(4096)
+        return int(head.split(b" ")[1]), rest[:n]
+
+    status, _ = recv_response(s)
+    assert status == 500  # 3-byte garbage body reaches the codec
+    s.sendall(b"GET /metrics HTTP/1.1\r\nHost: x\r\n\r\n")
+    status, body = recv_response(s)
+    assert status == 200 and b"write_requests_total" in body
+    s.close()
+
+
+def test_keepalive_client_reset_is_silent(server, capfd):
+    """A client that RSTs its kept-alive connection (handler thread parked
+    in readline awaiting the next request) is a normal disconnect — Go's
+    net/http says nothing; socketserver must not print a daemon-thread
+    traceback ("Exception occurred during processing of request")."""
+    import socket
+    import struct
+    import time
+
+    srv, app = server
+    s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    s.sendall(b"GET /metrics HTTP/1.1\r\nHost: x\r\n\r\n")
+    time.sleep(0.3)
+    s.recv(4096)
+    # SO_LINGER(1, 0): close() sends RST instead of FIN
+    s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER, struct.pack("ii", 1, 0))
+    s.close()
+    time.sleep(0.5)
+    err = capfd.readouterr().err
+    assert "Exception occurred" not in err, err
+    assert "Traceback" not in err, err
