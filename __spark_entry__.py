@@ -4475,28 +4475,25 @@ assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 #:    They share the memoized exact-top-10 baseline + trained IVF/PQ
 #:    builds (and the dedup pair shares the checkpointed components
 #:    build), so they stay contiguous in r7-window relative order.
-#: 2. The first 40 rows of the r8 cohort, r8-window relative order: the
-#:    22-row tsdb derived-function block, the streaming/events block,
-#:    the text-analysis block, the dataset block, and doc_packing.
+#: 2. All 40 matcher-path rows the r11 RE2-guard extension touches that
+#:    this window can hold (the r10 plan's deferred note, executed): the
+#:    22 r8-hashed tsdb derived-function rows (every one routes its input
+#:    through the matcher compiler) in r8-window relative order, then the
+#:    18 r9-hashed matcher rows (ch_pushdown_read + the tsdb matcher /
+#:    downsample / serve block) in r9-window relative order.  The
+#:    matcher-path set was computed mechanically (AST reachability from
+#:    each queries() entry to LabelMatcher/ReadQuery/handle_read_request/
+#:    pushdown_read_request): 42 rows total — the remaining two,
+#:    protocol_roundtrip_read and protocol_response_assembly, carry r10
+#:    hashes (the freshest possible) and head _R12_WINDOW; the guard
+#:    extension is additionally a proven no-op on every driver row
+#:    (tests/test_entry_contract.py::
+#:    test_driver_row_regexes_unaffected_by_re2_guard_extension — no row's
+#:    regex uses the newly-rejected constructs).
 #:
-#: Deferred-to-r11 code note (do NOT land in r10 — it would strict-stale
-#: the 40 r9-hashed tsdb matcher rows and break the zero-stale goal):
-#: ``plans/matchers.py``'s RE2-dialect guard rejects backrefs and
-#: lookaround but not Java-only possessive quantifiers (``a*+``) or
-#: atomic groups (``(?>``); Prometheus validates RE2-side so these can't
-#: arrive over the wire, but direct API users would silently diverge.
-#: Extend ``_NON_RE2_CONSTRUCTS`` early in r11 and put the tsdb matcher
-#: rows in the r11 window's staleness accounting if the diff lands
-#: before that round's driver run (they are NOT in _R11_WINDOW — if the
-#: guard lands, swap them in for r8-cohort fill or defer the guard).
-#:
-#: Remainder for the r12 head (the last 10 r8-cohort rows, no known
-#: debt, pure rotation hygiene): q6_revenue_delta,
-#: top_customers_per_segment, sim_topk_bruteforce, emb_quantize_int8,
-#: then the 6-row dedup chain (dedup_exact, dedup_embedding_cosine,
-#: dedup_embedding_cosine_lsh, dedup_ngram_jaccard, dedup_minhash_lsh,
-#: dedup_incremental) — the chain shares the staged shingle/signature
-#: persists, so keep it contiguous and in this order when it rotates in.
+#: The 18 non-matcher r8-cohort rows this swap displaces (streaming/
+#: events/text/dataset blocks + doc_packing) move to _R12_WINDOW below,
+#: joining the 10 r8 rows already planned for the r12 head.
 _R11_WINDOW = [
     # the complete r7 cohort (10): recall diagnostics + dedup graph rows,
     # r7-window relative order (shared memoized builds stay contiguous)
@@ -4504,7 +4501,8 @@ _R11_WINDOW = [
     "sim_lsh_recall", "sim_lsh_multiprobe_recall", "sim_ivf_recall",
     "sim_ivf_trained_recall", "sim_matryoshka_recall", "dedup_groups",
     "dedup_cluster_stats",
-    # first 40 r8-cohort rows, r8-window relative order
+    # 22 r8-hashed matcher-path rows (tsdb derived-function block),
+    # r8-window relative order
     "tsdb_irate", "tsdb_delta", "tsdb_increase", "tsdb_resets_changes",
     "tsdb_range_agg", "tsdb_moving_avg", "tsdb_rollup_serve",
     "tsdb_binary_ratio", "tsdb_compact_serve", "tsdb_count_values",
@@ -4512,14 +4510,69 @@ _R11_WINDOW = [
     "tsdb_histogram_quantile", "tsdb_label_join", "tsdb_label_replace",
     "tsdb_offset_ratio", "tsdb_predict_linear", "tsdb_quantile_over_time",
     "tsdb_sliding_range_max", "tsdb_stddev_over_time",
-    "tsdb_topk_per_bucket", "streaming_stateful_rate", "events_sessionize",
-    "events_asof_click", "events_window_agg", "events_funnel",
-    "text_decontaminate", "text_pipeline", "text_langid", "text_quality",
-    "text_tokens", "text_fingerprint", "text_tfidf_keywords",
-    "text_repetition", "dataset_dedup_apply", "dataset_length_histogram",
-    "dataset_sample", "dataset_mixture_sample", "doc_packing",
+    "tsdb_topk_per_bucket",
+    # 18 r9-hashed matcher-path rows, r9-window relative order
+    "ch_pushdown_read", "tsdb_rollup_hierarchy", "tsdb_subquery_maxrate",
+    "tsdb_retention_serve", "tsdb_mad_over_time", "tsdb_sum_by_label",
+    "tsdb_topk_series", "tsdb_max_gap", "tsdb_stale_series",
+    "tsdb_read_eq", "tsdb_read_name_regex", "tsdb_read_nre",
+    "tsdb_label_regex", "tsdb_downsample_30s", "tsdb_downsample_range_clamp",
+    "tsdb_series_assembly", "tsdb_ignore_label", "tsdb_rate",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+
+
+#: The PREPARED round-12 rotation — defined now (while the r11 staleness
+#: map is fresh) but NOT hoisted; the r12 session's only rotation change
+#: is flipping the hoist line to ``_R12_WINDOW``.  Construction against
+#: the post-r11 hash map (r8x28, r9x32, r10x50, r11x50 — verify with
+#: ``python tools/staleness_ledger.py --pending _R11_WINDOW --check
+#: _R12_WINDOW``):
+#:
+#: 1. The two r10-hashed matcher-path rows first (the only residue of
+#:    the r11 RE2-guard diff, and a proven no-op for them — see the
+#:    _R11_WINDOW note): protocol_roundtrip_read,
+#:    protocol_response_assembly.
+#: 2. The COMPLETE post-r11 r8 cohort (28 rows — the oldest hashes),
+#:    r8-window relative order: the streaming/events/text/dataset blocks
+#:    displaced from the r11 window by the matcher swap, doc_packing,
+#:    the 4 analytics rows, and the 6-row dedup chain (shares the staged
+#:    shingle/signature persists — keep contiguous, this order).
+#: 3. The first 20 of the 32 r9-cohort rows, r9-window relative order
+#:    (keeps the sim_pq_codes -> sim_pq_adc_topk -> sim_pq_trained
+#:    _TRAIN_CACHE chain contiguous).
+#:
+#: Remainder for the r13 head (the last 12 r9-cohort rows, no known
+#: debt, pure rotation hygiene — r9-window relative order):
+#: text_bigram_lm, tsdb_label_values, tsdb_series_count,
+#: tsdb_label_project, dedup_minhash_recall, ch_sink_roundtrip,
+#: dedup_containment, dataset_interleave, dedup_simhash,
+#: doc_stats_by_source, customers_lapsed, dataset_split.
+_R12_WINDOW = [
+    # the r11 RE2-guard residue: the two r10-hashed matcher-path rows
+    "protocol_roundtrip_read", "protocol_response_assembly",
+    # the complete post-r11 r8 cohort (28), r8-window relative order
+    "streaming_stateful_rate", "events_sessionize", "events_asof_click",
+    "events_window_agg", "events_funnel", "text_decontaminate",
+    "text_pipeline", "text_langid", "text_quality", "text_tokens",
+    "text_fingerprint", "text_tfidf_keywords", "text_repetition",
+    "dataset_dedup_apply", "dataset_length_histogram", "dataset_sample",
+    "dataset_mixture_sample", "doc_packing", "q6_revenue_delta",
+    "top_customers_per_segment", "sim_topk_bruteforce",
+    "emb_quantize_int8", "dedup_exact", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_incremental",
+    # first 20 r9-cohort rows, r9-window relative order (_TRAIN_CACHE
+    # chain contiguous)
+    "text_pii_scrub", "doc_chunk_windows", "doc_chunk_texts",
+    "streaming_windowed_max", "text_quality_filter", "events_salted_stats",
+    "sim_pq_codes", "sim_pq_adc_topk", "sim_pq_trained",
+    "sim_topk_lsh_multiprobe", "q2_min_cost_region", "q11_important_parts",
+    "q20_promotable_suppliers", "q21_waiting_suppliers", "dedup_lines",
+    "dedup_bloom", "sim_matryoshka_topk", "dataset_shuffle_shards",
+    "text_vocab", "events_bucketed_join",
+]
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4536,7 +4589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ledger: 22 r5 rows + 20 spread-staled r6/r7 tsdb rows + 8
     # oldest-r6 fill); r10 the _R10_WINDOW rotation (the 3 r9-advisor-
     # touched rows + the full r6 cohort + 27 r7 rows — after it no hash
-    # predates r7 and zero strict-stale rows remain).
+    # predates r7 and zero strict-stale rows remain); r11 the _R11_WINDOW
+    # rotation (the full r7 cohort + the 40 oldest-hashed matcher-path
+    # rows re-hashed through the r11 RE2-guard extension; the 2 freshest
+    # matcher rows head _R12_WINDOW).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -4727,7 +4783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R10_WINDOW}
+    out = {name: base[name] for name in _R11_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 

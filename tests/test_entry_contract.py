@@ -29,16 +29,13 @@ def test_verification_windows_are_valid_rotations():
     window must name only real queries (a typo'd name would silently shrink
     the next rotation)."""
     names = list(entry.queries())
-    assert names[:50] == entry._R10_WINDOW  # active round's hoist
-    for window in (entry._R9_WINDOW, entry._R10_WINDOW, entry._R11_WINDOW):
+    assert names[:50] == entry._R11_WINDOW  # active round's hoist
+    for window in (
+        entry._R9_WINDOW, entry._R10_WINDOW, entry._R11_WINDOW, entry._R12_WINDOW
+    ):
         assert len(window) == 50 and len(set(window)) == 50
         missing = set(window) - set(names)
         assert not missing, f"window names not in queries(): {missing}"
-    # r10 leads with the rows whose serve/setup paths r9's advisor fixes
-    # touched, so their hashes postdate those diffs first thing this round
-    assert entry._R10_WINDOW[:3] == [
-        "sim_ivf_pq_topk", "sim_ivf_pq_recall", "streaming_dedup",
-    ]
     # r11 leads with the complete r7 cohort (the oldest post-r10 hashes):
     # the recall-diagnostic family + the dedup graph pair, contiguous
     # because they share memoized builds
@@ -47,6 +44,12 @@ def test_verification_windows_are_valid_rotations():
         "sim_lsh_recall", "sim_lsh_multiprobe_recall", "sim_ivf_recall",
         "sim_ivf_trained_recall", "sim_matryoshka_recall", "dedup_groups",
         "dedup_cluster_stats",
+    ]
+    # ...and carries every matcher-path row the r11 RE2-guard extension
+    # could hold (22 r8-hashed + 18 r9-hashed); the 2 r10-hashed matcher
+    # rows are the prepared r12 head
+    assert entry._R12_WINDOW[:2] == [
+        "protocol_roundtrip_read", "protocol_response_assembly",
     ]
 
 
@@ -65,6 +68,99 @@ def test_oracle_sql_compiles_in_duckdb():
         con.execute(f"SELECT * FROM ({sql}) LIMIT 0")
 
 
+def test_matcher_path_rows_covered_by_r11_rotation():
+    """Staleness accounting for the r11 matchers.py diff, computed the
+    same way the rotation was planned: AST reachability from each
+    queries() entry to the matcher compiler's entry points.  Every
+    matcher-path row must sit in _R11_WINDOW or head _R12_WINDOW — a row
+    outside both would carry a hash predating the RE2-guard extension
+    with no scheduled re-hash."""
+    import ast
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    tree = ast.parse(open(_os.path.join(repo, "__spark_entry__.py")).read())
+
+    funcs = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef):
+            refs = set()
+            for n in ast.walk(node):
+                if isinstance(n, ast.Name):
+                    refs.add(n.id)
+                elif isinstance(n, ast.Attribute):
+                    refs.add(n.attr)
+            funcs[node.name] = refs
+
+    seeds = {
+        "LabelMatcher", "ReadQuery", "handle_read_request",
+        "pushdown_read_request", "read_filter", "matcher_condition",
+        "compile_matchers", "compile_matcher", "plan_read_query",
+    }
+    matcher_funcs = set()
+    changed = True
+    while changed:
+        changed = False
+        for fname, refs in funcs.items():
+            if fname not in matcher_funcs and (refs & seeds or refs & matcher_funcs):
+                matcher_funcs.add(fname)
+                changed = True
+
+    qnode = next(
+        n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name == "queries"
+    )
+    matcher_rows = set()
+    for n in ast.walk(qnode):
+        if isinstance(n, ast.Dict):
+            for k, v in zip(n.keys, n.values):
+                if isinstance(k, ast.Constant):
+                    refs = {
+                        x.id if isinstance(x, ast.Name) else x.attr
+                        for x in ast.walk(v)
+                        if isinstance(x, (ast.Name, ast.Attribute))
+                    }
+                    if refs & matcher_funcs or refs & seeds:
+                        matcher_rows.add(k.value)
+
+    assert matcher_rows, "reachability extraction broke"
+    scheduled = set(entry._R11_WINDOW) | set(entry._R12_WINDOW[:2])
+    uncovered = matcher_rows - scheduled
+    assert not uncovered, f"matcher-path rows with no scheduled re-hash: {uncovered}"
+
+
+def test_driver_row_regexes_unaffected_by_re2_guard_extension():
+    """Staleness no-op proof for the r11 RE2-guard extension: every regex
+    literal any driver row hands to the matcher compiler is accepted by
+    the extended guard, so the matchers.py diff cannot change any driver
+    row's result — the possessive/atomic rejection only fires on patterns
+    no row uses.  (The matcher-path rows are still rotated through
+    _R11_WINDOW / the _R12_WINDOW head; this pins the argument that the
+    two r10-hashed protocol rows awaiting the r12 rotation are not
+    behavior-stale in the interim.)"""
+    import ast
+    import os as _os
+
+    from remote_tsdb_clickhouse_spark.plans.matchers import check_re2_portable
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    tree = ast.parse(open(_os.path.join(repo, "__spark_entry__.py")).read())
+    patterns = []
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "LabelMatcher"
+            and len(node.args) >= 3
+            and isinstance(node.args[0], ast.Name)
+            and node.args[0].id in ("RE", "NRE")
+            and isinstance(node.args[2], ast.Constant)
+        ):
+            patterns.append(node.args[2].value)
+    assert patterns, "entry defines no regex matchers? (extraction broke)"
+    for pat in patterns:
+        assert check_re2_portable(pat) == pat
+
+
 def test_staleness_tool_validates_prepared_window():
     """tools/staleness_ledger.py is the mechanical check behind the
     rotation plan: the prepared window must verify against the recorded
@@ -76,11 +172,11 @@ def test_staleness_tool_validates_prepared_window():
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     proc = subprocess.run(
         [_sys.executable, _os.path.join(repo, "tools", "staleness_ledger.py"),
-         "--pending", "_R10_WINDOW", "--check", "_R11_WINDOW"],
+         "--pending", "_R11_WINDOW", "--check", "_R12_WINDOW"],
         capture_output=True, text=True, timeout=60,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "_R11_WINDOW: OK" in proc.stdout, proc.stdout
+    assert "_R12_WINDOW: OK" in proc.stdout, proc.stdout
 
 
 def test_staleness_tool_skips_landed_pending_bump():
