@@ -638,3 +638,84 @@ def test_keepalive_client_reset_is_silent(server, capfd):
     err = capfd.readouterr().err
     assert "Exception occurred" not in err, err
     assert "Traceback" not in err, err
+
+
+def test_keepalive_randomized_session_sweep(server):
+    """Randomized RFC-level keep-alive property: N mixed requests —
+    /write (valid snappy'd prompb or garbage), /read, /metrics, 404
+    paths; Content-Length or chunked framing with random chunk sizes,
+    extensions, and trailers — all pipelined request-after-response over
+    ONE connection must each get the right status with the stream
+    staying byte-synced throughout (any drain bug desyncs every request
+    after it)."""
+    import random
+    import socket
+
+    rng = random.Random(0x11AA)
+    srv, app = server
+
+    def recv_response(sock) -> tuple[int, bytes]:
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            chunk = sock.recv(4096)
+            assert chunk, "server closed mid-session (stream desync?)"
+            buf += chunk
+        head, _, rest = buf.partition(b"\r\n\r\n")
+        n = int(
+            next(ln for ln in head.split(b"\r\n")
+                 if ln.lower().startswith(b"content-length")).split(b":")[1]
+        )
+        while len(rest) < n:
+            rest += sock.recv(4096)
+        assert len(rest) == n  # no stray bytes: responses stay framed
+        return int(head.split(b" ")[1]), rest[:n]
+
+    def frame(body: bytes) -> bytes:
+        if rng.random() < 0.5:
+            return (b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+                    + body)
+        wire, pos = b"", 0
+        while pos < len(body):
+            step = rng.randrange(1, max(2, len(body)))
+            c = body[pos:pos + step]
+            ext = b";k=v" if rng.random() < 0.3 else b""
+            wire += format(len(c), "x").encode() + ext + b"\r\n" + c + b"\r\n"
+            pos += step
+        wire += b"0\r\n"
+        if rng.random() < 0.4:
+            wire += b"X-T: " + b"t" * rng.choice([1, 120, 200]) + b"\r\n"
+        wire += b"\r\n"
+        return b"Transfer-Encoding: chunked\r\n\r\n" + wire
+
+    valid = codec.encode_write_request(prompb.WriteRequest(
+        timeseries=[prompb.TimeSeries(
+            labels=[prompb.Label("__name__", "ka_sweep")],
+            samples=[prompb.Sample(1.0, 1704067200000)],
+        )]
+    ))
+
+    s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    wrote_ok = 0
+    for i in range(30):
+        kind = rng.choice(["write_ok", "write_bad", "metrics", "notfound"])
+        if kind == "write_ok":
+            s.sendall(b"POST /write HTTP/1.1\r\nHost: x\r\n" + frame(valid))
+            want = 200
+            wrote_ok += 1
+        elif kind == "write_bad":
+            s.sendall(b"POST /write HTTP/1.1\r\nHost: x\r\n"
+                      + frame(b"garbage-not-snappy"))
+            want = 500
+        elif kind == "metrics":
+            s.sendall(b"GET /metrics HTTP/1.1\r\nHost: x\r\n"
+                      + (frame(b"ignored-body") if rng.random() < 0.5 else b"\r\n"))
+            want = 200
+        else:
+            s.sendall(b"POST /nope HTTP/1.1\r\nHost: x\r\n" + frame(b"x"))
+            want = 404
+        status, body = recv_response(s)
+        assert status == want, (i, kind, status)
+        if kind == "notfound":
+            assert body == b"remote-tsdb-clickhouse-spark\n"
+    s.close()
+    assert app.metrics.samples_written_total.value == wrote_ok
