@@ -182,15 +182,25 @@ def make_handler(app: AdapterApp):
                     # (e.g. a 128-byte trailer yields a second fragment of
                     # exactly b"\r\n") — only an UNfragmented line can be
                     # the blank terminator, or the drain exits early and
-                    # desyncs a kept-alive stream
+                    # desyncs a kept-alive stream.  Total trailer bytes are
+                    # capped like Go's DefaultMaxHeaderBytes (1 MiB): a
+                    # hostile never-terminating trailer stream must 400,
+                    # not spin the drain forever
+                    drained = 0
                     while True:
                         frag = self.rfile.readline(128)
+                        drained += len(frag)
                         fragmented = False
                         while frag and not frag.endswith(b"\n"):
                             frag = self.rfile.readline(128)
+                            drained += len(frag)
                             fragmented = True
                         if not fragmented and frag in (b"\r\n", b"\n", b""):
                             break
+                        if drained > 1 << 20:
+                            self._reply(400, b"trailer section exceeds 1 MiB\n")
+                            self.close_connection = True
+                            return None
                     return bytes(body)
                 if len(body) + size > codec.DECODE_READ_LIMIT:
                     self._reply(413, b"chunked body exceeds 32 MiB cap\n")

@@ -719,3 +719,29 @@ def test_keepalive_randomized_session_sweep(server):
             assert body == b"remote-tsdb-clickhouse-spark\n"
     s.close()
     assert app.metrics.samples_written_total.value == wrote_ok
+
+
+def test_trailer_section_capped(server):
+    """A hostile never-ending trailer stream must be rejected (400, like
+    Go's DefaultMaxHeaderBytes 1 MiB bound), not drained forever."""
+    import socket
+
+    srv, app = server
+    s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+    s.sendall(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"3\r\nabc\r\n0\r\n"
+    )
+    line = b"X-T: " + b"t" * 100 + b"\r\n"
+    sent = 0
+    try:
+        while sent <= (2 << 20):  # 2 MiB of trailers, never a blank line
+            s.sendall(line)
+            sent += len(line)
+    except (BrokenPipeError, ConnectionResetError):
+        pass  # server already replied 400 and closed — also a pass
+    s.settimeout(30)
+    data = s.recv(1024)
+    s.close()
+    assert data and int(data.split(b" ")[1]) == 400
