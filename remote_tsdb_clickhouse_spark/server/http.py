@@ -153,9 +153,18 @@ def make_handler(app: AdapterApp):
             read(-5) buffers until EOF — the exact unbounded-buffering
             hole the cap exists to close (ADVICE r10)."""
             te = (self.headers.get("Transfer-Encoding") or "").lower()
+            cls = self.headers.get_all("Content-Length") or []
+            if ("chunked" in te and cls) or len(set(cls)) > 1:
+                # request-smuggling guards (RFC 9112 §6.3.3, Go net/http):
+                # chunked framing with a Content-Length, or conflicting
+                # duplicate Content-Lengths, is an attack shape — reject
+                # rather than pick a framing
+                self._reply(400, b"conflicting body framing\n")
+                self.close_connection = True
+                return None
             if "chunked" not in te:
                 try:
-                    n = int(self.headers.get("Content-Length", 0))
+                    n = int(cls[0]) if cls else 0
                 except ValueError:
                     self._reply(400, b"malformed Content-Length\n")
                     self.close_connection = True

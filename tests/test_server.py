@@ -745,3 +745,35 @@ def test_trailer_section_capped(server):
     data = s.recv(1024)
     s.close()
     assert data and int(data.split(b" ")[1]) == 400
+
+
+def test_smuggling_framings_rejected(server):
+    """RFC 9112 §6.3.3 / Go net/http: chunked + Content-Length together,
+    or conflicting duplicate Content-Lengths, are the request-smuggling
+    shapes — 400, never a guessed framing."""
+    import socket
+
+    srv, app = server
+
+    def raw(request: bytes) -> int:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall(request)
+        data = s.recv(1024)
+        s.close()
+        return int(data.split(b" ")[1])
+
+    assert raw(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\nContent-Length: 3\r\n\r\n"
+        b"3\r\nabc\r\n0\r\n\r\n"
+    ) == 400
+    assert raw(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: 3\r\nContent-Length: 5\r\n\r\nabcde"
+    ) == 400
+    # equal duplicates are RFC-tolerable; the body reads by that length
+    # and the 3 garbage bytes reach the codec (500 = framing accepted)
+    assert raw(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Content-Length: 3\r\nContent-Length: 3\r\n\r\nabc"
+    ) == 500
