@@ -4412,9 +4412,9 @@ _R9_WINDOW = [
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 
 
-#: The ACTIVE round-10 rotation (hoisted in ``queries()`` below; prepared
-#: in r9 while the staleness map was fresh, flipped live in r10 with no
-#: membership change).  Construction, per the plan in the r9 docstring
+#: The round-10 rotation (prepared in r9 while the staleness map was
+#: fresh, hoisted live in r10 with no membership change, hashed by
+#: CORRECTNESS_r10).  Construction, per the plan in the r9 docstring
 #: above, against the post-r9 hash map (r6x20, r7x40, r8x50, r9x50 —
 #: verified against CORRECTNESS_r0{1..9}.json):
 #:
@@ -4461,14 +4461,13 @@ _R10_WINDOW = [
 assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
 
 
-#: The PREPARED round-11 rotation — defined now (while the r10 staleness
-#: map is fresh) but NOT hoisted: ``queries()`` below puts ``_R10_WINDOW``
-#: first so the r10 driver run hashes this round's ledger; the r11
-#: session's only rotation change is flipping the hoist line to
-#: ``_R11_WINDOW``.  Construction against the post-r10 hash map (r7x10,
-#: r8x50, r9x50, r10x50 — verified mechanically:
-#: ``python tools/staleness_ledger.py --pending _R10_WINDOW --check
-#: _R11_WINDOW``):
+#: The ACTIVE round-11 rotation (hoisted in ``queries()`` below).  The
+#: r10 session prepared a draft; r11 rebuilt the fill per the deferred
+#: RE2-guard note before flipping the hoist, so the window absorbs every
+#: row the guard diff staled.  Construction against the post-r10 hash
+#: map (r7x10, r8x50, r9x50, r10x50 — verified mechanically:
+#: ``python tools/staleness_ledger.py --pending _R11_WINDOW --check
+#: _R12_WINDOW``):
 #:
 #: 1. The complete r7 cohort (10 rows — the oldest hashes after r10):
 #:    the recall-diagnostic family plus dedup_groups/dedup_cluster_stats.
