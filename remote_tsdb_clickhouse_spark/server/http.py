@@ -152,9 +152,17 @@ def make_handler(app: AdapterApp):
             skip both the terminal-chunk test and the cap check, then
             read(-5) buffers until EOF — the exact unbounded-buffering
             hole the cap exists to close (ADVICE r10)."""
-            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            te = (self.headers.get("Transfer-Encoding") or "").strip().lower()
+            if te and te != "chunked":
+                # Go's net/http serves 501 for any transfer coding other
+                # than a lone final "chunked" (incl. "gzip, chunked" and
+                # the deprecated "identity") — de-chunking without
+                # un-gzipping would hand garbage to the codec instead
+                self._reply(501, b"unsupported transfer encoding\n")
+                self.close_connection = True
+                return None
             cls = self.headers.get_all("Content-Length") or []
-            if ("chunked" in te and cls) or len(set(cls)) > 1:
+            if (te and cls) or len(set(cls)) > 1:
                 # request-smuggling guards (RFC 9112 §6.3.3, Go net/http):
                 # chunked framing with a Content-Length, or conflicting
                 # duplicate Content-Lengths, is an attack shape — reject

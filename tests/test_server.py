@@ -777,3 +777,33 @@ def test_smuggling_framings_rejected(server):
         b"POST /write HTTP/1.1\r\nHost: x\r\n"
         b"Content-Length: 3\r\nContent-Length: 3\r\n\r\nabc"
     ) == 500
+
+
+def test_unsupported_transfer_encoding_501(server):
+    """Go net/http parity: any transfer coding other than a lone final
+    "chunked" is 501 Not Implemented — de-chunking a "gzip, chunked"
+    stream without un-gzipping would hand garbage to the codec."""
+    import socket
+
+    srv, app = server
+
+    def raw(request: bytes) -> int:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall(request)
+        data = s.recv(1024)
+        s.close()
+        return int(data.split(b" ")[1])
+
+    for te in (b"gzip, chunked", b"identity", b"gzip", b"chunked, gzip"):
+        status = raw(
+            b"POST /write HTTP/1.1\r\nHost: x\r\n"
+            b"Transfer-Encoding: " + te + b"\r\n\r\n"
+            b"3\r\nabc\r\n0\r\n\r\n"
+        )
+        assert status == 501, te
+    # plain chunked (case-insensitive, surrounding space) still accepted
+    assert raw(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding:  Chunked \r\n\r\n"
+        b"3\r\nabc\r\n0\r\n\r\n"
+    ) == 500  # garbage body reaches the codec: framing accepted
