@@ -201,3 +201,81 @@ def test_possessive_rejected_on_both_matcher_branches(mtype, name):
         compile_matcher(LabelMatcher(mtype, name, r"om.*+"))
     with pytest.raises(ValueError, match="RE2"):
         compile_matcher(LabelMatcher(mtype, name, r"(?>om)ada"))
+
+
+def test_regex_matchers_agree_with_re2_engine_randomized(spark):
+    """Cross-dialect differential for the regex matcher branches
+    (F5/F6/F10/F11): for random guard-accepted patterns, the compiled
+    Catalyst predicates (Java regex via rlike) must classify an
+    adversarial corpus exactly like a real RE2 engine (DuckDB's
+    regexp_full_match) evaluating the reference's anchored-fullmatch
+    algebra (read.go:104,113-135).  This is the property the RE2 guard
+    exists to protect: on the accepted common dialect, Java and RE2
+    semantics coincide."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0x2E2_11)
+    corpus = [
+        ("up", ["job=api", "env=prod"]),
+        ("up", ["job=api2", "env=dev"]),
+        ("upper", ["job=db"]),
+        ("down", []),
+        ("down", ["job=a.c"]),
+        ("d.wn", ["job=^anchor$", "env="]),
+        ("ab", ["job=aab"]),
+        ("aab", ["job=ab"]),
+        ("a+b", ["job=a+b"]),
+        ("xyz", ["job=", "env=x"]),
+    ]
+    atoms = ["a", "b", "p", ".", "[a-z]", "[0-9]", "(a|b)", r"\.", "up", "j"]
+    quants = ["", "*", "+", "?", "{1,2}"]
+
+    def pat():
+        return "".join(
+            rng.choice(atoms) + rng.choice(quants)
+            for _ in range(rng.randint(1, 3))
+        )
+
+    patterns = [pat() for _ in range(40)]
+    for p in patterns:
+        check_re2_portable(p)  # grammar stays inside the common dialect
+
+    df = spark.createDataFrame(
+        [(i, n, ls) for i, (n, ls) in enumerate(corpus)],
+        "id INT, metric_name STRING, labels ARRAY<STRING>",
+    )
+    cols, specs = [], []
+    for j, p in enumerate(patterns):
+        for mt in (RE, NRE):
+            for key in ("__name__", "job"):
+                cond = compile_matchers([LabelMatcher(mt, key, p)])
+                cols.append(F.when(cond, 1).otherwise(0).alias(f"c{len(specs)}"))
+                specs.append((p, mt, key))
+    got = {
+        r["id"]: [r[f"c{k}"] for k in range(len(specs))]
+        for r in df.select("id", *cols).collect()
+    }
+
+    con = duckdb.connect()
+
+    def re2_eval(name, labels, p, mt, key):
+        if key == "__name__":
+            hit = con.execute(
+                "SELECT regexp_full_match(?, ?)", [name, p]
+            ).fetchone()[0]
+        else:
+            hit = any(
+                con.execute(
+                    "SELECT regexp_full_match(?, ?)", [lab, f"{key}=" + p]
+                ).fetchone()[0]
+                for lab in labels
+            )
+        return (1 if hit else 0) if mt == RE else (0 if hit else 1)
+
+    for i, (name, labels) in enumerate(corpus):
+        for k, (p, mt, key) in enumerate(specs):
+            want = re2_eval(name, labels, p, mt, key)
+            assert got[i][k] == want, (name, labels, p, mt, key)
