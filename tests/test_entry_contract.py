@@ -244,6 +244,90 @@ def test_staleness_tool_skips_bump_for_older_landed_window(tmp_path):
     assert rounds and max(rounds) == 2, proc.stdout
 
 
+def test_staleness_tool_bare_check_agrees_with_pending():
+    """VERDICT r11 "what's wrong": bare --check used to assume the hoisted
+    window's driver run had landed, printing a verdict that contradicted
+    the documented --pending invocation whenever the CORRECTNESS file had
+    not been committed yet.  Bare --check now defaults --pending to the
+    hoisted window, so both spellings must emit the identical verdict line
+    for the prepared next-round window — in every landed state."""
+    import re as _re
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    src = open(_os.path.join(repo, "__spark_entry__.py")).read()
+    hoisted = _re.search(r"for name in (_R(\d+)_WINDOW)\b", src)
+    prepared = f"_R{int(hoisted.group(2)) + 1}_WINDOW"
+    assert prepared in src, f"no prepared {prepared} next to hoisted {hoisted.group(1)}"
+
+    def run(argv):
+        return subprocess.run(
+            [_sys.executable, _os.path.join(repo, "tools", "staleness_ledger.py"), *argv],
+            capture_output=True, text=True, timeout=60,
+        )
+
+    bare = run(["--check", prepared])
+    explicit = run(["--pending", hoisted.group(1), "--check", prepared])
+    assert f"(--pending defaulted to hoisted {hoisted.group(1)})" in bare.stdout
+    verdict = lambda p: [ln for ln in p.stdout.splitlines() if prepared in ln]
+    assert bare.returncode == explicit.returncode, bare.stdout + explicit.stdout
+    assert verdict(bare) == verdict(explicit), bare.stdout + explicit.stdout
+
+
+def test_staleness_tool_bare_check_defaults_to_unlanded_hoist(tmp_path):
+    """The exact r11 disagreement shape, pinned as a fixture: the hoisted
+    window's CORRECTNESS file is NOT yet committed, so the old bare
+    --check judged the planned window against a pre-hoist map (FAIL:
+    oldest cohort not covered) while --pending passed.  With the default,
+    bare --check must match the --pending spelling exactly."""
+    import json
+    import os as _os
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    (tmp_path / "tools").mkdir()
+    shutil.copy(
+        _os.path.join(repo, "tools", "staleness_ledger.py"),
+        tmp_path / "tools" / "staleness_ledger.py",
+    )
+    # 100 queries; r1 hashed q00..q59, r2 (landed) hashed q50..q99; the
+    # hoisted _R3_WINDOW (q00..q49, UNLANDED — its key list matches no
+    # recorded round) re-hashes the residual r1 cohort, and the planned
+    # _R4_WINDOW (q50..q99) covers the then-oldest r2 cohort
+    names = [f"q{i:02d}" for i in range(100)]
+    def window(rows):
+        return "[\n" + "".join(f'    "{n}",\n' for n in rows) + "]\n"
+    (tmp_path / "__spark_entry__.py").write_text(
+        f"_R3_WINDOW = {window(names[:50])}"
+        f"_R4_WINDOW = {window(names[50:])}"
+        "def queries():\n"
+        "    out = {name: base[name] for name in _R3_WINDOW}\n"
+        "    return out\n"
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {} for n in names[:60]})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: {} for n in names[50:]})
+    )
+
+    def run(argv):
+        return subprocess.run(
+            [_sys.executable, str(tmp_path / "tools" / "staleness_ledger.py"), *argv],
+            capture_output=True, text=True, timeout=60,
+        )
+
+    bare = run(["--check", "_R4_WINDOW"])
+    explicit = run(["--pending", "_R3_WINDOW", "--check", "_R4_WINDOW"])
+    assert "(--pending defaulted to hoisted _R3_WINDOW)" in bare.stdout
+    assert explicit.returncode == 0 and "_R4_WINDOW: OK" in explicit.stdout
+    assert bare.returncode == 0 and "_R4_WINDOW: OK" in bare.stdout, bare.stdout
+
+
 def test_staleness_tool_empty_correctness_clean_error(tmp_path):
     """ADVICE r9: with no CORRECTNESS_r*.json present the tool must exit
     with a clear message, not a ValueError traceback."""
