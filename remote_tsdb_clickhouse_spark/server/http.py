@@ -39,6 +39,17 @@ BANNER = b"remote-tsdb-clickhouse-spark\n"
 #: sizes are further capped against DECODE_READ_LIMIT by the caller.
 _CHUNK_SIZE_TOKEN = re.compile(rb"[0-9a-fA-F]{1,16}")
 
+#: RFC 9110 Content-Length: 1*DIGIT, bare — int() alone accepts '+5',
+#: ' 5 ', and '5_0' (parsed as 50), all of which Go's net/http rejects
+#: with 400; '5_0' is a real framing difference (ADVICE r11).  19 digits
+#: bounds the value below int64 overflow; the 32 MiB cap is checked after.
+_CONTENT_LENGTH_TOKEN = re.compile(r"[0-9]{1,19}")
+
+#: Go's chunked reader budgets 4096 bytes for the whole chunk-size line
+#: (size + extensions + CRLF); beyond it the request is malformed, not
+#: silently spliced into the body (ADVICE r11).
+_CHUNK_LINE_LIMIT = 4096 + 2
+
 
 class AdapterApp:
     """Transport-independent request handling (unit-testable without
@@ -152,7 +163,11 @@ def make_handler(app: AdapterApp):
             skip both the terminal-chunk test and the cap check, then
             read(-5) buffers until EOF — the exact unbounded-buffering
             hole the cap exists to close (ADVICE r10)."""
-            te = (self.headers.get("Transfer-Encoding") or "").strip().lower()
+            # join ALL Transfer-Encoding field lines (RFC 9110 §5.3 list
+            # semantics, what Go's textproto does): headers.get() returns
+            # only the first line, so 'TE: chunked' + 'TE: gzip' would
+            # silently de-chunk with the gzip coding ignored (ADVICE r11)
+            te = ", ".join(self.headers.get_all("Transfer-Encoding") or []).strip().lower()
             if te and te != "chunked":
                 # Go's net/http serves 501 for any transfer coding other
                 # than a lone final "chunked" (incl. "gzip, chunked" and
@@ -171,20 +186,30 @@ def make_handler(app: AdapterApp):
                 self.close_connection = True
                 return None
             if "chunked" not in te:
-                try:
-                    n = int(cls[0]) if cls else 0
-                except ValueError:
+                if cls and not _CONTENT_LENGTH_TOKEN.fullmatch(cls[0]):
+                    # strict digits-only token; a negative length is
+                    # malformed framing (Go replies 400 here, not 413) and
+                    # is unrepresentable once the sign is rejected
                     self._reply(400, b"malformed Content-Length\n")
                     self.close_connection = True
                     return None
-                if n < 0 or n > codec.DECODE_READ_LIMIT:
+                n = int(cls[0]) if cls else 0
+                if n > codec.DECODE_READ_LIMIT:
                     self._reply(413, b"body exceeds 32 MiB cap\n")
                     self.close_connection = True
                     return None
                 return self.rfile.read(n)
             body = bytearray()
             while True:
-                line = self.rfile.readline(128)
+                line = self.rfile.readline(_CHUNK_LINE_LIMIT)
+                if line and not line.endswith(b"\n"):
+                    # readline() hit the cap mid-line: a longer chunk
+                    # extension would have its tail spliced into the body
+                    # read — reject explicitly instead of failing later
+                    # with a misleading chunk-terminator 400 (ADVICE r11)
+                    self._reply(400, b"chunk size line too long\n")
+                    self.close_connection = True
+                    return None
                 size_str = line.split(b";")[0].strip()  # extensions ignored
                 # strict hex token (Go net/http parity): an empty line is a
                 # truncated stream, not a terminal chunk

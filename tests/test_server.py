@@ -530,7 +530,7 @@ def test_content_length_is_capped_and_validated(server):
     assert raw_headers_only(
         b"POST /write HTTP/1.1\r\nHost: x\r\n"
         b"Content-Length: -1\r\n\r\n"
-    ) == 413
+    ) == 400  # malformed framing, not an oversized body (ADVICE r11)
     assert raw_headers_only(
         b"POST /write HTTP/1.1\r\nHost: x\r\n"
         b"Content-Length: abc\r\n\r\n"
@@ -807,3 +807,93 @@ def test_unsupported_transfer_encoding_501(server):
         b"Transfer-Encoding:  Chunked \r\n\r\n"
         b"3\r\nabc\r\n0\r\n\r\n"
     ) == 500  # garbage body reaches the codec: framing accepted
+
+
+def test_transfer_encoding_joined_across_field_lines(server):
+    """ADVICE r11 (medium): headers.get() returns only the FIRST
+    Transfer-Encoding line, so 'TE: chunked' + 'TE: gzip' as separate
+    field lines was silently de-chunked with the gzip coding ignored.
+    Go's textproto joins repeated field lines (RFC 9110 §5.3 list
+    semantics) and net/http serves 501 — so must we, in either order."""
+    import socket
+
+    srv, app = server
+
+    def raw(request: bytes) -> int:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall(request)
+        data = s.recv(1024)
+        s.close()
+        return int(data.split(b" ")[1])
+
+    for first, second in ((b"chunked", b"gzip"), (b"gzip", b"chunked"),
+                          (b"chunked", b"chunked")):
+        assert raw(
+            b"POST /write HTTP/1.1\r\nHost: x\r\n"
+            b"Transfer-Encoding: " + first + b"\r\n"
+            b"Transfer-Encoding: " + second + b"\r\n\r\n"
+            b"3\r\nabc\r\n0\r\n\r\n"
+        ) == 501, (first, second)
+    # one line stays the accepted framing (garbage body -> codec 500)
+    assert raw(
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        b"3\r\nabc\r\n0\r\n\r\n"
+    ) == 500
+
+
+def test_content_length_token_is_strict_digits(server):
+    """ADVICE r11: bare int() accepts '+5', '5 ', and '5_0' (parsed as
+    50!) — Go rejects all three with 400, and '5_0' is a real framing
+    difference.  The value must validate as RFC 9110 1*DIGIT before
+    conversion."""
+    import socket
+
+    srv, app = server
+
+    def raw(request: bytes) -> int:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall(request)
+        data = s.recv(1024)
+        s.close()
+        return int(data.split(b" ")[1])
+
+    head = b"POST /write HTTP/1.1\r\nHost: x\r\n"
+    for value in (b"+5", b"5_0", b"5 ", b" 5 ", b"0x10", b"5,5",
+                  b"1" * 20):
+        assert raw(head + b"Content-Length: " + value + b"\r\n\r\n"
+                   + b"x" * 50) == 400, value
+    # canonical digits still work end-to-end (3 garbage bytes -> 500)
+    assert raw(head + b"Content-Length: 3\r\n\r\nabc") == 500
+
+
+def test_chunk_size_line_budget(server):
+    """ADVICE r11: the chunk-size line used readline(128), silently
+    truncating a valid long chunk extension so its tail spliced into the
+    body read (failing closed only via a misleading chunk-terminator
+    400).  Go budgets 4096 bytes for the line: a moderate extension must
+    be ACCEPTED, and one beyond the budget must 400 explicitly."""
+    import socket
+
+    srv, app = server
+
+    def raw(request: bytes) -> int:
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=30)
+        s.sendall(request)
+        data = s.recv(1024)
+        s.close()
+        return int(data.split(b" ")[1])
+
+    head = (
+        b"POST /write HTTP/1.1\r\nHost: x\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+    )
+    # 200-byte extension: over the old 128 cap, within Go's 4096 budget —
+    # the chunk layer must accept it (3 garbage bytes reach the codec)
+    assert raw(
+        head + b"3;ext=" + b"a" * 200 + b"\r\nabc\r\n0\r\n\r\n"
+    ) == 500
+    # beyond the 4096 budget: explicit 400, not a spliced body
+    assert raw(
+        head + b"3;ext=" + b"a" * 5000 + b"\r\nabc\r\n0\r\n\r\n"
+    ) == 400
