@@ -70,9 +70,9 @@ class UnsupportedMatcherError(ValueError):
 #: Java-regex constructs RE2 (the Prometheus/ClickHouse dialect) rejects.
 #: The possessive/atomic spellings guard against a quantifier character
 #: that is itself escaped (``\*+`` is a valid RE2 "one or more literal
-#: asterisks"); a double-escaped ``\\*+`` (possessive on a literal
-#: backslash) slips through as a known false negative — erring lenient
-#: keeps every valid RE2 pattern accepted.
+#: asterisks").  The scan runs on a pair-collapsed copy of the pattern
+#: (see ``_ESCAPED_BACKSLASH``), so every remaining backslash is a
+#: genuine escape and the single-character lookbehinds are exact.
 _NON_RE2_CONSTRUCTS = re.compile(
     r"""
     \\[1-9]            # backreferences \1..\9
@@ -94,6 +94,20 @@ _NON_RE2_CONSTRUCTS = re.compile(
 #: phantom ``a*+``).
 _CHAR_CLASS = re.compile(r"(?<!\\)\[(?:\\.|[^\]\\])*\]")
 
+#: An escaped literal backslash (``\\``).  Both scans above decide "is this
+#: char escaped?" with a single-character ``(?<!\\)`` lookbehind, which
+#: misreads any sequence where backslash PARITY matters: ``\\[*+]+`` is a
+#: valid RE2 class-with-quantifier after a literal backslash (the ``[`` is
+#: NOT escaped), and ``\\*+``/``\\1`` put a quantifier/digit after a
+#: literal-backslash atom, not after an escape.  Collapsing each pair to a
+#: placeholder atom before scanning makes every surviving backslash a
+#: genuine escape, so the lookbehinds are exact — this closed a confirmed
+#: false positive (``\\[*+]+`` rejected, ADVICE r11) and the previously
+#: documented ``\\*+`` false negative (RE2: "bad repetition operator") in
+#: one move.  Backslash parity means the same thing in Java and RE2, so
+#: the collapse never changes which dialect a construct belongs to.
+_ESCAPED_BACKSLASH = re.compile(r"\\\\")
+
 
 def check_re2_portable(pattern: str) -> str:
     """Reject regex constructs outside the RE2 dialect.
@@ -107,7 +121,7 @@ def check_re2_portable(pattern: str) -> str:
     atomic groups (``(?>...)``), which Java would accept with
     backtracking-pruning semantics.
     """
-    if _NON_RE2_CONSTRUCTS.search(_CHAR_CLASS.sub("C", pattern)):
+    if _NON_RE2_CONSTRUCTS.search(_CHAR_CLASS.sub("C", _ESCAPED_BACKSLASH.sub("B", pattern))):
         raise ValueError(
             f"regex {pattern!r} uses constructs outside the RE2 dialect "
             "(backreference/lookaround/possessive quantifier/atomic group); "
@@ -123,9 +137,14 @@ def _to_java_dialect(pattern: str) -> str:
     ``(?<name>...)`` and throws on the ``P``.  A valid Prometheus matcher
     must not crash the engine, so rewrite instead of reject.  (The sequence
     is only rewritten where it has regex meaning — an escaped ``\\(`` never
-    forms a group opener.)
+    forms a group opener, but after a literal backslash ``\\\\(?P<`` it
+    does; backslash parity decides, same as the construct scan.)
     """
-    return re.sub(r"(?<!\\)\(\?P<", "(?<", pattern)
+    return re.sub(
+        r"(\\*)\(\?P<",
+        lambda m: m.group(0) if len(m.group(1)) % 2 else m.group(1) + "(?<",
+        pattern,
+    )
 
 
 def _anchored(pattern: str) -> str:

@@ -161,6 +161,41 @@ def test_driver_row_regexes_unaffected_by_re2_guard_extension():
         assert check_re2_portable(pat) == pat
 
 
+def test_driver_row_regexes_unaffected_by_backslash_parity_scan():
+    """Staleness no-op proof for the r12 backslash-parity fix: the pair
+    collapse only changes guard decisions for patterns containing an
+    escaped literal backslash (``\\\\``) — NO driver row's regex does, and
+    every one is still accepted, so the matchers.py diff cannot change any
+    driver row's result.  (The matcher-path rows are rotated through
+    _R12_WINDOW's head and _R13_WINDOW regardless; this pins the argument
+    that rows awaiting the r13 rotation are not behavior-stale in the
+    interim.  The scoped-diff property itself is pinned by
+    test_matchers.py::test_backslash_parity_scan_is_noop_without_escaped_pairs.)"""
+    import ast
+    import os as _os
+
+    from remote_tsdb_clickhouse_spark.plans.matchers import check_re2_portable
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    tree = ast.parse(open(_os.path.join(repo, "__spark_entry__.py")).read())
+    patterns = []
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "LabelMatcher"
+            and len(node.args) >= 3
+            and isinstance(node.args[0], ast.Name)
+            and node.args[0].id in ("RE", "NRE")
+            and isinstance(node.args[2], ast.Constant)
+        ):
+            patterns.append(node.args[2].value)
+    assert patterns, "entry defines no regex matchers? (extraction broke)"
+    for pat in patterns:
+        assert "\\\\" not in pat, f"driver regex {pat!r} has an escaped pair"
+        assert check_re2_portable(pat) == pat
+
+
 def test_staleness_tool_validates_prepared_window():
     """tools/staleness_ledger.py is the mechanical check behind the
     rotation plan: the prepared window must verify against the recorded

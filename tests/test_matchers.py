@@ -130,6 +130,12 @@ def test_re2_portability_guard():
         r"a{2,}+",       # possessive open repeat
         r"(?>ab)c",      # atomic group
         r"x(?>a|b)*y",   # atomic group, nested quantifier
+        r"\\*+",         # possessive on a literal-backslash atom (RE2:
+                         # "bad repetition operator" — was a documented
+                         # false negative before the parity scan)
+        r"\\{2}+",       # possessive bounded repeat of a literal backslash
+        r"\\\1",         # literal backslash + backreference \1 (RE2:
+                         # "invalid escape sequence")
     ],
 )
 def test_re2_guard_rejects_java_only_quantifiers(pattern):
@@ -154,6 +160,14 @@ def test_re2_guard_rejects_java_only_quantifiers(pattern):
         r"[?+]{2}",       # same, bounded
         r"v[0-9]+\.[0-9]+",  # realistic version-label pattern
         r"(?:a|b)+",      # non-capturing groups are fine
+        r"\\[*+]+",       # class + quantifier after a LITERAL backslash —
+                          # the pair scan must see '[' as unescaped
+                          # (confirmed false positive, ADVICE r11)
+        r"\\[*+]",        # same, unquantified
+        r"[\\*]+",        # class containing an escaped backslash
+        r"\\1",           # literal backslash + digit, NOT a backreference
+        r"\\k<x>",        # literal backslash + 'k<x>', NOT a named backref
+        r"\{2}+",         # literal '{2}' then '+' quantifying '}' — valid
     ],
 )
 def test_re2_guard_accepts_valid_re2(pattern):
@@ -174,7 +188,11 @@ def test_re2_guard_never_rejects_valid_re2_randomized():
     rng = random.Random(0x2E_2026)
     con = duckdb.connect()
     atoms = ["a", "b", ".", r"\.", r"\*", r"\+", "[*+]", "[0-9]", "[^x]",
-             "(a|b)", "(?:xy)", "}", r"\}"]
+             "(a|b)", "(?:xy)", "}", r"\}",
+             # backslash-parity atoms (ADVICE r11): escaped literal
+             # backslashes, alone and in front of classes/digits, where a
+             # single-char lookbehind misreads which char is escaped
+             r"\\", r"\\[*+]", r"[\\*]", r"\\1"]
     quants = ["", "*", "+", "?", "{2}", "{2,3}", "{2,}",
               "*?", "+?", "*+", "++", "?+", "{2,3}+", "(?=b)", "(?>a)"]
     checked = 0
@@ -190,6 +208,64 @@ def test_re2_guard_never_rejects_valid_re2_randomized():
         checked += 1
         assert check_re2_portable(pat) == pat, pat
     assert checked > 100  # the grammar must actually exercise the accept leg
+
+
+def test_backslash_parity_scan_is_noop_without_escaped_pairs():
+    """Scoped-diff proof for the r12 parity fix: the pair collapse only
+    rewrites ``\\\\`` sequences, so on any pattern WITHOUT an escaped
+    literal backslash the guard's decision is bit-identical to the
+    pre-parity scan (reimplemented here verbatim).  Patterns are drawn
+    from the full quantifier/class/escape grammar minus the ``\\\\``
+    atoms — 600 of them, both accept and reject legs exercised."""
+    import random
+
+    from remote_tsdb_clickhouse_spark.plans.matchers import (
+        _CHAR_CLASS,
+        _NON_RE2_CONSTRUCTS,
+    )
+
+    def old_decision(p: str) -> bool:
+        return bool(_NON_RE2_CONSTRUCTS.search(_CHAR_CLASS.sub("C", p)))
+
+    def new_decision(p: str) -> bool:
+        try:
+            check_re2_portable(p)
+            return False
+        except ValueError:
+            return True
+
+    rng = random.Random(0x12_2026)
+    atoms = ["a", "b", ".", r"\.", r"\*", r"\+", "[*+]", "[0-9]", "[^x]",
+             "(a|b)", "(?:xy)", "}", r"\}", r"\1", r"\k<x>", "(a)"]
+    quants = ["", "*", "+", "?", "{2}", "{2,3}", "{2,}",
+              "*?", "+?", "*+", "++", "?+", "{2,3}+", "(?=b)", "(?>a)"]
+    accepts = rejects = 0
+    for _ in range(600):
+        pat = "".join(
+            rng.choice(atoms) + rng.choice(quants)
+            for _ in range(rng.randint(1, 4))
+        )
+        assert r"\\" not in pat
+        old, new = old_decision(pat), new_decision(pat)
+        assert old == new, pat
+        accepts += not new
+        rejects += new
+    assert accepts > 50 and rejects > 50  # both legs genuinely exercised
+
+
+def test_to_java_dialect_respects_backslash_parity():
+    """``(?P<`` after a literal backslash (``\\\\(?P<n>x)``, valid RE2) IS
+    a group opener and must be rewritten for Java; after an escaping
+    backslash (``\\(?P<``) it is not.  Parity decides, exactly like the
+    construct scan (ADVICE r11 fix applied consistently)."""
+    from remote_tsdb_clickhouse_spark.plans.matchers import _to_java_dialect
+
+    assert _to_java_dialect(r"(?P<n>x)") == r"(?<n>x)"
+    assert _to_java_dialect(r"a(?P<n>x)b") == r"a(?<n>x)b"
+    assert _to_java_dialect(r"\(?P<") == r"\(?P<"          # escaped paren
+    assert _to_java_dialect(r"\\(?P<n>x)") == r"\\(?<n>x)"  # literal backslash
+    assert _to_java_dialect(r"\\\(?P<") == r"\\\(?P<"       # literal + escape
+    assert _to_java_dialect(r"no groups") == r"no groups"
 
 
 @pytest.mark.parametrize("mtype", [RE, NRE])
