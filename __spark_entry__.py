@@ -4521,11 +4521,19 @@ _R11_WINDOW = [
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 
 
-#: The PREPARED round-12 rotation — defined now (while the r11 staleness
-#: map is fresh) but NOT hoisted; the r12 session's only rotation change
-#: is flipping the hoist line to ``_R12_WINDOW``.  Construction against
-#: the post-r11 hash map (r8x28, r9x32, r10x50, r11x50 — verify with
-#: ``python tools/staleness_ledger.py --pending _R11_WINDOW --check
+#: The ACTIVE round-12 rotation (hoisted in ``queries()`` below), flipped
+#: exactly as the r11 session prepared it.  The r12 diffs (the
+#: backslash-parity RE2-guard scan in ``plans/matchers.py`` and the
+#: trunc-toward-zero ms division in ``plans/read_plan.py`` /
+#: ``sources/clickhouse.py``) touch only matcher-path code, so this
+#: window's two head rows are re-hashed through the new code this round
+#: and the remaining 40 matcher-path rows (all r11-hashed, and proven
+#: behavior-unaffected —
+#: tests/test_entry_contract.py::test_driver_row_regexes_unaffected_by_backslash_parity_scan
+#: and tests/test_read_plan.py::test_driver_row_read_bounds_are_nonnegative)
+#: are scheduled across _R13_WINDOW + _R14_HEAD below.  Construction
+#: against the post-r11 hash map (r8x28, r9x32, r10x50, r11x50 — verify
+#: with ``python tools/staleness_ledger.py --pending _R11_WINDOW --check
 #: _R12_WINDOW``):
 #:
 #: 1. The two r10-hashed matcher-path rows first (the only residue of
@@ -4541,12 +4549,6 @@ assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 #:    (keeps the sim_pq_codes -> sim_pq_adc_topk -> sim_pq_trained
 #:    _TRAIN_CACHE chain contiguous).
 #:
-#: Remainder for the r13 head (the last 12 r9-cohort rows, no known
-#: debt, pure rotation hygiene — r9-window relative order):
-#: text_bigram_lm, tsdb_label_values, tsdb_series_count,
-#: tsdb_label_project, dedup_minhash_recall, ch_sink_roundtrip,
-#: dedup_containment, dataset_interleave, dedup_simhash,
-#: doc_stats_by_source, customers_lapsed, dataset_split.
 _R12_WINDOW = [
     # the r11 RE2-guard residue: the two r10-hashed matcher-path rows
     "protocol_roundtrip_read", "protocol_response_assembly",
@@ -4574,6 +4576,57 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 
 
+#: The PREPARED round-13 rotation — defined now (while the r12 staleness
+#: map is fresh) but NOT hoisted; the r13 session's only rotation change
+#: is flipping the hoist line to ``_R13_WINDOW``.  Construction against
+#: the post-r12 hash map (r9x12, r10x48, r11x50, r12x50 — verify with
+#: ``python tools/staleness_ledger.py --pending _R12_WINDOW --check
+#: _R13_WINDOW``):
+#:
+#: 1. The complete post-r12 r9 cohort (12 rows — the oldest hashes), in
+#:    r9-window relative order: the ledger's oldest-cohort-covered rule,
+#:    no known debt beyond hash age.
+#: 2. 38 of the 40 r11-hashed matcher-path rows the r12 diffs touch (the
+#:    backslash-parity guard scan + trunc-toward-zero ms division — both
+#:    proven no-ops on every driver row's inputs, see the _R12_WINDOW
+#:    note, so the rows are hash-stale-by-diff but not behavior-stale in
+#:    the interim), in r11-window relative order: the 22 r8-origin tsdb
+#:    derived-function rows, then 16 of the 18 r9-origin matcher rows.
+#: 3. The final 2 matcher-path rows (_R14_HEAD below) do not fit the 50
+#:    slots and head the r14 window — the same 2-row residue pattern the
+#:    r11 rotation used for the protocol pair.
+_R13_WINDOW = [
+    # the complete post-r12 r9 cohort (12), r9-window relative order
+    "text_bigram_lm", "tsdb_label_values", "tsdb_series_count",
+    "tsdb_label_project", "dedup_minhash_recall", "ch_sink_roundtrip",
+    "dedup_containment", "dataset_interleave", "dedup_simhash",
+    "doc_stats_by_source", "customers_lapsed", "dataset_split",
+    # 22 r8-origin matcher-path rows (tsdb derived-function block),
+    # r11-window relative order
+    "tsdb_irate", "tsdb_delta", "tsdb_increase", "tsdb_resets_changes",
+    "tsdb_range_agg", "tsdb_moving_avg", "tsdb_rollup_serve",
+    "tsdb_binary_ratio", "tsdb_compact_serve", "tsdb_count_values",
+    "tsdb_deriv", "tsdb_exp_smooth", "tsdb_histogram_buckets",
+    "tsdb_histogram_quantile", "tsdb_label_join", "tsdb_label_replace",
+    "tsdb_offset_ratio", "tsdb_predict_linear", "tsdb_quantile_over_time",
+    "tsdb_sliding_range_max", "tsdb_stddev_over_time",
+    "tsdb_topk_per_bucket",
+    # 16 r9-origin matcher-path rows, r11-window relative order
+    "ch_pushdown_read", "tsdb_rollup_hierarchy", "tsdb_subquery_maxrate",
+    "tsdb_retention_serve", "tsdb_mad_over_time", "tsdb_sum_by_label",
+    "tsdb_topk_series", "tsdb_max_gap", "tsdb_stale_series",
+    "tsdb_read_eq", "tsdb_read_name_regex", "tsdb_read_nre",
+    "tsdb_label_regex", "tsdb_downsample_30s", "tsdb_downsample_range_clamp",
+    "tsdb_series_assembly",
+]
+assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
+
+#: The 2 matcher-path rows the r13 slots cannot hold — they head the r14
+#: window (r11-window relative order preserved).  Until then they carry
+#: r11 hashes with the r12 diffs proven no-ops for their inputs.
+_R14_HEAD = ["tsdb_ignore_label", "tsdb_rate"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is a driver contract: the window above is hoisted to the
     # front; everything else keeps the historical grouping below.
@@ -4591,7 +4644,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # predates r7 and zero strict-stale rows remain); r11 the _R11_WINDOW
     # rotation (the full r7 cohort + the 40 oldest-hashed matcher-path
     # rows re-hashed through the r11 RE2-guard extension; the 2 freshest
-    # matcher rows head _R12_WINDOW).
+    # matcher rows head _R12_WINDOW); r12 the _R12_WINDOW rotation, flipped
+    # exactly as prepared (the 2 r10-hashed protocol rows re-hashed through
+    # the r12 matcher/read-plan parity fixes + the complete 28-row r8
+    # cohort + 20 r9 rows; the 40 r11-hashed matcher-path rows the r12
+    # diffs touch are scheduled across _R13_WINDOW + _R14_HEAD with
+    # driver-input no-op proofs pinned in tests).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -4782,7 +4840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R11_WINDOW}
+    out = {name: base[name] for name in _R12_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 

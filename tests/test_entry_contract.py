@@ -29,28 +29,31 @@ def test_verification_windows_are_valid_rotations():
     window must name only real queries (a typo'd name would silently shrink
     the next rotation)."""
     names = list(entry.queries())
-    assert names[:50] == entry._R11_WINDOW  # active round's hoist
+    assert names[:50] == entry._R12_WINDOW  # active round's hoist
     for window in (
-        entry._R9_WINDOW, entry._R10_WINDOW, entry._R11_WINDOW, entry._R12_WINDOW
+        entry._R9_WINDOW, entry._R10_WINDOW, entry._R11_WINDOW,
+        entry._R12_WINDOW, entry._R13_WINDOW,
     ):
         assert len(window) == 50 and len(set(window)) == 50
         missing = set(window) - set(names)
         assert not missing, f"window names not in queries(): {missing}"
-    # r11 leads with the complete r7 cohort (the oldest post-r10 hashes):
-    # the recall-diagnostic family + the dedup graph pair, contiguous
-    # because they share memoized builds
-    assert entry._R11_WINDOW[:10] == [
-        "sim_pq_recall", "sim_pq_trained_recall", "sim_pq_opq_recall",
-        "sim_lsh_recall", "sim_lsh_multiprobe_recall", "sim_ivf_recall",
-        "sim_ivf_trained_recall", "sim_matryoshka_recall", "dedup_groups",
-        "dedup_cluster_stats",
-    ]
-    # ...and carries every matcher-path row the r11 RE2-guard extension
-    # could hold (22 r8-hashed + 18 r9-hashed); the 2 r10-hashed matcher
-    # rows are the prepared r12 head
+    assert not set(entry._R14_HEAD) - set(names)
+    # r12 leads with the 2 r10-hashed matcher-path rows (the r11 RE2-guard
+    # residue), re-hashed this round through the r12 parity fixes
     assert entry._R12_WINDOW[:2] == [
         "protocol_roundtrip_read", "protocol_response_assembly",
     ]
+    # r13 leads with the complete post-r12 r9 cohort (the then-oldest
+    # hashes), then absorbs the r12-diff-touched matcher-path rows
+    assert entry._R13_WINDOW[:12] == [
+        "text_bigram_lm", "tsdb_label_values", "tsdb_series_count",
+        "tsdb_label_project", "dedup_minhash_recall", "ch_sink_roundtrip",
+        "dedup_containment", "dataset_interleave", "dedup_simhash",
+        "doc_stats_by_source", "customers_lapsed", "dataset_split",
+    ]
+    # the r13 fill + r14 head together are exactly the 40 matcher-path
+    # rows the r12 diffs touched, in r11-window relative order
+    assert entry._R13_WINDOW[12:] + entry._R14_HEAD == entry._R11_WINDOW[10:]
 
 
 def test_oracle_sql_compiles_in_duckdb():
@@ -126,6 +129,18 @@ def test_matcher_path_rows_covered_by_r11_rotation():
     scheduled = set(entry._R11_WINDOW) | set(entry._R12_WINDOW[:2])
     uncovered = matcher_rows - scheduled
     assert not uncovered, f"matcher-path rows with no scheduled re-hash: {uncovered}"
+    # r12 staleness accounting, same computation: the r12 parity fixes
+    # (matchers.py backslash-parity scan, read_plan/clickhouse
+    # trunc-toward-zero division) touch exactly this matcher-path set, so
+    # every row must be re-hashed post-diff: 2 in the active _R12_WINDOW,
+    # 38 in the prepared _R13_WINDOW, 2 in the named _R14_HEAD
+    r12_scheduled = (
+        set(entry._R12_WINDOW) | set(entry._R13_WINDOW) | set(entry._R14_HEAD)
+    )
+    uncovered_r12 = matcher_rows - r12_scheduled
+    assert not uncovered_r12, (
+        f"matcher-path rows with no post-r12-diff re-hash: {uncovered_r12}"
+    )
 
 
 def test_driver_row_regexes_unaffected_by_re2_guard_extension():
@@ -207,11 +222,11 @@ def test_staleness_tool_validates_prepared_window():
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     proc = subprocess.run(
         [_sys.executable, _os.path.join(repo, "tools", "staleness_ledger.py"),
-         "--pending", "_R11_WINDOW", "--check", "_R12_WINDOW"],
+         "--pending", "_R12_WINDOW", "--check", "_R13_WINDOW"],
         capture_output=True, text=True, timeout=60,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "_R12_WINDOW: OK" in proc.stdout, proc.stdout
+    assert "_R13_WINDOW: OK" in proc.stdout, proc.stdout
 
 
 def test_staleness_tool_skips_landed_pending_bump():
