@@ -4521,8 +4521,8 @@ _R11_WINDOW = [
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 
 
-#: The ACTIVE round-12 rotation (hoisted in ``queries()`` below), flipped
-#: exactly as the r11 session prepared it.  The r12 diffs (the
+#: The round-12 rotation (hoisted r12, landed 50/50 green in
+#: CORRECTNESS_r12.json), flipped exactly as the r11 session prepared it.  The r12 diffs (the
 #: backslash-parity RE2-guard scan in ``plans/matchers.py`` and the
 #: trunc-toward-zero ms division in ``plans/read_plan.py`` /
 #: ``sources/clickhouse.py``) touch only matcher-path code, so this
@@ -4576,9 +4576,9 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 
 
-#: The PREPARED round-13 rotation — defined now (while the r12 staleness
-#: map is fresh) but NOT hoisted; the r13 session's only rotation change
-#: is flipping the hoist line to ``_R13_WINDOW``.  Construction against
+#: The ACTIVE round-13 rotation (hoisted in ``queries()`` below), flipped
+#: exactly as the r12 session prepared it — the r13 session's only
+#: rotation change, per plan.  Construction against
 #: the post-r12 hash map (r9x12, r10x48, r11x50, r12x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R12_WINDOW --check
 #: _R13_WINDOW``):
@@ -4626,6 +4626,50 @@ assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 #: r11 hashes with the r12 diffs proven no-ops for their inputs.
 _R14_HEAD = ["tsdb_ignore_label", "tsdb_rate"]
 
+#: The PREPARED round-14 rotation — defined now (while the r13 staleness
+#: map is fresh) but NOT hoisted; the r14 session's only rotation change
+#: is flipping the hoist line to ``_R14_WINDOW``.  Construction against
+#: the post-r13 hash map (r10x48, r11x12, r12x50, r13x50 — verify with
+#: ``python tools/staleness_ledger.py --pending _R13_WINDOW --check
+#: _R14_WINDOW``):
+#:
+#: 1. The 2 named _R14_HEAD matcher-path rows first (the only residue of
+#:    the r12 parity-fix diffs, proven no-ops on their inputs — see the
+#:    _R12_WINDOW note): after this window lands, no matcher-path row's
+#:    hash predates r13 and the r12-diff staleness debt is fully retired.
+#: 2. The COMPLETE post-r13 r10 cohort (48 rows — the then-oldest
+#:    hashes), in r10-window relative order: the ledger's
+#:    oldest-cohort-covered rule, no known debt beyond hash age.  The
+#:    multimodal block stays contiguous (shares the content-addressed
+#:    codec memo), as do the sim_ivf/PQ pairs (shared _TRAIN_CACHE
+#:    builds).
+_R14_WINDOW = [
+    # the 2 named _R14_HEAD matcher-path rows (r11-window relative order)
+    "tsdb_ignore_label", "tsdb_rate",
+    # the complete post-r13 r10 cohort (48), r10-window relative order
+    "sim_ivf_pq_topk", "sim_ivf_pq_recall", "streaming_dedup",
+    "streaming_sessionize", "events_asof_tolerance", "events_asof_next",
+    "orders_market_basket", "sim_topk_filtered", "streaming_dropduplicates",
+    "events_bucketed_agg", "sim_topk_lsh", "sim_topk_ivf",
+    "sim_ivf_trained", "events_value_histogram", "events_daily_pivot",
+    "events_retention", "emb_label_centroids", "min_cost_supplier",
+    "orders_with_returns", "orders_no_returns", "order_value_quantiles",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q4_late_shipment_priority", "q5_local_supplier_volume",
+    "q7_nation_trade_volume", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_item_reporting", "q12_ship_lateness_priority",
+    "q13_customer_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_cardinality",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_or_predicate_revenue", "q22_inactive_customer_balance",
+    "sales_rollup", "multimodal_features", "multimodal_png_features",
+    "multimodal_jpeg_features", "multimodal_gif_frames",
+    "multimodal_frame_sample", "multimodal_resize", "multimodal_resample",
+    "multimodal_audio_energy", "sim_ivf_balance",
+]
+assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
+assert _R14_WINDOW[:2] == _R14_HEAD
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is a driver contract: the window above is hoisted to the
@@ -4649,7 +4693,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the r12 matcher/read-plan parity fixes + the complete 28-row r8
     # cohort + 20 r9 rows; the 40 r11-hashed matcher-path rows the r12
     # diffs touch are scheduled across _R13_WINDOW + _R14_HEAD with
-    # driver-input no-op proofs pinned in tests).
+    # driver-input no-op proofs pinned in tests); r13 the _R13_WINDOW
+    # rotation, flipped exactly as prepared (the complete 12-row r9
+    # cohort + 38 of the 40 r12-diff-touched matcher-path rows, re-hashed
+    # through the r12 parity fixes at driver level; the final 2 head
+    # _R14_WINDOW below, which also absorbs the complete 48-row r10
+    # cohort).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -4840,7 +4889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R12_WINDOW}
+    out = {name: base[name] for name in _R13_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 

@@ -29,10 +29,10 @@ def test_verification_windows_are_valid_rotations():
     window must name only real queries (a typo'd name would silently shrink
     the next rotation)."""
     names = list(entry.queries())
-    assert names[:50] == entry._R12_WINDOW  # active round's hoist
+    assert names[:50] == entry._R13_WINDOW  # active round's hoist
     for window in (
         entry._R9_WINDOW, entry._R10_WINDOW, entry._R11_WINDOW,
-        entry._R12_WINDOW, entry._R13_WINDOW,
+        entry._R12_WINDOW, entry._R13_WINDOW, entry._R14_WINDOW,
     ):
         assert len(window) == 50 and len(set(window)) == 50
         missing = set(window) - set(names)
@@ -54,6 +54,11 @@ def test_verification_windows_are_valid_rotations():
     # the r13 fill + r14 head together are exactly the 40 matcher-path
     # rows the r12 diffs touched, in r11-window relative order
     assert entry._R13_WINDOW[12:] + entry._R14_HEAD == entry._R11_WINDOW[10:]
+    # r14 leads with the 2 matcher-path rows the r13 slots could not hold
+    # (retiring the r12-diff staleness debt), then absorbs the complete
+    # post-r13 r10 cohort — the then-oldest hashes
+    assert entry._R14_WINDOW[:2] == entry._R14_HEAD
+    assert len(entry._R14_WINDOW) == 50
 
 
 def test_oracle_sql_compiles_in_duckdb():
@@ -222,11 +227,11 @@ def test_staleness_tool_validates_prepared_window():
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     proc = subprocess.run(
         [_sys.executable, _os.path.join(repo, "tools", "staleness_ledger.py"),
-         "--pending", "_R12_WINDOW", "--check", "_R13_WINDOW"],
+         "--pending", "_R13_WINDOW", "--check", "_R14_WINDOW"],
         capture_output=True, text=True, timeout=60,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "_R13_WINDOW: OK" in proc.stdout, proc.stdout
+    assert "_R14_WINDOW: OK" in proc.stdout, proc.stdout
 
 
 def test_staleness_tool_skips_landed_pending_bump():
