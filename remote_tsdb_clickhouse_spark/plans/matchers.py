@@ -68,18 +68,23 @@ class UnsupportedMatcherError(ValueError):
 
 
 #: Java-regex constructs RE2 (the Prometheus/ClickHouse dialect) rejects.
-#: The possessive/atomic spellings guard against a quantifier character
-#: that is itself escaped (``\*+`` is a valid RE2 "one or more literal
-#: asterisks").  The scan runs on a pair-collapsed copy of the pattern
-#: (see ``_ESCAPED_BACKSLASH``), so every remaining backslash is a
-#: genuine escape and the single-character lookbehinds are exact.
+#: Every construct that begins with a quantifier character or an opening
+#: paren guards against that character being itself escaped (``\*+`` is a
+#: valid RE2 "one or more literal asterisks"; ``\(?=x`` is an optional
+#: escaped paren followed by literal ``=x``, not lookahead — ADVICE r12).
+#: The scan runs on a pair-collapsed copy of the pattern (see
+#: ``_ESCAPED_BACKSLASH``), so every remaining backslash is a genuine
+#: escape and the single-character lookbehinds are exact.  The
+#: backreference spellings carry no guard on purpose: their backslash IS
+#: the construct, and after the pair collapse it is always a genuine
+#: escape (``\\1`` — literal backslash then digit — collapses away).
 _NON_RE2_CONSTRUCTS = re.compile(
     r"""
     \\[1-9]            # backreferences \1..\9
   | \\k<               # named backreferences
-  | \(\?=              # lookahead
-  | \(\?!              # negative lookahead
-  | \(\?<[=!]          # lookbehind
+  | (?<!\\)\(\?=      # lookahead
+  | (?<!\\)\(\?!      # negative lookahead
+  | (?<!\\)\(\?<[=!]  # lookbehind
   | (?<!\\)[*+?]\+     # possessive quantifiers a*+ a++ a?+ (Java-only)
   | (?<!\\)\{\d+(?:,\d*)?\}\+   # possessive bounded quantifier a{m,n}+
   | (?<!\\)\(\?>       # atomic (independent) groups (?>...)

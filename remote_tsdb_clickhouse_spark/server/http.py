@@ -42,13 +42,25 @@ _CHUNK_SIZE_TOKEN = re.compile(rb"[0-9a-fA-F]{1,16}")
 #: RFC 9110 Content-Length: 1*DIGIT, bare — int() alone accepts '+5',
 #: ' 5 ', and '5_0' (parsed as 50), all of which Go's net/http rejects
 #: with 400; '5_0' is a real framing difference (ADVICE r11).  19 digits
-#: bounds the value below int64 overflow; the 32 MiB cap is checked after.
+#: admits values up to ~1e19 > 2^63-1, so the numeric bound is enforced
+#: separately: Go parses with ParseUint(cl, 10, 63) and replies 400 for
+#: anything >= 2^63, NOT 413 (ADVICE r12) — see _CONTENT_LENGTH_MAX.
 _CONTENT_LENGTH_TOKEN = re.compile(r"[0-9]{1,19}")
 
-#: Go's chunked reader budgets 4096 bytes for the whole chunk-size line
-#: (size + extensions + CRLF); beyond it the request is malformed, not
-#: silently spliced into the body (ADVICE r11).
-_CHUNK_LINE_LIMIT = 4096 + 2
+#: Go's ParseUint bitSize-63 ceiling: a digits-only Content-Length of
+#: 2^63 or more fails Go's parse (400 "bad Content-Length"); below it the
+#: value parses and the 32 MiB body cap decides (413).
+_CONTENT_LENGTH_MAX = (1 << 63) - 1
+
+#: Go's chunked reader budgets maxLineLength = 4096 bytes for the whole
+#: chunk-size line INCLUDING the CRLF, and rejects at >= (readChunkLine's
+#: ``len(p) >= maxLineLength`` counts the trailing LF), so the longest
+#: accepted line is 4095 bytes with its LF.  readline(4095) reproduces
+#: that exactly: a 4095-byte line arrives complete (accepted), a
+#: 4096-byte line arrives truncated without its LF (rejected).  The
+#: previous 4096+2 cap accepted 4097-4098-byte lines Go rejects
+#: (ADVICE r12); the boundary is pinned in test_chunk_size_line_budget.
+_CHUNK_LINE_LIMIT = 4096 - 1
 
 
 class AdapterApp:
@@ -194,6 +206,14 @@ def make_handler(app: AdapterApp):
                     self.close_connection = True
                     return None
                 n = int(cls[0]) if cls else 0
+                if n > _CONTENT_LENGTH_MAX:
+                    # Go's ParseUint(cl, 10, 63) fails here, so Go frames
+                    # this as a malformed header (400), not an oversized
+                    # body (413) — the 19-digit token alone admits values
+                    # in [2^63, 10^19) (ADVICE r12)
+                    self._reply(400, b"malformed Content-Length\n")
+                    self.close_connection = True
+                    return None
                 if n > codec.DECODE_READ_LIMIT:
                     self._reply(413, b"body exceeds 32 MiB cap\n")
                     self.close_connection = True

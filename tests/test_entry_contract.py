@@ -148,6 +148,89 @@ def test_matcher_path_rows_covered_by_r11_rotation():
     )
 
 
+def _driver_regex_patterns(src: str | None = None) -> list[str]:
+    """Extract the pattern of EVERY RE/NRE ``LabelMatcher`` in the entry
+    source, failing CLOSED (ADVICE r12): the previous extraction matched
+    only bare-Name-type positional calls with a constant third argument,
+    so a future matcher spelled ``MatcherType.RE``, via keyword args, or
+    with a non-literal pattern would have been silently excluded from the
+    no-op proofs.  This walker classifies every LabelMatcher call and
+    raises on any spelling it cannot prove is either non-regex or a
+    constant-pattern regex.  ``src`` overrides the entry source so the
+    fail-closed promise is itself testable."""
+    import ast
+    import os as _os
+
+    if src is None:
+        repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        src = open(_os.path.join(repo, "__spark_entry__.py")).read()
+    tree = ast.parse(src)
+    patterns = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        fn = node.func
+        is_ctor = (isinstance(fn, ast.Name) and fn.id == "LabelMatcher") or (
+            isinstance(fn, ast.Attribute) and fn.attr == "LabelMatcher"
+        )
+        if not is_ctor:
+            continue
+        texpr = node.args[0] if node.args else next(
+            (k.value for k in node.keywords if k.arg == "type"), None
+        )
+        if isinstance(texpr, ast.Name):
+            tname = texpr.id
+        elif isinstance(texpr, ast.Attribute):
+            tname = texpr.attr
+        else:
+            raise AssertionError(
+                f"line {node.lineno}: LabelMatcher type spelling this proof "
+                f"cannot classify: {ast.dump(node)}"
+            )
+        if tname in ("EQ", "NEQ"):
+            continue
+        assert tname in ("RE", "NRE"), (
+            f"line {node.lineno}: unknown MatcherType {tname!r}"
+        )
+        vexpr = node.args[2] if len(node.args) >= 3 else next(
+            (k.value for k in node.keywords if k.arg == "value"), None
+        )
+        assert isinstance(vexpr, ast.Constant) and isinstance(vexpr.value, str), (
+            f"line {node.lineno}: RE/NRE matcher whose pattern is not a "
+            f"string literal — the regex no-op proofs cannot cover it"
+        )
+        patterns.append(vexpr.value)
+    assert patterns, "entry defines no regex matchers? (extraction broke)"
+    return patterns
+
+
+def test_driver_regex_extraction_fails_closed():
+    """The walker itself must raise on the spellings it claims to catch —
+    otherwise 'fail closed' is an unexercised promise."""
+    import pytest
+
+    assert _driver_regex_patterns('LabelMatcher(RE, "n", "a.*")') == ["a.*"]
+    assert _driver_regex_patterns(
+        'LabelMatcher(MatcherType.NRE, "n", "b+")'
+    ) == ["b+"]
+    assert _driver_regex_patterns(
+        'LabelMatcher(type=RE, name="n", value="c?")'
+    ) == ["c?"]
+    assert _driver_regex_patterns(
+        'LabelMatcher(EQ, "n", some_variable); LabelMatcher(RE, "n", "x")'
+    ) == ["x"]  # non-regex matchers may use any value spelling
+    with pytest.raises(AssertionError):
+        _driver_regex_patterns('LabelMatcher(RE, "n", some_variable)')
+    with pytest.raises(AssertionError):
+        _driver_regex_patterns('LabelMatcher(NRE, "n", value=f"{x}.*")')
+    with pytest.raises(AssertionError):
+        _driver_regex_patterns('LabelMatcher(WEIRD, "n", "x")')
+    with pytest.raises(AssertionError):
+        _driver_regex_patterns('LabelMatcher(compute_type(), "n", "x")')
+    with pytest.raises(AssertionError):  # no matchers at all: proof is void
+        _driver_regex_patterns("pass")
+
+
 def test_driver_row_regexes_unaffected_by_re2_guard_extension():
     """Staleness no-op proof for the r11 RE2-guard extension: every regex
     literal any driver row hands to the matcher compiler is accepted by
@@ -157,27 +240,9 @@ def test_driver_row_regexes_unaffected_by_re2_guard_extension():
     _R11_WINDOW / the _R12_WINDOW head; this pins the argument that the
     two r10-hashed protocol rows awaiting the r12 rotation are not
     behavior-stale in the interim.)"""
-    import ast
-    import os as _os
-
     from remote_tsdb_clickhouse_spark.plans.matchers import check_re2_portable
 
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    tree = ast.parse(open(_os.path.join(repo, "__spark_entry__.py")).read())
-    patterns = []
-    for node in ast.walk(tree):
-        if (
-            isinstance(node, ast.Call)
-            and isinstance(node.func, ast.Name)
-            and node.func.id == "LabelMatcher"
-            and len(node.args) >= 3
-            and isinstance(node.args[0], ast.Name)
-            and node.args[0].id in ("RE", "NRE")
-            and isinstance(node.args[2], ast.Constant)
-        ):
-            patterns.append(node.args[2].value)
-    assert patterns, "entry defines no regex matchers? (extraction broke)"
-    for pat in patterns:
+    for pat in _driver_regex_patterns():
         assert check_re2_portable(pat) == pat
 
 
@@ -190,28 +255,16 @@ def test_driver_row_regexes_unaffected_by_backslash_parity_scan():
     _R12_WINDOW's head and _R13_WINDOW regardless; this pins the argument
     that rows awaiting the r13 rotation are not behavior-stale in the
     interim.  The scoped-diff property itself is pinned by
-    test_matchers.py::test_backslash_parity_scan_is_noop_without_escaped_pairs.)"""
-    import ast
-    import os as _os
+    test_matchers.py::test_backslash_parity_scan_is_noop_without_escaped_pairs.)
 
+    The r13 lookaround-guard fix (ADVICE r12) rides the same proof: it can
+    only SHRINK the rejection set
+    (test_matchers.py::test_lookaround_parity_guard_only_shrinks_rejections),
+    so the acceptance of every driver regex asserted here is preserved
+    verbatim — the remaining _R14_HEAD rows are not behavior-stale."""
     from remote_tsdb_clickhouse_spark.plans.matchers import check_re2_portable
 
-    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    tree = ast.parse(open(_os.path.join(repo, "__spark_entry__.py")).read())
-    patterns = []
-    for node in ast.walk(tree):
-        if (
-            isinstance(node, ast.Call)
-            and isinstance(node.func, ast.Name)
-            and node.func.id == "LabelMatcher"
-            and len(node.args) >= 3
-            and isinstance(node.args[0], ast.Name)
-            and node.args[0].id in ("RE", "NRE")
-            and isinstance(node.args[2], ast.Constant)
-        ):
-            patterns.append(node.args[2].value)
-    assert patterns, "entry defines no regex matchers? (extraction broke)"
-    for pat in patterns:
+    for pat in _driver_regex_patterns():
         assert "\\\\" not in pat, f"driver regex {pat!r} has an escaped pair"
         assert check_re2_portable(pat) == pat
 

@@ -136,6 +136,9 @@ def test_re2_portability_guard():
         r"\\{2}+",       # possessive bounded repeat of a literal backslash
         r"\\\1",         # literal backslash + backreference \1 (RE2:
                          # "invalid escape sequence")
+        r"\\(?=x)",      # REAL lookahead after a literal backslash — the
+                         # pair collapse must leave the '(' unescaped
+        r"\\(?<!y)x",    # real lookbehind after a literal backslash
     ],
 )
 def test_re2_guard_rejects_java_only_quantifiers(pattern):
@@ -168,6 +171,14 @@ def test_re2_guard_rejects_java_only_quantifiers(pattern):
         r"\\1",           # literal backslash + digit, NOT a backreference
         r"\\k<x>",        # literal backslash + 'k<x>', NOT a named backref
         r"\{2}+",         # literal '{2}' then '+' quantifying '}' — valid
+        r"\(?=x",         # optional ESCAPED paren + literal '=x', NOT
+                          # lookahead (ADVICE r12: the lookaround
+                          # alternatives lacked the parity guard)
+        r"\(?!x",         # optional escaped paren + literal '!x'
+        r"\(?<=x",        # optional escaped paren + literal '<=x'
+        r"\(?<!x",        # optional escaped paren + literal '<!x'
+        r"a\(?>b",        # optional escaped paren + literal '>b' (the
+                          # atomic-group alternative's guard, pre-existing)
     ],
 )
 def test_re2_guard_accepts_valid_re2(pattern):
@@ -192,7 +203,10 @@ def test_re2_guard_never_rejects_valid_re2_randomized():
              # backslash-parity atoms (ADVICE r11): escaped literal
              # backslashes, alone and in front of classes/digits, where a
              # single-char lookbehind misreads which char is escaped
-             r"\\", r"\\[*+]", r"[\\*]", r"\\1"]
+             r"\\", r"\\[*+]", r"[\\*]", r"\\1",
+             # escaped-paren-then-lookaround-spelling atoms (ADVICE r12):
+             # valid RE2 the unguarded lookaround alternatives rejected
+             r"\(?=x", r"\(?!x", r"\(?<=x"]
     quants = ["", "*", "+", "?", "{2}", "{2,3}", "{2,}",
               "*?", "+?", "*+", "++", "?+", "{2,3}+", "(?=b)", "(?>a)"]
     checked = 0
@@ -251,6 +265,62 @@ def test_backslash_parity_scan_is_noop_without_escaped_pairs():
         accepts += not new
         rejects += new
     assert accepts > 50 and rejects > 50  # both legs genuinely exercised
+
+
+def test_lookaround_parity_guard_only_shrinks_rejections():
+    """Scoped-diff proof for the r13 lookaround-guard fix (ADVICE r12):
+    adding ``(?<!\\)`` to the lookaround alternatives can only turn
+    rejections into acceptances — a lookbehind restricts where an
+    alternative matches, never widens it — so every pattern the pre-r13
+    guard accepted (including every driver row's regex, pinned by
+    test_entry_contract) keeps its decision.  Checked mechanically against
+    the pre-r13 scan reimplemented verbatim, over the full grammar
+    including the new escaped-paren atoms."""
+    import random
+    import re
+
+    from remote_tsdb_clickhouse_spark.plans.matchers import (
+        _CHAR_CLASS,
+        _ESCAPED_BACKSLASH,
+    )
+
+    pre_r13 = re.compile(
+        r"""
+        \\[1-9] | \\k<
+      | \(\?= | \(\?! | \(\?<[=!]
+      | (?<!\\)[*+?]\+ | (?<!\\)\{\d+(?:,\d*)?\}\+ | (?<!\\)\(\?>
+        """,
+        re.VERBOSE,
+    )
+
+    def old_rejects(p: str) -> bool:
+        return bool(pre_r13.search(_CHAR_CLASS.sub("C", _ESCAPED_BACKSLASH.sub("B", p))))
+
+    def new_rejects(p: str) -> bool:
+        try:
+            check_re2_portable(p)
+            return False
+        except ValueError:
+            return True
+
+    rng = random.Random(0x13_2026)
+    atoms = ["a", "b", ".", r"\.", r"\*", r"\+", "[*+]", "[0-9]", "[^x]",
+             "(a|b)", "(?:xy)", "}", r"\}", r"\1", r"\k<x>", "(a)",
+             r"\\", r"\\[*+]", r"[\\*]", r"\\1",
+             r"\(?=x", r"\(?!x", r"\(?<=x"]
+    quants = ["", "*", "+", "?", "{2}", "{2,3}", "{2,}",
+              "*?", "+?", "*+", "++", "?+", "{2,3}+", "(?=b)", "(?>a)"]
+    flipped = 0
+    for _ in range(800):
+        pat = "".join(
+            rng.choice(atoms) + rng.choice(quants)
+            for _ in range(rng.randint(1, 4))
+        )
+        old, new = old_rejects(pat), new_rejects(pat)
+        if new:
+            assert old, f"guard WIDENED rejections on {pat!r}"
+        flipped += old and not new
+    assert flipped > 10  # the diff's accept-leg widening is exercised
 
 
 def test_to_java_dialect_respects_backslash_parity():

@@ -863,6 +863,12 @@ def test_content_length_token_is_strict_digits(server):
                   b"1" * 20):
         assert raw(head + b"Content-Length: " + value + b"\r\n\r\n"
                    + b"x" * 50) == 400, value
+    # ADVICE r12: Go parses with ParseUint(cl, 10, 63), so a 19-digit
+    # value >= 2^63 is a malformed header (400), not an oversized body
+    # (413) — the digits-only token alone admits values up to ~1e19
+    assert raw(head + b"Content-Length: 9223372036854775808\r\n\r\n") == 400
+    # ... while 2^63-1 parses fine and the 32 MiB body cap decides (413)
+    assert raw(head + b"Content-Length: 9223372036854775807\r\n\r\n") == 413
     # canonical digits still work end-to-end (3 garbage bytes -> 500)
     assert raw(head + b"Content-Length: 3\r\n\r\nabc") == 500
 
@@ -896,4 +902,14 @@ def test_chunk_size_line_budget(server):
     # beyond the 4096 budget: explicit 400, not a spliced body
     assert raw(
         head + b"3;ext=" + b"a" * 5000 + b"\r\nabc\r\n0\r\n\r\n"
+    ) == 400
+    # the exact boundary (ADVICE r12): Go's readChunkLine rejects at
+    # len(line) >= 4096 COUNTING the CRLF, so a 4095-byte line is the
+    # longest accepted and a 4096-byte line must 400 — the old 4096+2
+    # cap let 4097-4098-byte lines through
+    assert raw(
+        head + b"3;ext=" + b"a" * (4095 - 8) + b"\r\nabc\r\n0\r\n\r\n"
+    ) == 500
+    assert raw(
+        head + b"3;ext=" + b"a" * (4096 - 8) + b"\r\nabc\r\n0\r\n\r\n"
     ) == 400
