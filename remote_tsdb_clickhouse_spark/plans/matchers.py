@@ -153,7 +153,20 @@ def _to_java_dialect(pattern: str) -> str:
 
 
 def _anchored(pattern: str) -> str:
-    # '^' + pattern + '$' — concat-anchoring exactly as read.go:104.
+    """'^' + pattern + '$' — concat-anchoring exactly as ``read.go:104``
+    (``concat(?, ?, ?)`` with bare '^'/'$', then partial-match
+    ``match()``).
+
+    Deliberate reference parity, NOT upstream-Prometheus parity: genuine
+    Prometheus wraps ``^(?:`` + pattern + ``)$``, so for a pattern with a
+    TOP-LEVEL alternation the two disagree — ``a|b`` anchors here as
+    ``^a|b$`` (prefix-``a`` OR suffix-``b``, since '|' binds looser than
+    the anchors under partial-match), while Prometheus full-matches
+    ``^(?:a|b)$``.  The reference ships the concat spelling to ClickHouse
+    (its read.go:104 NOTE claims Prometheus behavior, which holds for
+    every alternation-free or group-wrapped pattern but not this edge),
+    and matching the reference's results is the assignment — pinned by
+    tests/test_matchers.py::test_top_level_alternation_anchors_like_reference."""
     return "^" + _to_java_dialect(check_re2_portable(pattern)) + "$"
 
 

@@ -349,15 +349,64 @@ def test_possessive_rejected_on_both_matcher_branches(mtype, name):
         compile_matcher(LabelMatcher(mtype, name, r"(?>om)ada"))
 
 
+def test_top_level_alternation_anchors_like_reference(spark):
+    """``read.go:104`` anchors by bare string concat, so ``'^'+'a|b'+'$'``
+    is ``^a|b$`` — '|' binds looser than the anchors, and under RE2's
+    partial-match ``match()`` that is prefix-``a`` OR suffix-``b``, NOT
+    the full-match-of-either that genuine Prometheus gets from its
+    ``^(?:a|b)$`` wrap.  The assignment is reference parity: every case
+    here is verified against DuckDB's real RE2 evaluating the exact
+    concat-anchored pattern the reference would ship to ClickHouse, and
+    the final assertion proves the quirk is live (reference and upstream
+    Prometheus disagree on at least one case)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    cases = [
+        ("up", "x|y*?"),     # y*?$ matches the empty suffix -> reference hits
+        ("upper", "up|db"),  # ^up prefix branch hits 'upper'
+        ("xdb", "up|db"),    # db$ suffix branch hits 'xdb'
+        ("aabb", "a|b"),     # ^a prefix hits
+        ("up", "(x|y*?)"),   # group-wrapped: both dialects agree (no hit)
+        ("up", "up|down"),   # exact hit under both
+        ("zz", "a|b"),       # miss under both
+    ]
+    df = spark.createDataFrame(
+        [(i, n) for i, (n, _) in enumerate(cases)],
+        "id INT, metric_name STRING",
+    )
+    cols = [
+        F.when(
+            compile_matchers([LabelMatcher(RE, "__name__", p)]), 1
+        ).otherwise(0).alias(f"c{i}")
+        for i, (_, p) in enumerate(cases)
+    ]
+    got = {r["id"]: r for r in df.select("id", *cols).collect()}
+    divergences = 0
+    for i, (name, p) in enumerate(cases):
+        ref = con.execute(
+            "SELECT regexp_matches(?, ?)", [name, "^" + p + "$"]
+        ).fetchone()[0]
+        prom = con.execute(
+            "SELECT regexp_full_match(?, ?)", [name, p]
+        ).fetchone()[0]
+        assert got[i][f"c{i}"] == (1 if ref else 0), (name, p, ref)
+        divergences += ref != prom
+    assert divergences >= 3  # the quirk is real, not a vacuous pin
+
+
 def test_regex_matchers_agree_with_re2_engine_randomized(spark):
     """Cross-dialect differential for the regex matcher branches
     (F5/F6/F10/F11): for random guard-accepted patterns, the compiled
     Catalyst predicates (Java regex via rlike) must classify an
     adversarial corpus exactly like a real RE2 engine (DuckDB's
-    regexp_full_match) evaluating the reference's anchored-fullmatch
-    algebra (read.go:104,113-135).  This is the property the RE2 guard
-    exists to protect: on the accepted common dialect, Java and RE2
-    semantics coincide."""
+    regexp_matches, partial-match like ClickHouse's match()) evaluating
+    the reference's concat-anchored algebra (read.go:104,113-135 —
+    '^'+pattern+'$' by bare concat, so top-level alternations anchor
+    per-branch; see test_top_level_alternation_anchors_like_reference).
+    This is the property the RE2 guard exists to protect: on the accepted
+    common dialect, Java and RE2 semantics coincide."""
     import random
 
     import duckdb
@@ -376,8 +425,13 @@ def test_regex_matchers_agree_with_re2_engine_randomized(spark):
         ("a+b", ["job=a+b"]),
         ("xyz", ["job=", "env=x"]),
     ]
-    atoms = ["a", "b", "p", ".", "[a-z]", "[0-9]", "(a|b)", r"\.", "up", "j"]
-    quants = ["", "*", "+", "?", "{1,2}"]
+    atoms = ["a", "b", "p", ".", "[a-z]", "[0-9]", "(a|b)", r"\.", "up", "j",
+             # r13 widening (the soak sweep's grammar): top-level
+             # alternation, inner anchors, escapes, classes with literal
+             # quantifier chars, perl classes — 18k-cell soak-clean
+             "x|y", "(a|)", "[-a]", "[*+]", "[^x]", r"\\", r"\(?=x",
+             r"\d", r"\w", "^a", "b$"]
+    quants = ["", "*", "+", "?", "{1,2}", "*?", "??"]
 
     def pat():
         return "".join(
@@ -385,9 +439,18 @@ def test_regex_matchers_agree_with_re2_engine_randomized(spark):
             for _ in range(rng.randint(1, 3))
         )
 
-    patterns = [pat() for _ in range(40)]
-    for p in patterns:
-        check_re2_portable(p)  # grammar stays inside the common dialect
+    patterns = []
+    while len(patterns) < 60:
+        p = pat()
+        try:
+            check_re2_portable(p)  # guard must accept (common dialect)
+            # RE2 must parse it too — the widened grammar can compose
+            # spellings RE2 rejects (e.g. quantified anchors), which the
+            # guard deliberately lets fail loudly server-side
+            duckdb.execute("SELECT regexp_matches('z', ?)", [p]).fetchone()
+        except (ValueError, duckdb.Error):
+            continue
+        patterns.append(p)
 
     df = spark.createDataFrame(
         [(i, n, ls) for i, (n, ls) in enumerate(corpus)],
@@ -408,14 +471,17 @@ def test_regex_matchers_agree_with_re2_engine_randomized(spark):
     con = duckdb.connect()
 
     def re2_eval(name, labels, p, mt, key):
+        # reference semantics: RE2 PARTIAL match() of the bare concat
+        # '^'+pattern+'$' (read.go:104), not Prometheus's ^(?:...)$ wrap
         if key == "__name__":
             hit = con.execute(
-                "SELECT regexp_full_match(?, ?)", [name, p]
+                "SELECT regexp_matches(?, ?)", [name, "^" + p + "$"]
             ).fetchone()[0]
         else:
             hit = any(
                 con.execute(
-                    "SELECT regexp_full_match(?, ?)", [lab, f"{key}=" + p]
+                    "SELECT regexp_matches(?, ?)",
+                    [lab, "^" + f"{key}=" + p + "$"],
                 ).fetchone()[0]
                 for lab in labels
             )
