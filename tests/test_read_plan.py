@@ -155,6 +155,16 @@ def test_read_path_randomized_end_to_end_sweep(spark):
         iv_ms = range_ms if 0 < range_ms < step_ms else step_ms
         return max((iv_ms // 2) // 1000, 1)
 
+    def ref_re(pattern: str, s: str) -> bool:
+        # the REFERENCE's regex semantics (read.go:104): partial match()
+        # of the bare concat '^' + pattern + '$'.  NOT fullmatch(pattern):
+        # for a top-level alternation the two diverge ('^up|down$' hits
+        # 'up2' via the ^up branch), and the engine must reproduce the
+        # reference — see test_matchers.py::
+        # test_top_level_alternation_anchors_like_reference.  Python re's
+        # alternation/anchor precedence matches Java's and RE2's here.
+        return bool(pyre.search("^" + pattern + "$", s))
+
     def ref_matches(name: str, labels: list[str], ms_) -> bool:
         for m in ms_:
             v = m.value
@@ -162,8 +172,8 @@ def test_read_path_randomized_end_to_end_sweep(spark):
                 ok = {
                     MatcherType.EQ: lambda: name == v,
                     MatcherType.NEQ: lambda: name != v,
-                    MatcherType.RE: lambda: bool(pyre.fullmatch(v, name)),
-                    MatcherType.NRE: lambda: not pyre.fullmatch(v, name),
+                    MatcherType.RE: lambda: ref_re(v, name),
+                    MatcherType.NRE: lambda: not ref_re(v, name),
                 }[m.type]()
             else:
                 joined = f"{m.name}={v}"
@@ -172,9 +182,9 @@ def test_read_path_randomized_end_to_end_sweep(spark):
                 elif m.type == MatcherType.NEQ:
                     ok = joined not in labels
                 elif m.type == MatcherType.RE:
-                    ok = any(pyre.fullmatch(joined, x) for x in labels)
+                    ok = any(ref_re(joined, x) for x in labels)
                 else:  # NRE: vacuously true on a missing label
-                    ok = not any(pyre.fullmatch(joined, x) for x in labels)
+                    ok = not any(ref_re(joined, x) for x in labels)
             if not ok:
                 return False
         return True
