@@ -3,10 +3,14 @@ independent pure-Python evaluator of Prometheus matcher semantics
 (SURVEY §5.1 — adversarial labelsets: missing labels, values containing
 ``=``/regex metacharacters, empty values).
 
-The Python evaluator is deliberately written from the *semantics* (anchored
-fullmatch over the joined ``k=v`` string, vacuous matches on missing labels,
-ignore-label drop on EQ only), not from the implementation, so agreement is
-evidence rather than tautology.
+The Python evaluator is deliberately written from the *semantics* — the
+REFERENCE's concat-anchoring (``read.go:104``: partial match of
+``'^'+pattern+'$'``, which for a top-level alternation anchors per-branch,
+unlike upstream Prometheus's ``^(?:...)$`` wrap — see
+test_matchers.py::test_top_level_alternation_anchors_like_reference),
+vacuous matches on missing labels, and the ignore-label drop on EQ only —
+not from the implementation, so agreement is evidence rather than
+tautology.
 """
 
 from __future__ import annotations
@@ -41,8 +45,17 @@ CORPUS = [
 ]
 
 
+def _ref_re(pattern: str, s: str) -> bool:
+    """The reference's regex application (read.go:104): RE2 partial
+    match() of the bare concat '^' + pattern + '$'.  Python re shares the
+    alternation/anchor precedence, so search() of the same string is the
+    faithful model (fullmatch(pattern) is NOT: it diverges on top-level
+    alternations like 'api|db')."""
+    return bool(pyre.search("^" + pattern + "$", s))
+
+
 def _py_eval(name: str, labels: list[str], ms: list[LabelMatcher]) -> bool:
-    """Independent Prometheus-semantics evaluator (Python re ~ Java dialect
+    """Independent reference-semantics evaluator (Python re ~ Java dialect
     for the generated subset)."""
     for m in ms:
         v = m.value
@@ -51,9 +64,9 @@ def _py_eval(name: str, labels: list[str], ms: list[LabelMatcher]) -> bool:
                 return False
             if m.type == MatcherType.NEQ and not name != v:
                 return False
-            if m.type == MatcherType.RE and not pyre.fullmatch(v, name):
+            if m.type == MatcherType.RE and not _ref_re(v, name):
                 return False
-            if m.type == MatcherType.NRE and pyre.fullmatch(v, name):
+            if m.type == MatcherType.NRE and _ref_re(v, name):
                 return False
         else:
             joined = f"{m.name}={v}"
@@ -65,11 +78,11 @@ def _py_eval(name: str, labels: list[str], ms: list[LabelMatcher]) -> bool:
             if m.type == MatcherType.NEQ and joined in labels:
                 return False
             if m.type == MatcherType.RE and not any(
-                pyre.fullmatch(f"{m.name}={v}", x) for x in labels
+                _ref_re(f"{m.name}={v}", x) for x in labels
             ):
                 return False
             if m.type == MatcherType.NRE and any(
-                pyre.fullmatch(f"{m.name}={v}", x) for x in labels
+                _ref_re(f"{m.name}={v}", x) for x in labels
             ):
                 return False
     return True
@@ -81,7 +94,11 @@ _literal = st.sampled_from(
 )
 # safe common-dialect regexes (identical meaning in RE2 / Java / Python re)
 _regex = st.sampled_from(
-    ["a.*", ".*", "(api|db)", "[a-z]+", "pr.d", "a=b", ".*=.*", "(?:a|d).*", "u?p", "d.wn"]
+    ["a.*", ".*", "(api|db)", "[a-z]+", "pr.d", "a=b", ".*=.*", "(?:a|d).*",
+     "u?p", "d.wn",
+     # TOP-LEVEL alternation: anchors per-branch under the reference's
+     # concat semantics ('^api|db$' = prefix-api OR suffix-db)
+     "api|db", "up|down"]
 )
 _name = st.sampled_from(["job", "env", "remote", "missing", "__name__"])
 _type = st.sampled_from(list(MatcherType))
