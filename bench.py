@@ -412,6 +412,13 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf,
                 "host_calib_sec": host_calib,
+                # min-of-3 alone can hide the delivery regime: the r12
+                # driver run's 1.148 headline hid trials spanning
+                # 1.227-1.488 (30%), and r13 run 1's 1.070 hid 1.175-1.275
+                # — both storm runs that over-read the tree.  Publishing
+                # the raw trials makes the spread readable from the
+                # recorded BENCH JSON itself instead of BENCH_NOTES.md.
+                "host_calib_trials": calib_trials,
                 "host_calib_ok": calib_ok,
             },
             separators=(",", ":"),

@@ -114,6 +114,60 @@ def test_asof_forward_direction(spark):
     assert tol["p2"].ts_right is None  # 30 - 25 = 5 > 4
 
 
+def test_differential_vs_pandas_merge_asof(spark):
+    """Second, independently-implemented oracle: pandas ``merge_asof`` —
+    the published semantics asof_join's docstring cites for tolerance
+    (operators/asof.py:58-59).  Unlike the brute-force sweep below (which
+    re-states OUR documented semantics in Python), pandas implements
+    backward/forward inclusive-nearest matching and tolerance nulling
+    independently, so agreement across both directions and tolerances on
+    the same randomized scenarios is cross-implementation evidence, not
+    self-agreement.  Right sides are unique per (key, ts) — asof_join's
+    documented precondition, and merge_asof's tie rule (last duplicate
+    wins) would otherwise differ legitimately."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    left_rows, right_rows = [], []
+    for k in range(120):
+        for i in range(rng.randint(0, 5)):
+            left_rows.append((k, rng.randint(0, 30), f"L{k}_{i}"))
+        for t in rng.sample(range(0, 31), rng.randint(0, 5)):
+            # v = 1000*k + t: injective, so the matched right timestamp is
+            # recoverable from the value merge_asof reports (it only
+            # carries the LEFT 'on' column through)
+            right_rows.append((k, t, float(1000 * k + t)))
+    left = spark.createDataFrame(left_rows, "k INT, t LONG, tag STRING")
+    right = spark.createDataFrame(right_rows, "k INT, t LONG, v DOUBLE")
+    lpd = pd.DataFrame(left_rows, columns=["k", "t", "tag"]).sort_values("t", kind="stable")
+    rpd = pd.DataFrame(right_rows, columns=["k", "t", "v"]).sort_values("t", kind="stable")
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 3):
+            got = {
+                r.tag: (r.t_right, r.v_right)
+                for r in asof_join(
+                    left, right, on=["k"], left_ts="t", right_ts="t",
+                    right_cols=["v"], tolerance_s=tol, direction=direction,
+                ).collect()
+            }
+            ref = pd.merge_asof(
+                lpd, rpd, on="t", by="k", direction=direction,
+                tolerance=tol, suffixes=("", "_right"),
+            )
+            assert len(got) == len(left_rows) == len(ref)
+            for row in ref.itertuples():
+                if pd.isna(row.v):
+                    want = (None, None)
+                else:
+                    want = (int(row.v) - 1000 * row.k, row.v)
+                assert got[row.tag] == want, (
+                    f"{direction} tol={tol} {row.tag}: spark={got[row.tag]} pandas={want}"
+                )
+
+
 def test_randomized_sweep_vs_reference(spark):
     """Seeded 200-key randomized sweep against an independent brute-force
     reference of the documented semantics (inclusive nearest, tolerance

@@ -40,6 +40,56 @@ def test_downsample_policy_exact():
     assert downsample_interval_seconds(ReadHints(step_ms=60000), ignore_hints=True) is None
 
 
+def test_downsample_policy_property_vs_go_model():
+    """Property differential: ``downsample_interval_seconds`` vs a LITERAL
+    transcription of ``read.go:38-52`` — the branch guard, the
+    range-beats-step substitution, the two successive truncating integer
+    divisions (Go ``/`` truncates toward zero; the transcription keeps
+    them as two operations in Go's order rather than one ``// 2000``), and
+    the 1-second floor.  The exact-value test above pins the documented
+    anchor points; this sweeps the full int64 hint space (plus the
+    boundary neighborhood) so any divergence — including on hostile
+    negative or huge hints a client could wire-encode — is caught against
+    the reference model rather than our own docstring."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def go_trunc_div(a: int, b: int) -> int:
+        q = a // b
+        return q + 1 if q < 0 and q * b != a else q
+
+    def go_model(step_ms: int, range_ms: int, ignore_hints: bool) -> int | None:
+        # read.go:38-52, clause for clause
+        if not (step_ms > 2000 and not ignore_hints):
+            return None
+        interval = step_ms
+        if range_ms > 0 and range_ms < step_ms:
+            interval = range_ms
+        interval = go_trunc_div(interval, 2)
+        interval = go_trunc_div(interval, 1000)
+        if interval < 1:
+            interval = 1
+        return interval
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    near = st.integers(min_value=-5, max_value=5)
+    hint = st.one_of(
+        i64,
+        near.map(lambda d: 2000 + d),  # the strict-threshold boundary
+        near.map(lambda d: 4000 + d),  # the half-to-1s boundary
+    )
+
+    @given(step_ms=hint, range_ms=hint, ignore_hints=st.booleans())
+    @settings(max_examples=500, deadline=None)
+    def check(step_ms, range_ms, ignore_hints):
+        got = downsample_interval_seconds(
+            ReadHints(step_ms=step_ms, range_ms=range_ms), ignore_hints=ignore_hints
+        )
+        assert got == go_model(step_ms, range_ms, ignore_hints)
+
+    check()
+
+
 def test_grouped_max_dedup(spark, samples_df):
     # duplicate (series, ts) rows collapse under max (A1)
     q = ReadQuery(start_ms=0, matchers=(LabelMatcher(EQ, "__name__", "go_goroutines"),))
