@@ -78,3 +78,34 @@ def test_bench_calibration_mismatch_flagged(spark, capsys):
     assert "not comparable" in capsys.readouterr().err
     # and the published-figure contract: ok=False nulls the headline field
     assert (min(trials) if ok else None) is None
+
+
+def test_bench_stdout_json_fits_driver_capture_window():
+    """The driver tail-captures ~2.2 KB of bench stdout; an 84-entry
+    queries map once pushed the JSON's opening brace outside it (r1/r2
+    "parsed": null — see the comment above bench.py's BENCH_DETAIL
+    split).  Pin the contract: the stdout summary line, assembled exactly
+    as main() does but with worst-case field widths — the 10 LONGEST real
+    query names from the live entry module, maximal plausible timing
+    widths, and the host_calib_trials array added in r13 — must leave
+    comfortable headroom under the window."""
+    import json
+
+    import __spark_entry__ as entrymod
+
+    names = sorted(entrymod.queries().keys(), key=len, reverse=True)[:10]
+    line = json.dumps(
+        {
+            "metric": "total_query_sec",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {n: 9999.999 for n in names},
+            "n_queries": 160,
+            "sf": 0.001,
+            "host_calib_sec": 99.999,
+            "host_calib_trials": [99.999, 99.999, 99.999],
+            "host_calib_ok": True,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1200, f"bench stdout line {len(line)}B nears the ~2.2KB window"
