@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Mutation screen over the core reference-parity rules.
+
+Round-trip fuzz, property sweeps, and oracle compares all assert the
+ENGINE is right; this tool asserts the TESTS are sharp.  Each mutant
+flips exactly one semantic clause the survey's §2 inventory claims is
+pinned — the F2 inclusive upper bound, Go's truncate-toward-zero ms->s
+division, the strict-2000ms downsample threshold, the hint halving, the
+F9 vacuous match on missing labels, the reference's concat-anchoring
+(``read.go:104``) vs upstream's ``^(?:...)$`` wrap, the as-of join's
+inclusive tie order, the ``name=value`` label storage encoding
+(``write.go:43``), the floor bucket alignment, and the Go chunk-line
+budget — then runs only that rule's targeted killer test files and
+requires a FAILURE.  A surviving mutant means a §2 row's "correctness"
+column is vouched for by tests that cannot actually see that clause.
+
+Every edit is restored even on crash (the try/finally writes the
+original source back); run from anywhere, exits 0 iff all mutants die.
+First full screen (r13): 10/10 killed.
+
+Usage:
+    python tools/mutant_screen.py            # full screen (~5 min)
+    python tools/mutant_screen.py M6 M7      # just those mutants
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RP = "remote_tsdb_clickhouse_spark/plans/read_plan.py"
+MA = "remote_tsdb_clickhouse_spark/plans/matchers.py"
+AS = "remote_tsdb_clickhouse_spark/operators/asof.py"
+WR = "remote_tsdb_clickhouse_spark/sources/writer.py"
+HT = "remote_tsdb_clickhouse_spark/server/http.py"
+
+#: (id, description, file, unique-original-snippet, mutated-snippet,
+#:  killer test files).  Keep each original snippet unique in its file —
+#: the screen refuses to run a mutant whose site is ambiguous.
+MUTANTS = [
+    ("M1", "F2 upper bound inclusive -> exclusive (read.go:26-28)", RP,
+     'cond = cond & (F.col("ts") <= F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))',
+     'cond = cond & (F.col("ts") < F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))',
+     ["tests/test_read_plan.py", "tests/test_rollup.py"]),
+    ("M2", "trunc-toward-zero -> floor division (read.go:24, Go int div)", RP,
+     "return -(-ms // 1000) if ms < 0 else ms // 1000",
+     "return ms // 1000",
+     ["tests/test_read_plan.py", "tests/test_matchers.py"]),
+    ("M3", "downsample threshold strict-> -> >= (read.go:38)", RP,
+     "if ignore_hints or hints.step_ms <= MIN_STEP_HINT_MS:",
+     "if ignore_hints or hints.step_ms < MIN_STEP_HINT_MS:",
+     ["tests/test_read_plan.py"]),
+    ("M4", "downsample halving dropped (read.go:45)", RP,
+     "interval_s = (interval_ms // 2) // 1000",
+     "interval_s = interval_ms // 1000",
+     ["tests/test_read_plan.py"]),
+    ("M5", "label NEQ vacuous match on missing label removed (F9)", MA,
+     "return ~F.array_contains(arr, label)  # F9: matches series missing k",
+     'return F.exists(arr, lambda x: x.startswith(f"{m.name}=") & (x != F.lit(label)))',
+     ["tests/test_matchers.py", "tests/test_matcher_properties.py"]),
+    ("M6", "concat-anchoring -> upstream ^(?:...)$ wrap (read.go:104)", MA,
+     'return "^" + _to_java_dialect(check_re2_portable(pattern)) + "$"',
+     'return "^(?:" + _to_java_dialect(check_re2_portable(pattern)) + ")$"',
+     ["tests/test_matchers.py", "tests/test_matcher_properties.py"]),
+    ("M7", "as-of backward tie inclusivity flipped", AS,
+     '.orderBy(F.col("__t").asc(), F.col("__is_right").desc())',
+     '.orderBy(F.col("__t").asc(), F.col("__is_right").asc())',
+     ["tests/test_asof.py"]),
+    ("M8", "label storage encoding name=value -> name:value (write.go:43)", WR,
+     'labels.append(f"{lb.name}={lb.value}")',
+     'labels.append(f"{lb.name}:{lb.value}")',
+     ["tests/test_store_writer.py"]),
+    ("M9", "bucket floor-align -> end-align (toStartOfInterval)", RP,
+     "return F.timestamp_seconds((epoch - epoch % interval_s))",
+     "return F.timestamp_seconds((epoch - epoch % interval_s + interval_s))",
+     ["tests/test_read_plan.py", "tests/test_rollup.py"]),
+    ("M10", "chunk-size-line budget regression 4095 -> 4097 (Go maxLineLength)", HT,
+     "_CHUNK_LINE_LIMIT = 4096 - 1",
+     "_CHUNK_LINE_LIMIT = 4096 + 1",
+     ["tests/test_server.py"]),
+]
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    results: list[tuple[str, str, str]] = []
+    for mid, desc, path, old, new, killers in MUTANTS:
+        if only and mid not in only:
+            continue
+        full = os.path.join(REPO, path)
+        with open(full) as fh:
+            src = fh.read()
+        if src.count(old) != 1:
+            results.append((mid, desc, f"SITE-ERROR (count={src.count(old)})"))
+            print(f"{mid} {desc}: {results[-1][2]}", flush=True)
+            continue
+        try:
+            with open(full, "w") as fh:
+                fh.write(src.replace(old, new))
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", "-x", "-q", *killers],
+                cwd=REPO, capture_output=True, text=True, timeout=1800)
+            verdict = "KILLED" if r.returncode != 0 else "SURVIVED"
+        finally:
+            with open(full, "w") as fh:
+                fh.write(src)
+        results.append((mid, desc, verdict))
+        print(f"{mid} {desc}: {verdict}", flush=True)
+
+    print("\n== summary ==")
+    for mid, desc, v in results:
+        print(f"{v:10s} {mid} {desc}")
+    return 0 if results and all(v == "KILLED" for _, _, v in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
