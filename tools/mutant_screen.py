@@ -16,7 +16,7 @@ column is vouched for by tests that cannot actually see that clause.
 
 Every edit is restored even on crash (the try/finally writes the
 original source back); run from anywhere, exits 0 iff all mutants die.
-First full screen (r13): 10/10 killed.
+Full screen (r13, both batches): 17/17 killed.
 
 Usage:
     python tools/mutant_screen.py            # full screen (~5 min)
@@ -81,6 +81,37 @@ MUTANTS = [
      "_CHUNK_LINE_LIMIT = 4096 - 1",
      "_CHUNK_LINE_LIMIT = 4096 + 1",
      ["tests/test_server.py"]),
+    # -- batch 2 (r13): rules the first screen did not touch --------------
+    ("M11", "F8 ignore-label drop removed (read.go:123-125 emits no clause)", MA,
+     "return None  # F8: routing label, never stored — emit no clause",
+     "return F.array_contains(arr, label)",
+     ["tests/test_matchers.py", "tests/test_matcher_properties.py"]),
+    ("M12", "downsample range-clamp guard dropped (range always wins)", RP,
+     "if 0 < hints.range_ms < hints.step_ms:",
+     "if 0 < hints.range_ms:",
+     ["tests/test_read_plan.py"]),
+    ("M13", "A1 grouped max -> min", RP,
+     '.agg(F.max("value").alias("max_0"))',
+     '.agg(F.min("value").alias("max_0"))',
+     ["tests/test_read_plan.py"]),
+    ("M14", "O2 series assembly time-sort dropped (collect_list order luck)", RP,
+     'F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("max_0").alias("v")))).alias(',
+     'F.collect_list(F.struct(F.col("t"), F.col("max_0").alias("v"))).alias(',
+     ["tests/test_read_plan.py", "tests/test_server.py"]),
+    ("M15", "P2 arraySort(labels) dropped from the projection", RP,
+     'F.array_sort("labels").alias("slb"),',
+     'F.col("labels").alias("slb"),',
+     ["tests/test_read_plan.py", "tests/test_matchers.py"]),
+    ("M16", "increase reset-awareness dropped (drop contributes delta, not value)",
+     "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
+     'step = F.when(dv.isNull(), F.lit(None)).when(dv < 0, F.col("max_0")).otherwise(dv)',
+     "step = dv",
+     ["tests/test_tsfuncs.py"]),
+    ("M17", "32 MiB wire cap silently doubled",
+     "remote_tsdb_clickhouse_spark/codec.py",
+     "DECODE_READ_LIMIT = 32 * 1024 * 1024",
+     "DECODE_READ_LIMIT = 64 * 1024 * 1024",
+     ["tests/test_prompb.py", "tests/test_server.py"]),
 ]
 
 
