@@ -156,3 +156,29 @@ def test_decontamination_randomized_sweep(spark):
     assert got == want
     # the sweep must exercise real contamination, not a vacuous empty match
     assert len(want) >= 5
+
+
+def test_decontamination_default_shingle_width_is_13():
+    """The GPT-3-style default n=13 is a semantic constant the randomized
+    sweep never sees (it passes n=5 explicitly), and the r13 mutation
+    screen proved a 13->12 mutant survived the unit suite (only the
+    driver's oracle row pinned it).  Pin it structurally: a train doc
+    sharing a verbatim 13-token span with the benchmark carries exactly
+    ONE shared default-width n-gram, and a doc sharing only a 12-token
+    span is absent — any other default (12 gives two shared grams on the
+    13-span; 14 gives zero) fails one of the legs."""
+    from remote_tsdb_clickhouse_spark.operators.decontaminate import ngram_contamination
+    from remote_tsdb_clickhouse_spark.session import get_spark
+
+    spark = get_spark()
+    span13 = [f"shared{i}" for i in range(13)]
+    bench = spark.createDataFrame([(0, " ".join(span13))], "doc_id LONG, text STRING")
+    train = spark.createDataFrame(
+        [
+            (1, "trainpadone " + " ".join(span13) + " trainpadtwo"),
+            (2, "trainpadthree " + " ".join(span13[:12]) + " trainpadfour"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.n_shared_ngrams for r in ngram_contamination(train, bench).collect()}
+    assert got == {1: 1}

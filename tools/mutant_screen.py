@@ -16,7 +16,11 @@ column is vouched for by tests that cannot actually see that clause.
 
 Every edit is restored even on crash (the try/finally writes the
 original source back); run from anywhere, exits 0 iff all mutants die.
-Full screen (r13, both batches): 17/17 killed.
+Full screen (r13, three batches): 21/21 killed.  The screen earned its
+keep on first contact: M20 (decontamination 13->12) SURVIVED the unit
+suite — the randomized sweep passes n=5 explicitly, so only the driver's
+oracle row saw the default — and is now killed by
+test_textfuncs.py::test_decontamination_default_shingle_width_is_13.
 
 Usage:
     python tools/mutant_screen.py            # full screen (~5 min)
@@ -112,6 +116,26 @@ MUTANTS = [
      "DECODE_READ_LIMIT = 32 * 1024 * 1024",
      "DECODE_READ_LIMIT = 64 * 1024 * 1024",
      ["tests/test_prompb.py", "tests/test_server.py"]),
+    # -- batch 3 (r13): LLM-pipeline operator semantics --------------------
+    ("M18", "as-of tolerance boundary inclusive -> exclusive", AS,
+     'F.when(gap <= F.lit(float(tolerance_s)), F.col("__match"))',
+     'F.when(gap < F.lit(float(tolerance_s)), F.col("__match"))',
+     ["tests/test_asof.py"]),
+    ("M19", "exact-dedup keeper min(doc_id) -> max (nondeterministic claim)",
+     "remote_tsdb_clickhouse_spark/operators/dedup.py",
+     '.agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))',
+     '.agg(F.max("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))',
+     ["tests/test_dedup_similarity.py"]),
+    ("M20", "decontamination shingle width 13 -> 12",
+     "remote_tsdb_clickhouse_spark/operators/decontaminate.py",
+     "n: int = 13,",
+     "n: int = 12,",
+     ["tests/test_textfuncs.py"]),
+    ("M21", "AllPairs prefix bound off-by-one (drops qualifying pairs)",
+     "remote_tsdb_clickhouse_spark/operators/dedup.py",
+     '<= F.col("n_sh") - _ceil_threshold_times(F.col("n_sh"), threshold) + 1',
+     '<= F.col("n_sh") - _ceil_threshold_times(F.col("n_sh"), threshold)',
+     ["tests/test_dedup_similarity.py"]),
 ]
 
 
