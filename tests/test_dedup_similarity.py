@@ -1078,3 +1078,43 @@ def test_quantize_int8_histogram_randomized_vs_reference(spark):
     got = {(r.dim, r.qcode): (r.n, r.mn_micro, r.mx_micro) for r in out}
     assert got == want
     assert all(q == 0 for (dim, q) in got if dim == 2)  # constant dim
+
+
+def test_pq_adc_topk_cross_batch_tie_break(spark):
+    """Deterministic (adc, neighbor_id) tie-break ACROSS Arrow batches.
+
+    Each mapInPandas batch already emits its partial top-k in
+    (adc, neighbor_id) lexsort order, so in a single-batch layout a
+    stable final sort on adc alone accidentally reproduces the tie-break
+    and the randomized sweep cannot see it dropped (the r13 mutation
+    screen's M30 survived exactly this way).  Here two IDENTICAL vectors
+    — equal PQ codes, hence exactly equal integer ADC distances — are
+    planted in SEPARATE input partitions with the higher id in the
+    earlier partition, so only the final window's explicit neighbor_id
+    ordering can put them in id order; the real code must rank
+    (10 before 20) at both topk=1 (membership) and topk=2 (rank order),
+    regardless of batch arrival."""
+    from remote_tsdb_clickhouse_spark.operators.similarity import pq_adc_topk
+
+    d = 8
+    q = [0.5] * d
+    dup = [-0.25] * d
+    filler = [0.9] * d
+    # partition 0: query + the HIGHER-id duplicate; partition 1: the
+    # lower-id duplicate + filler.  parallelize with explicit slices pins
+    # the layout (a union of two coalesced LocalRelations gets fused back
+    # into one by the optimizer), so the duplicates reach pq_adc_topk in
+    # different Arrow batches.
+    rdd = spark.sparkContext.parallelize(
+        [(0, q), (20, dup), (10, dup), (30, filler)], 2
+    )
+    emb = spark.createDataFrame(rdd, "vec_id LONG, embedding ARRAY<FLOAT>")
+    assert emb.rdd.getNumPartitions() == 2
+
+    got1 = pq_adc_topk(emb, n_queries=1, topk=1, m=4, k=4).collect()
+    assert [(r.query_id, r.neighbor_id, r.rk) for r in got1] == [(0, 10, 1)]
+
+    got2 = pq_adc_topk(emb, n_queries=1, topk=2, m=4, k=4).collect()
+    ranked = sorted(((r.rk, r.neighbor_id, r.adc) for r in got2))
+    assert [(rk, nid) for rk, nid, _ in ranked] == [(1, 10), (2, 20)]
+    assert ranked[0][2] == ranked[1][2]  # genuinely tied ADC distances

@@ -16,11 +16,20 @@ column is vouched for by tests that cannot actually see that clause.
 
 Every edit is restored even on crash (the try/finally writes the
 original source back); run from anywhere, exits 0 iff all mutants die.
-Full screen (r13, three batches): 21/21 killed.  The screen earned its
-keep on first contact: M20 (decontamination 13->12) SURVIVED the unit
-suite — the randomized sweep passes n=5 explicitly, so only the driver's
-oracle row saw the default — and is now killed by
-test_textfuncs.py::test_decontamination_default_shingle_width_is_13.
+Full screen (r13, five batches): 32/32 killed.  The screen earned its
+keep on first contact, surviving twice before the gaps were closed:
+
+- M20 (decontamination 13->12) survived the unit suite — the randomized
+  sweep passes n=5 explicitly, so only the driver's oracle row saw the
+  default.  Killed by
+  test_textfuncs.py::test_decontamination_default_shingle_width_is_13.
+- M30 (ADC top-k neighbor_id tie-break dropped) survived because each
+  mapInPandas batch already emits its partial top-k tie-sorted, so in a
+  single-batch layout a stable final sort on adc alone reproduces the
+  tie-break by accident — silent nondeterminism that only manifests
+  when a tie group spans Arrow batches.  Killed by
+  test_dedup_similarity.py::test_pq_adc_topk_cross_batch_tie_break,
+  which pins duplicates into separate input partitions.
 
 Usage:
     python tools/mutant_screen.py            # full screen (~5 min)
@@ -136,6 +145,63 @@ MUTANTS = [
      '<= F.col("n_sh") - _ceil_threshold_times(F.col("n_sh"), threshold) + 1',
      '<= F.col("n_sh") - _ceil_threshold_times(F.col("n_sh"), threshold)',
      ["tests/test_dedup_similarity.py"]),
+    # -- batch 4 (r13): wire codecs, routing, streaming, vector ops --------
+    ("M22", "protobuf varint decode little-endian -> big-endian groups",
+     "remote_tsdb_clickhouse_spark/prompb.py",
+     "        result |= (b & 0x7F) << shift",
+     "        result = (result << 7) | (b & 0x7F)",
+     ["tests/test_prompb.py", "tests/test_prompb_fuzz.py"]),
+    ("M23", "snappy header uvarint little-endian -> big-endian groups",
+     "remote_tsdb_clickhouse_spark/codec.py",
+     "        result |= (b & 0x7F) << shift",
+     "        result = (result << 7) | (b & 0x7F)",
+     ["tests/test_prompb.py", "tests/test_server.py"]),
+    ("M24", "rollup routing serves non-divisible intervals",
+     "remote_tsdb_clickhouse_spark/sources/rollup.py",
+     "fits = [r for r in self.resolutions() if d % r == 0 and r <= d]",
+     "fits = [r for r in self.resolutions() if r <= d]",
+     ["tests/test_rollup.py"]),
+    ("M25", "streaming sessionization session-window -> tumbling window",
+     "remote_tsdb_clickhouse_spark/streaming/ingest.py",
+     'F.session_window("ts", gap).alias("w"),',
+     'F.window("ts", gap).alias("w"),',
+     ["tests/test_streaming.py"]),
+    ("M26", "sign-bucket boundary x>=0 -> x>0 (zero dims flip orthant)",
+     "remote_tsdb_clickhouse_spark/functions/vecfuncs.py",
+     "lambda x, i: F.when(x >= 0, F.pow(F.lit(2.0), i.cast(\"double\")).cast(\"long\")).otherwise(",
+     "lambda x, i: F.when(x > 0, F.pow(F.lit(2.0), i.cast(\"double\")).cast(\"long\")).otherwise(",
+     ["tests/test_vecfuncs.py"]),
+    ("M27", "int64 two's-complement read dropped (negative fields go unsigned)",
+     "remote_tsdb_clickhouse_spark/prompb.py",
+     "return v - (1 << 64) if v >= (1 << 63) else v",
+     "return v",
+     ["tests/test_prompb.py", "tests/test_prompb_fuzz.py"]),
+    # -- batch 5 (r13): similarity/mixing/scrub/multimodal -----------------
+    ("M28", "PNG Paeth tie-break order flipped (spec: a, then b, then c)",
+     "remote_tsdb_clickhouse_spark/operators/multimodal.py",
+     "pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)",
+     "pred = a if (pa < pb and pa < pc) else (b if pb <= pc else c)",
+     ["tests/test_multimodal.py"]),
+    ("M29", "water-filling bound max-fill -> off-by-source (min dropped)",
+     "remote_tsdb_clickhouse_spark/operators/mixing.py",
+     '"n_star", F.min(F.expr("(n_docs * bigw) div w")).over(everything)',
+     '"n_star", F.max(F.expr("(n_docs * bigw) div w")).over(everything)',
+     ["tests/test_mixing_quantize.py"]),
+    ("M30", "ANN rank tie-break on neighbor_id dropped (nondeterministic top-k)",
+     "remote_tsdb_clickhouse_spark/operators/similarity.py",
+     'F.col("adc").asc(), F.col("neighbor_id").asc()',
+     'F.col("adc").asc()',
+     ["tests/test_dedup_similarity.py"]),
+    ("M31", "k-means assignment argmin first-min -> last-min on ties",
+     "remote_tsdb_clickhouse_spark/operators/similarity.py",
+     "pos = dist.argmin(axis=1)  # first min -> lowest cid on ties",
+     "pos = dist.shape[1] - 1 - dist[:, ::-1].argmin(axis=1)",
+     ["tests/test_dedup_similarity.py"]),
+    ("M32", "email PII pattern loses the TLD requirement",
+     "remote_tsdb_clickhouse_spark/operators/scrub.py",
+     'EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"',
+     'EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"',
+     ["tests/test_scrub.py"]),
 ]
 
 
