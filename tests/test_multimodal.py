@@ -1976,3 +1976,80 @@ def test_png_gray_randomized_filter_sweep():
         )
         want = [(v, v, v) for row in vals for v in row]
         assert mm.decode_png(png) == (w, h, want), (trial, ctype, w, h)
+
+
+def test_gif_lzw_table_growth_across_width_boundaries():
+    """The dynamic code-width growth path — len(table) reaching 1<<cs mid
+    stream — is DEAD in every round-trip fixture: encode_gif emits a clear
+    code before every symbol, so its table never grows (the r13 mutation
+    screen's M38, an early-change off-by-one in the growth boundary,
+    survived the whole suite).  Real-world GIF encoders grow the table on
+    essentially every image, so pin the convention with an independent
+    spec-convention encoder: greedy LZW, one leading clear, entries added
+    per emitted code, width bumped when the table reaches 1<<cs (GIF
+    late-change; TIFF's early-change at (1<<cs)-1 is the classic confusion
+    and exactly the mutant).  60 symbols over a 4-color alphabet cross the
+    3->4 and 4->5 bit boundaries; a decoder bumping one entry early
+    desyncs at the first boundary."""
+    import random
+
+    import remote_tsdb_clickhouse_spark.operators.multimodal as mm
+
+    mcs = 2
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    rng = random.Random(0x61F)
+    pixels = [rng.randrange(1 << mcs) for _ in range(60)]
+
+    # The emission width of each code is the width the DECODER will read
+    # it at, so the encoder simulates the decoder's table length exactly:
+    # the first data code appends NOTHING decoder-side (prev is None), and
+    # every later data code appends one entry, bumping the width for the
+    # SUBSEQUENT read when the table reaches 1<<cs.  (Getting this one
+    # code wrong — the encoder's own dictionary grows at the emission
+    # BEFORE the decoder constructs the same entry — reproduces exactly
+    # the early-change desync the mutant under screen implements.)
+    codes: list[tuple[int, int]] = []  # (code, width-at-emission)
+    cs = mcs + 1
+    table = {(i,): i for i in range(clear)}
+    next_entry = clear + 2  # decoder appends at len(table): literals + 2
+    dec_len = clear + 2  # decoder-side len(table) simulation
+    first_data = True
+
+    def emit_data(code):
+        nonlocal cs, dec_len, first_data
+        codes.append((code, cs))
+        if first_data:
+            first_data = False  # decoder: prev is None, no append
+            return
+        dec_len += 1
+        if dec_len == (1 << cs) and cs < 12:
+            cs += 1
+
+    codes.append((clear, cs))
+    prev = (pixels[0],)
+    for p in pixels[1:]:
+        cand = prev + (p,)
+        if cand in table:
+            prev = cand
+            continue
+        emit_data(table[prev])
+        table[cand] = next_entry
+        next_entry += 1
+        prev = (p,)
+    emit_data(table[prev])
+    codes.append((end, cs))
+    assert max(w for _, w in codes) >= 5, "fixture must cross two boundaries"
+
+    acc = accbits = 0
+    data = bytearray()
+    for code, width in codes:  # LSB-first bit packing
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+    if accbits:
+        data.append(acc & 0xFF)
+
+    assert mm._gif_lzw_decode(mcs, bytes(data)) == pixels

@@ -16,8 +16,9 @@ column is vouched for by tests that cannot actually see that clause.
 
 Every edit is restored even on crash (the try/finally writes the
 original source back); run from anywhere, exits 0 iff all mutants die.
-Full screen (r13, five batches): 32/32 killed.  The screen earned its
-keep on first contact, surviving twice before the gaps were closed:
+Full screen (r13, six batches): 38/38 killed.  The screen earned its
+keep on first contact, surviving three times before the gaps were
+closed:
 
 - M20 (decontamination 13->12) survived the unit suite — the randomized
   sweep passes n=5 explicitly, so only the driver's oracle row saw the
@@ -30,6 +31,14 @@ keep on first contact, surviving twice before the gaps were closed:
   when a tie group spans Arrow batches.  Killed by
   test_dedup_similarity.py::test_pq_adc_topk_cross_batch_tie_break,
   which pins duplicates into separate input partitions.
+- M38 (GIF LZW width-growth boundary early-change) survived because the
+  dynamic table-growth path was DEAD in every fixture: encode_gif emits
+  a clear code before every symbol, so round-trips never grow the
+  table, while real-world GIF encoders grow it on essentially every
+  image.  Killed by
+  test_multimodal.py::test_gif_lzw_table_growth_across_width_boundaries,
+  an independent spec-convention (late-change) encoder crossing the
+  3->4 and 4->5 bit boundaries.
 
 Usage:
     python tools/mutant_screen.py            # full screen (~5 min)
@@ -202,6 +211,37 @@ MUTANTS = [
      'EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"',
      'EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"',
      ["tests/test_scrub.py"]),
+    # -- batch 6 (r13): streaming state, layout, store maintenance, codecs -
+    ("M33", "stateful rate duplicate-timestamp guard <= -> < (dt=0 divide)",
+     "remote_tsdb_clickhouse_spark/streaming/ingest.py",
+     "if last_t is not None and t <= last_t:",
+     "if last_t is not None and t < last_t:",
+     ["tests/test_streaming.py"]),
+    ("M34", "stateful rate counter-reset NULL dropped",
+     "remote_tsdb_clickhouse_spark/streaming/ingest.py",
+     "out_r.append(None if v < last_v else (v - last_v) / (t - last_t))",
+     "out_r.append((v - last_v) / (t - last_t))",
+     ["tests/test_streaming.py"]),
+    ("M35", "skew salt collapses to a single sub-key (spread contract)",
+     "remote_tsdb_clickhouse_spark/operators/layout.py",
+     "    spread_expr = F.pmod(",
+     "    spread_expr = F.lit(0); _unused = (",
+     ["tests/test_layout.py"]),
+    ("M36", "TSV export separator tab -> comma",
+     "remote_tsdb_clickhouse_spark/sources/samples_store.py",
+     '            sep="\\t",',
+     '            sep=",",',
+     ["tests/test_store_writer.py"]),
+    ("M37", "range-delete lower bound exclusive -> inclusive (S8)",
+     "remote_tsdb_clickhouse_spark/sources/samples_store.py",
+     'cond = (F.col("ts") > F.lit(start_exclusive)) & (F.col("ts") <= F.lit(end_inclusive))',
+     'cond = (F.col("ts") >= F.lit(start_exclusive)) & (F.col("ts") <= F.lit(end_inclusive))',
+     ["tests/test_store_writer.py"]),
+    ("M38", "GIF LZW code-width growth boundary off-by-one",
+     "remote_tsdb_clickhouse_spark/operators/multimodal.py",
+     "if len(table) == (1 << code_size) and code_size < 12:",
+     "if len(table) == (1 << code_size) - 1 and code_size < 12:",
+     ["tests/test_multimodal.py"]),
 ]
 
 
