@@ -1118,3 +1118,53 @@ def test_pq_adc_topk_cross_batch_tie_break(spark):
     ranked = sorted(((r.rk, r.neighbor_id, r.adc) for r in got2))
     assert [(rk, nid) for rk, nid, _ in ranked] == [(1, 10), (2, 20)]
     assert ranked[0][2] == ranked[1][2]  # genuinely tied ADC distances
+
+
+def test_simhash_pigeonhole_adversarial_bit_placement(spark):
+    """Completeness of the 4-block pigeonhole at its worst case: pairs
+    whose 3 differing bits land in three DISTINCT blocks, leaving exactly
+    one specific block clean — one planted pair per clean-block position.
+    The randomized sweep never produced the clean-block-3 placement, so
+    dropping a block from candidate generation survived it (r13 mutation
+    screen M41).  Single-token documents make the fingerprint equal the
+    token's 32-bit md5 hash, so the placements are pinned by searched
+    token pairs; the expected set is recomputed from the same reference
+    fingerprints rather than assumed."""
+    import hashlib
+
+    from remote_tsdb_clickhouse_spark.operators.dedup import simhash_pairs
+
+    # searched offline over md5("t{i}"): xor has popcount 3, one bit in
+    # each block except the named clean one
+    planted = {
+        3: ("t5208", "t8409"),
+        2: ("t1544", "t6338"),
+        1: ("t637", "t1998"),
+        0: ("t118", "t4651"),
+    }
+
+    def h32(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    toks = [t for pair in planted.values() for t in pair]
+    for clean, (a, b) in planted.items():
+        x = h32(a) ^ h32(b)
+        assert bin(x).count("1") == 3
+        per_block = [(x >> (8 * k)) & 0xFF for k in range(4)]
+        assert per_block[clean] == 0
+        assert all(bin(pb).count("1") == 1 for k, pb in enumerate(per_block) if k != clean)
+
+    rows = list(enumerate(toks))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, max_hamming=3).collect()}
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = bin(h32(toks[i]) ^ h32(toks[j])).count("1")
+            if d <= 3:
+                want[(i, j)] = d
+    assert got == want
+    idx = {t: i for i, t in enumerate(toks)}
+    for a, b in planted.values():
+        pair = tuple(sorted((idx[a], idx[b])))
+        assert want[pair] == 3  # every planted placement is in the oracle set

@@ -913,3 +913,30 @@ def test_chunk_size_line_budget(server):
     assert raw(
         head + b"3;ext=" + b"a" * (4096 - 8) + b"\r\nabc\r\n0\r\n\r\n"
     ) == 400
+
+
+def test_label_reexpansion_splits_at_first_equals():
+    """P3 re-expansion must split stored ``name=value`` strings at the
+    FIRST '=' (the structural one, ``read.go:84-89`` / strings.SplitN):
+    a label VALUE containing '=' round-trips intact.  The matcher corpus
+    plants ``job=a=b`` but no response-assembly test did (the r13
+    mutation screen's M40 — rpartition — survived), so pin the leg
+    directly, including an empty value and a value that is ONLY '='."""
+    from datetime import datetime, timezone
+
+    from remote_tsdb_clickhouse_spark.server.service import row_to_timeseries
+
+    row = {
+        "metric_name": "up",
+        "slb": ["env=", "eq==", "job=a=b"],
+        "samples": [
+            {"v": 1.5, "t": datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)}
+        ],
+    }
+    ts = row_to_timeseries(row)
+    assert [(l.name, l.value) for l in ts.labels] == [
+        ("__name__", "up"),
+        ("env", ""),
+        ("eq", "="),
+        ("job", "a=b"),
+    ]

@@ -16,8 +16,8 @@ column is vouched for by tests that cannot actually see that clause.
 
 Every edit is restored even on crash (the try/finally writes the
 original source back); run from anywhere, exits 0 iff all mutants die.
-Full screen (r13, six batches): 38/38 killed.  The screen earned its
-keep on first contact, surviving three times before the gaps were
+Full screen (r13, seven batches): 43/43 killed.  The screen earned its
+keep on first contact, surviving five times before the gaps were
 closed:
 
 - M20 (decontamination 13->12) survived the unit suite — the randomized
@@ -39,6 +39,16 @@ closed:
   test_multimodal.py::test_gif_lzw_table_growth_across_width_boundaries,
   an independent spec-convention (late-change) encoder crossing the
   3->4 and 4->5 bit boundaries.
+- M40 (P3 label split at the LAST '=') survived because no
+  response-assembly test carried a label VALUE containing '=' (the
+  matcher corpus plants job=a=b, the P3 leg never did).  Killed by
+  test_server.py::test_label_reexpansion_splits_at_first_equals.
+- M41 (SimHash candidate generation loses a block) survived because the
+  randomized corpus never produced a pair whose 3 differing bits spread
+  across exactly the three non-dropped blocks.  Killed by
+  test_dedup_similarity.py::test_simhash_pigeonhole_adversarial_bit_placement,
+  which plants one searched single-token pair per clean-block position
+  (a one-token doc's fingerprint IS its 32-bit token hash).
 
 Usage:
     python tools/mutant_screen.py            # full screen (~5 min)
@@ -242,6 +252,32 @@ MUTANTS = [
      "if len(table) == (1 << code_size) and code_size < 12:",
      "if len(table) == (1 << code_size) - 1 and code_size < 12:",
      ["tests/test_multimodal.py"]),
+    # -- batch 7 (r13): response assembly, graph convergence, metrics ------
+    ("M39", "P3 __name__ prepend dropped from response labels (read.go:84-89)",
+     "remote_tsdb_clickhouse_spark/server/service.py",
+     'labels = [prompb.Label(NAME_LABEL, row["metric_name"])]',
+     "labels = []",
+     ["tests/test_server.py"]),
+    ("M40", "P3 label split first-'=' -> last-'=' (values containing '=')",
+     "remote_tsdb_clickhouse_spark/server/service.py",
+     'name, _, value = joined.partition("=")  # first \'=\' is structural',
+     'name, _, value = joined.rpartition("=")',
+     ["tests/test_server.py"]),
+    ("M41", "SimHash pigeonhole loses a block (radius-3 completeness broken)",
+     "remote_tsdb_clickhouse_spark/operators/dedup.py",
+     "                    for k in range(4)",
+     "                    for k in range(3)",
+     ["tests/test_dedup_similarity.py"]),
+    ("M42", "connected components stops after one propagation round",
+     "remote_tsdb_clickhouse_spark/operators/dedup.py",
+     "            if new_sum == prev_sum:",
+     "            if True:",
+     ["tests/test_asof.py"]),
+    ("M43", "self-metrics counter increment becomes a no-op",
+     "remote_tsdb_clickhouse_spark/server/metrics.py",
+     "            self._value += n",
+     "            self._value += 0 * n",
+     ["tests/test_server.py"]),
 ]
 
 
