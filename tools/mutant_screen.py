@@ -16,7 +16,7 @@ column is vouched for by tests that cannot actually see that clause.
 
 Every edit is restored even on crash (the try/finally writes the
 original source back); run from anywhere, exits 0 iff all mutants die.
-Full screen (r13, seven batches): 43/43 killed.  The screen earned its
+Full screen (r13, eight batches): 49/49 killed.  The screen earned its
 keep on first contact, surviving five times before the gaps were
 closed:
 
@@ -278,6 +278,37 @@ MUTANTS = [
      "            self._value += n",
      "            self._value += 0 * n",
      ["tests/test_server.py"]),
+    # -- batch 8 (r13): PromQL-analog math and chunking geometry -----------
+    ("M44", "type-1 quantile index floor((n-1)q) -> floor(n*q)",
+     "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
+     'idx0 = F.floor((n - 1).cast("double") * F.lit(q)).cast("int")',
+     'idx0 = F.floor(n.cast("double") * F.lit(q)).cast("int")',
+     ["tests/test_tsfuncs.py"]),
+    ("M45", "predict_linear loses the t-bar centering",
+     "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
+     '+ slope * (F.lit(float(tp_units)) - F.col("st").cast("double") / n_d),',
+     '+ slope * F.lit(float(tp_units)),',
+     ["tests/test_tsfuncs.py"]),
+    ("M46", "histogram_quantile first-bucket lower bound 0 -> bounds[0]",
+     "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
+     "lo = 0 if i == 0 else bounds[i - 1]",
+     "lo = bounds[0] if i == 0 else bounds[i - 1]",
+     ["tests/test_tsfuncs.py"]),
+    ("M47", "histogram_quantile +Inf-bucket rule returns NULL",
+     "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
+     'result = F.lit(bounds[-1] * 1_000_000).cast("long")  # +Inf bucket rule',
+     'result = F.lit(None).cast("long")',
+     ["tests/test_tsfuncs.py"]),
+    ("M48", "chunk stride ignores the overlap",
+     "remote_tsdb_clickhouse_spark/operators/scrub.py",
+     "    stride = window - overlap",
+     "    stride = window",
+     ["tests/test_scrub.py"]),
+    ("M49", "chunk-count ceil overshoots on exact multiples",
+     "remote_tsdb_clickhouse_spark/operators/scrub.py",
+     "+ (F.greatest(n_tok - window, F.lit(0)) + (stride - 1)) / F.lit(stride)",
+     "+ (F.greatest(n_tok - window, F.lit(0)) + stride) / F.lit(stride)",
+     ["tests/test_scrub.py"]),
 ]
 
 
