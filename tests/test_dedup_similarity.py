@@ -1168,3 +1168,28 @@ def test_simhash_pigeonhole_adversarial_bit_placement(spark):
     for a, b in planted.values():
         pair = tuple(sorted((idx[a], idx[b])))
         assert want[pair] == 3  # every planted placement is in the oracle set
+
+
+def test_bloom_near_miss_and_true_false_positive(spark):
+    """The membership rule is ALL k distinct bits set — a near-miss doc
+    with exactly k-1 of its bits in the filter must be rejected.  Every
+    existing bloom test asserts no-false-negatives only, so a mutant
+    accepting k-1 hits survived the suite (r13 mutation screen M52).
+    Both planted docs were searched offline against this exact corpus
+    through the md5 position function the oracle replicates: one hits
+    3 of its 4 distinct positions (reject), one hits all 4 without being
+    a member (accept — the documented false-positive semantics)."""
+    from remote_tsdb_clickhouse_spark.operators.dedup import bloom_membership
+
+    ref = spark.createDataFrame(
+        [(i, f"reference document number {i} content") for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(100, "candidate probe text 8577"), (101, "fp probe 302966")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in bloom_membership(new, ref, k=4, m=4096).collect()}
+    near, fp = out[100], out[101]
+    assert (near.n_bits, near.n_hit, near.maybe_member) == (4, 3, False)
+    assert (fp.n_bits, fp.n_hit, fp.maybe_member) == (4, 4, True)

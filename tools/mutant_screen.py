@@ -16,9 +16,10 @@ column is vouched for by tests that cannot actually see that clause.
 
 Every edit is restored even on crash (the try/finally writes the
 original source back); run from anywhere, exits 0 iff all mutants die.
-Full screen (r13, eight batches): 49/49 killed.  The screen earned its
-keep on first contact, surviving five times before the gaps were
-closed:
+Full screen (r13, nine batches): 52/52 killed.  The screen earned its
+keep on first contact, surviving six times before the gaps were closed
+(plus one killer-list correction: M50's CH-leg trunc test lives in
+test_read_plan.py, not the sink file):
 
 - M20 (decontamination 13->12) survived the unit suite — the randomized
   sweep passes n=5 explicitly, so only the driver's oracle row saw the
@@ -49,6 +50,12 @@ closed:
   test_dedup_similarity.py::test_simhash_pigeonhole_adversarial_bit_placement,
   which plants one searched single-token pair per clean-block position
   (a one-token doc's fingerprint IS its 32-bit token hash).
+- M52 (bloom membership accepts k-1 of k bits) survived because every
+  bloom test asserted no-false-negatives only — no fixture had a
+  near-miss doc with exactly k-1 set bits.  Killed by
+  test_dedup_similarity.py::test_bloom_near_miss_and_true_false_positive,
+  which plants a searched 3-of-4-hit doc (reject) and a genuine
+  4-of-4 false positive (accept).
 
 Usage:
     python tools/mutant_screen.py            # full screen (~5 min)
@@ -309,6 +316,24 @@ MUTANTS = [
      "+ (F.greatest(n_tok - window, F.lit(0)) + (stride - 1)) / F.lit(stride)",
      "+ (F.greatest(n_tok - window, F.lit(0)) + stride) / F.lit(stride)",
      ["tests/test_scrub.py"]),
+    # -- batch 9 (r13): the ClickHouse SQL leg, dialect rewrite, bloom -----
+    ("M50", "ClickHouse-leg ms->s division loses Go trunc parity",
+     "remote_tsdb_clickhouse_spark/sources/clickhouse.py",
+     'clauses = [f"t >= {trunc_ms_to_s(q.start_ms)}"]',
+     'clauses = [f"t >= {q.start_ms // 1000}"]',
+     # the both-legs negative-bound test lives in test_read_plan.py (the
+     # sink file covers DDL/writer, not the emitted WHERE)
+     ["tests/test_read_plan.py"]),
+    ("M51", "named-group dialect rewrite ignores backslash parity",
+     "remote_tsdb_clickhouse_spark/plans/matchers.py",
+     'lambda m: m.group(0) if len(m.group(1)) % 2 else m.group(1) + "(?<",',
+     'lambda m: m.group(1) + "(?<",',
+     ["tests/test_matchers.py"]),
+    ("M52", "bloom membership requires k-1 of k distinct bits",
+     "remote_tsdb_clickhouse_spark/operators/dedup.py",
+     '(F.col("n_hit") == F.col("n_bits")).alias("maybe_member"),',
+     '(F.col("n_hit") >= F.col("n_bits") - 1).alias("maybe_member"),',
+     ["tests/test_dedup_similarity.py"]),
 ]
 
 
