@@ -4670,6 +4670,46 @@ _R14_WINDOW = [
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 assert _R14_WINDOW[:2] == _R14_HEAD
 
+#: The PREPARED round-15 rotation — defined now (while the post-r14 hash
+#: map is deterministic) but NOT hoisted; the r15 session's only rotation
+#: change is flipping the hoist line to ``_R15_WINDOW``.  Construction
+#: against the post-r14 map (r11x10, r12x50, r13x50, r14x50 — verify with
+#: ``python tools/staleness_ledger.py --pending _R14_WINDOW --check
+#: _R15_WINDOW``):
+#:
+#: 1. The COMPLETE post-r14 r11 cohort first (10 rows — the then-oldest
+#:    hashes), in r11-window relative order: the 8 recall diagnostics
+#:    (contiguous — they share the broadcast exact-top-10 baseline and
+#:    the _TRAIN_CACHE builds) + the 2 connected-components rows.
+#: 2. The first 40 rows of the r12 cohort, in r12-window relative order:
+#:    pure hash-age rotation, no known behavior debt.  The remaining 10
+#:    r12 rows (q2/q11/q20/q21, dedup_lines, dedup_bloom,
+#:    sim_matryoshka_topk, dataset_shuffle_shards, text_vocab,
+#:    events_bucketed_join) are the natural _R16 head.
+_R15_WINDOW = [
+    # the complete post-r14 r11 cohort (10), r11-window relative order
+    "sim_pq_recall", "sim_pq_trained_recall", "sim_pq_opq_recall",
+    "sim_lsh_recall", "sim_lsh_multiprobe_recall", "sim_ivf_recall",
+    "sim_ivf_trained_recall", "sim_matryoshka_recall",
+    "dedup_groups", "dedup_cluster_stats",
+    # the first 40 rows of the r12 cohort, r12-window relative order
+    "protocol_roundtrip_read", "protocol_response_assembly",
+    "streaming_stateful_rate", "events_sessionize", "events_asof_click",
+    "events_window_agg", "events_funnel", "text_decontaminate",
+    "text_pipeline", "text_langid", "text_quality", "text_tokens",
+    "text_fingerprint", "text_tfidf_keywords", "text_repetition",
+    "dataset_dedup_apply", "dataset_length_histogram", "dataset_sample",
+    "dataset_mixture_sample", "doc_packing", "q6_revenue_delta",
+    "top_customers_per_segment", "sim_topk_bruteforce",
+    "emb_quantize_int8", "dedup_exact", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_incremental", "text_pii_scrub",
+    "doc_chunk_windows", "doc_chunk_texts", "streaming_windowed_max",
+    "text_quality_filter", "events_salted_stats", "sim_pq_codes",
+    "sim_pq_adc_topk", "sim_pq_trained", "sim_topk_lsh_multiprobe",
+]
+assert len(_R15_WINDOW) == 50 and len(set(_R15_WINDOW)) == 50
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is a driver contract: the window above is hoisted to the
@@ -4698,7 +4738,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cohort + 38 of the 40 r12-diff-touched matcher-path rows, re-hashed
     # through the r12 parity fixes at driver level; the final 2 head
     # _R14_WINDOW below, which also absorbs the complete 48-row r10
-    # cohort).
+    # cohort); r14 the _R14_WINDOW rotation, flipped exactly as prepared
+    # (the 2 _R14_HEAD matcher rows retiring the r12-diff staleness debt
+    # + the complete 48-row r10 cohort — after it no matcher-path row's
+    # hash predates r13 and the residue is r11x10 + r12x50, scheduled
+    # across _R15_WINDOW + the named _R16 head).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -4889,7 +4933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R13_WINDOW}
+    out = {name: base[name] for name in _R14_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 

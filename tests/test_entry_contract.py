@@ -29,10 +29,11 @@ def test_verification_windows_are_valid_rotations():
     window must name only real queries (a typo'd name would silently shrink
     the next rotation)."""
     names = list(entry.queries())
-    assert names[:50] == entry._R13_WINDOW  # active round's hoist
+    assert names[:50] == entry._R14_WINDOW  # active round's hoist
     for window in (
         entry._R9_WINDOW, entry._R10_WINDOW, entry._R11_WINDOW,
         entry._R12_WINDOW, entry._R13_WINDOW, entry._R14_WINDOW,
+        entry._R15_WINDOW,
     ):
         assert len(window) == 50 and len(set(window)) == 50
         missing = set(window) - set(names)
@@ -59,6 +60,18 @@ def test_verification_windows_are_valid_rotations():
     # post-r13 r10 cohort — the then-oldest hashes
     assert entry._R14_WINDOW[:2] == entry._R14_HEAD
     assert len(entry._R14_WINDOW) == 50
+    # r15 leads with the complete post-r14 r11 cohort (the then-oldest
+    # hashes: the 8 recall diagnostics + the 2 connected-components rows),
+    # then absorbs the first 40 rows of the r12 cohort; windows must not
+    # overlap with the active round (every r15 row's hash would otherwise
+    # be refreshed twice while older rows wait)
+    assert entry._R15_WINDOW[:10] == [
+        "sim_pq_recall", "sim_pq_trained_recall", "sim_pq_opq_recall",
+        "sim_lsh_recall", "sim_lsh_multiprobe_recall", "sim_ivf_recall",
+        "sim_ivf_trained_recall", "sim_matryoshka_recall",
+        "dedup_groups", "dedup_cluster_stats",
+    ]
+    assert not set(entry._R15_WINDOW) & set(entry._R14_WINDOW)
 
 
 def test_oracle_sql_compiles_in_duckdb():
@@ -277,14 +290,22 @@ def test_staleness_tool_validates_prepared_window():
     import sys as _sys
     import os as _os
 
+    import re as _re
+
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    # derive the (hoisted, prepared) pair from the entry source so the test
+    # follows each rotation instead of hardcoding round numbers (VERDICT
+    # r13: live-tree contract tests must hold across artifact states)
+    src = open(_os.path.join(repo, "__spark_entry__.py")).read()
+    hoisted = _re.search(r"for name in (_R(\d+)_WINDOW)\b", src)
+    prepared = f"_R{int(hoisted.group(2)) + 1}_WINDOW"
     proc = subprocess.run(
         [_sys.executable, _os.path.join(repo, "tools", "staleness_ledger.py"),
-         "--pending", "_R13_WINDOW", "--check", "_R14_WINDOW"],
+         "--pending", hoisted.group(1), "--check", prepared],
         capture_output=True, text=True, timeout=60,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
-    assert "_R14_WINDOW: OK" in proc.stdout, proc.stdout
+    assert f"{prepared}: OK" in proc.stdout, proc.stdout
 
 
 def test_staleness_tool_skips_landed_pending_bump():
@@ -378,7 +399,14 @@ def test_staleness_tool_bare_check_agrees_with_pending():
 
     bare = run(["--check", prepared])
     explicit = run(["--pending", hoisted.group(1), "--check", prepared])
-    assert f"(--pending defaulted to hoisted {hoisted.group(1)})" in bare.stdout
+    # The "(--pending defaulted to hoisted ...)" notice is printed iff the
+    # hoisted window's own CORRECTNESS file has NOT landed (the ledger
+    # suppresses the no-op announcement once it has — VERDICT r12 nit).
+    # This live-tree test must hold in BOTH artifact states (VERDICT r13:
+    # asserting the notice unconditionally broke the suite the moment the
+    # driver wrote the round's CORRECTNESS file), so the un-landed notice
+    # itself is pinned hermetically by the tmp-fixture test below; here we
+    # only require the two spellings to agree on the verdict.
     verdict = lambda p: [ln for ln in p.stdout.splitlines() if prepared in ln]
     assert bare.returncode == explicit.returncode, bare.stdout + explicit.stdout
     assert verdict(bare) == verdict(explicit), bare.stdout + explicit.stdout

@@ -57,6 +57,13 @@ test_read_plan.py, not the sink file):
   which plants a searched 3-of-4-hit doc (reject) and a genuine
   4-of-4 false positive (accept).
 
+Before mutating anything, the screen runs the union of all selected
+killer files once on the PRISTINE tree (ADVICE r13): a killer file that
+is already red unmutated would report every mutant routed to it as
+KILLED spuriously, so those mutants are marked INVALID instead.  A
+per-mutant pytest timeout records TIMEOUT (non-KILLED) and continues,
+so one hung run cannot lose the summary for the rest.
+
 Usage:
     python tools/mutant_screen.py            # full screen (~5 min)
     python tools/mutant_screen.py M6 M7      # just those mutants
@@ -339,9 +346,44 @@ MUTANTS = [
 
 def main() -> int:
     only = set(sys.argv[1:])
+    selected = [m for m in MUTANTS if not only or m[0] in only]
+
+    # Clean-tree baseline (ADVICE r13): a killer file that already fails
+    # unmutated would make every mutant routed to it report KILLED
+    # spuriously.  Run the union of all killer files once on the pristine
+    # tree; if any fail, mark the affected mutants INVALID instead of
+    # letting them masquerade as killed.
+    killer_union = sorted({k for *_rest, killers in selected for k in killers})
+    broken_killers: set[str] = set()
+    if killer_union:
+        print(f"baseline: pytest over {len(killer_union)} killer file(s) "
+              "on the pristine tree...", flush=True)
+        try:
+            base = subprocess.run(
+                [sys.executable, "-m", "pytest", "-q", *killer_union],
+                cwd=REPO, capture_output=True, text=True, timeout=3600)
+        except subprocess.TimeoutExpired:
+            print("baseline TIMEOUT — aborting (cannot attribute failures)")
+            return 2
+        if base.returncode != 0:
+            # attribute the baseline failure to files, not the whole run:
+            # pytest -q failure lines lead with the test file path
+            for line in base.stdout.splitlines():
+                if line.startswith("FAILED ") or line.startswith("ERROR "):
+                    broken_killers.add(
+                        line.split(None, 1)[1].split("::", 1)[0])
+            if not broken_killers:
+                # non-zero rc with no parseable failures (collection error,
+                # crash): every routed mutant is unattributable
+                broken_killers = set(killer_union)
+            print(f"baseline RED in: {sorted(broken_killers)} — mutants "
+                  "routed there will be INVALID", flush=True)
+
     results: list[tuple[str, str, str]] = []
-    for mid, desc, path, old, new, killers in MUTANTS:
-        if only and mid not in only:
+    for mid, desc, path, old, new, killers in selected:
+        if broken_killers & set(killers):
+            results.append((mid, desc, "INVALID (killer red unmutated)"))
+            print(f"{mid} {desc}: {results[-1][2]}", flush=True)
             continue
         full = os.path.join(REPO, path)
         with open(full) as fh:
@@ -353,10 +395,15 @@ def main() -> int:
         try:
             with open(full, "w") as fh:
                 fh.write(src.replace(old, new))
-            r = subprocess.run(
-                [sys.executable, "-m", "pytest", "-x", "-q", *killers],
-                cwd=REPO, capture_output=True, text=True, timeout=1800)
-            verdict = "KILLED" if r.returncode != 0 else "SURVIVED"
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-m", "pytest", "-x", "-q", *killers],
+                    cwd=REPO, capture_output=True, text=True, timeout=1800)
+                verdict = "KILLED" if r.returncode != 0 else "SURVIVED"
+            except subprocess.TimeoutExpired:
+                # ADVICE r13: record and continue so the summary still
+                # covers every mutant (the finally restores the source)
+                verdict = "TIMEOUT"
         finally:
             with open(full, "w") as fh:
                 fh.write(src)
