@@ -1,0 +1,157 @@
+"""Hermetic tests for tools/mutant_screen.py's harness logic.
+
+The screen's VERDICTS are exercised continuously (52/52 KILLED per
+round), but the harness paths added for ADVICE r13 — the pristine-tree
+baseline that demotes mutants to INVALID when their killer files are
+already red, and the per-mutant TimeoutExpired recovery — only fire in
+degraded states a healthy tree never reaches.  These tests build a
+throwaway fake repo under tmp_path, monkeypatch the module's REPO and
+MUTANTS globals, and drive main() through each path.  No Spark: the
+fake killer tests are plain asserts, so each inner pytest run is fast.
+"""
+from __future__ import annotations
+
+import importlib.util
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+def _load_screen(tmp_path, monkeypatch, mutants, files, argv=()):
+    """Import a fresh mutant_screen module pointed at a fake repo."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        f"mutant_screen_{len(str(tmp_path))}",
+        os.path.join(repo, "tools", "mutant_screen.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    (tmp_path / "tests").mkdir()
+    for rel, body in files.items():
+        (tmp_path / rel).write_text(body)
+    monkeypatch.setattr(mod, "REPO", str(tmp_path))
+    monkeypatch.setattr(mod, "MUTANTS", mutants)
+    monkeypatch.setattr(sys, "argv", ["mutant_screen.py", *argv])
+    return mod
+
+
+# killer that imports the fake source next to the repo root and pins X
+_KILLER_PINS_X = (
+    "import os, sys\n"
+    "sys.path.insert(0, os.path.dirname(os.path.dirname("
+    "os.path.abspath(__file__))))\n"
+    "import fake_src\n"
+    "def test_x():\n"
+    "    assert fake_src.X == 1\n"
+)
+
+
+def test_screen_kills_a_real_mutant(tmp_path, monkeypatch, capsys):
+    """Happy path end-to-end: green baseline, mutant flips the pinned
+    clause, killer fails, verdict KILLED, exit 0, source restored."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\n", "tests/test_k.py": _KILLER_PINS_X},
+    )
+    assert mod.main() == 0
+    out = capsys.readouterr().out
+    assert "baseline: pytest over 1 killer file(s)" in out
+    assert "T1 flip X: KILLED" in out
+    assert (tmp_path / "fake_src.py").read_text() == "X = 1\n"
+
+
+def test_screen_reports_survivor_nonzero(tmp_path, monkeypatch, capsys):
+    """A mutant no killer can see must be SURVIVED and fail the screen —
+    the whole point of the tool."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "invisible flip", "fake_src.py", "Y = 9", "Y = 8",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\nY = 9\n",
+               "tests/test_k.py": _KILLER_PINS_X},
+    )
+    assert mod.main() == 1
+    assert "T1 invisible flip: SURVIVED" in capsys.readouterr().out
+
+
+def test_screen_baseline_demotes_red_killers_to_invalid(
+        tmp_path, monkeypatch, capsys):
+    """ADVICE r13: a killer file that is already red UNMUTATED must not
+    vouch for its mutants.  Route one mutant to a broken killer and one
+    to a healthy killer: the first is INVALID (never KILLED — before the
+    baseline existed it reported KILLED spuriously), the second still
+    runs and kills, and the screen exits non-zero."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[
+            ("T1", "routed to broken killer", "fake_src.py",
+             "Y = 9", "Y = 8", ["tests/test_broken.py"]),
+            ("T2", "routed to healthy killer", "fake_src.py",
+             "X = 1", "X = 2", ["tests/test_k.py"]),
+        ],
+        files={
+            "fake_src.py": "X = 1\nY = 9\n",
+            "tests/test_k.py": _KILLER_PINS_X,
+            "tests/test_broken.py": "def test_always_red():\n    assert False\n",
+        },
+    )
+    assert mod.main() == 1
+    out = capsys.readouterr().out
+    assert "baseline RED in: ['tests/test_broken.py']" in out
+    assert "T1 routed to broken killer: INVALID (killer red unmutated)" in out
+    assert "T2 routed to healthy killer: KILLED" in out
+    # the INVALID mutant was never applied, the killed one was restored
+    assert (tmp_path / "fake_src.py").read_text() == "X = 1\nY = 9\n"
+
+
+def test_screen_records_timeout_and_continues(tmp_path, monkeypatch, capsys):
+    """ADVICE r13: a hung killer run must record TIMEOUT (non-KILLED) and
+    let the remaining mutants complete — previously TimeoutExpired
+    propagated and lost the whole summary.  The baseline and the second
+    mutant use the real subprocess; only T1's mutant run raises."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[
+            ("T1", "hangs", "fake_src.py", "Y = 9", "Y = 8",
+             ["tests/test_k.py"]),
+            ("T2", "killed after the hang", "fake_src.py", "X = 1", "X = 2",
+             ["tests/test_k.py"]),
+        ],
+        files={"fake_src.py": "X = 1\nY = 9\n",
+               "tests/test_k.py": _KILLER_PINS_X},
+    )
+    real_run = mod.subprocess.run
+    state = {"mutant_runs": 0}
+
+    def fake_run(cmd, **kw):
+        if "-x" in cmd:  # per-mutant invocation (baseline has no -x)
+            state["mutant_runs"] += 1
+            if state["mutant_runs"] == 1:
+                raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 0))
+        return real_run(cmd, **kw)
+
+    monkeypatch.setattr(mod.subprocess, "run", fake_run)
+    assert mod.main() == 1  # TIMEOUT is non-KILLED
+    out = capsys.readouterr().out
+    assert "T1 hangs: TIMEOUT" in out
+    assert "T2 killed after the hang: KILLED" in out
+    # the hung mutant's edit was restored by the finally
+    assert (tmp_path / "fake_src.py").read_text() == "X = 1\nY = 9\n"
+
+
+def test_screen_site_error_on_ambiguous_snippet(tmp_path, monkeypatch, capsys):
+    """A non-unique original snippet must refuse to mutate (editing the
+    wrong site would screen a clause nobody wrote)."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "ambiguous site", "fake_src.py", "X = 1", "X = 2",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\nX = 1\n",
+               "tests/test_k.py": _KILLER_PINS_X},
+    )
+    assert mod.main() == 1
+    assert "T1 ambiguous site: SITE-ERROR (count=2)" in capsys.readouterr().out
