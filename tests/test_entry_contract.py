@@ -464,6 +464,63 @@ def test_staleness_tool_bare_check_defaults_to_unlanded_hoist(tmp_path):
     assert bare.returncode == 0 and "_R4_WINDOW: OK" in bare.stdout, bare.stdout
 
 
+def test_staleness_tool_rejects_bad_planned_windows(tmp_path):
+    """The --check FAIL paths, pinned to a frozen fixture (every green
+    rotation r11-r14 exercised only the OK verdict): a planned window
+    that misses an oldest-cohort row, names a never-hashed query, or has
+    the wrong size must exit 1 and say why — a silently-accepted bad
+    window would let the oldest hashes rot unnoticed for a round."""
+    import json
+    import os as _os
+    import shutil
+    import subprocess
+    import sys as _sys
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    (tmp_path / "tools").mkdir()
+    shutil.copy(
+        _os.path.join(repo, "tools", "staleness_ledger.py"),
+        tmp_path / "tools" / "staleness_ledger.py",
+    )
+    # r1 hashed q00..q49 (the oldest cohort), r2 (landed) hashed q50..q99
+    names = [f"q{i:02d}" for i in range(100)]
+    def window(rows):
+        return "[\n" + "".join(f'    "{n}",\n' for n in rows) + "]\n"
+    (tmp_path / "__spark_entry__.py").write_text(
+        f"_R2_WINDOW = {window(names[50:])}"        # landed: no bump
+        f"_R3_WINDOW = {window(names[1:51])}"       # misses q00
+        f"_R4_WINDOW = {window(names[:49] + ['q_typo'])}"  # unknown name
+        f"_R5_WINDOW = {window(names[:2])}"         # wrong size
+    )
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({n: {} for n in names[:50]})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({n: {} for n in names[50:]})
+    )
+
+    def run(check):
+        return subprocess.run(
+            [_sys.executable, str(tmp_path / "tools" / "staleness_ledger.py"),
+             "--pending", "_R2_WINDOW", "--check", check],
+            capture_output=True, text=True, timeout=60,
+        )
+
+    missed = run("_R3_WINDOW")
+    assert missed.returncode == 1, missed.stdout + missed.stderr
+    assert "_R3_WINDOW: FAIL" in missed.stdout, missed.stdout
+    assert "oldest cohort r1 not fully covered" in missed.stdout
+    assert "q00" in missed.stdout
+
+    typo = run("_R4_WINDOW")
+    assert typo.returncode == 1, typo.stdout + typo.stderr
+    assert "never driver-hashed" in typo.stdout and "q_typo" in typo.stdout
+
+    short = run("_R5_WINDOW")
+    assert short.returncode == 1, short.stdout + short.stderr
+    assert "2 names, want 50" in short.stdout
+
+
 def test_staleness_tool_empty_correctness_clean_error(tmp_path):
     """ADVICE r9: with no CORRECTNESS_r*.json present the tool must exit
     with a clear message, not a ValueError traceback."""
