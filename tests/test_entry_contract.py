@@ -160,6 +160,39 @@ def test_matcher_path_rows_covered_by_r11_rotation():
         f"matcher-path rows with no post-r12-diff re-hash: {uncovered_r12}"
     )
 
+    # Post-r14 hash-age floor (r13 verdict task 2's acceptance line): once
+    # _R14_WINDOW lands, every matcher-path row's hash is >= r13 EXCEPT the
+    # two protocol rows, whose r12 hashes already POSTDATE the r12 parity
+    # diff (they headed _R12_WINDOW for exactly that reason — re-hashed
+    # through the fixes in round 12 itself, so there is no behavior debt;
+    # the r13 matchers.py changes are driver-row no-ops, pinned by
+    # test_driver_row_regexes_unaffected_by_backslash_parity_scan).  They
+    # head _R15_WINDOW's r12 cohort, so the age-only residue clears next
+    # rotation.  Subset assertions keep this test valid in every artifact
+    # state: before CORRECTNESS_r14 lands (the _R14_WINDOW bump models it),
+    # after it lands (bump is a no-op), and after r15+ land (the exception
+    # set only shrinks).
+    import glob as _glob
+    import json as _json
+    import re as _re2
+
+    age: dict[str, int] = {}
+    for p in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(_re2.search(r"r0*(\d+)", _os.path.basename(p)).group(1))
+        for k in _json.load(open(p)):
+            age[k] = rnd
+    for k in entry._R14_WINDOW:
+        age[k] = max(age.get(k, 0), 14)
+    stale = {r for r in matcher_rows if age.get(r, 0) < 13}
+    allowed = {"protocol_roundtrip_read", "protocol_response_assembly"}
+    assert stale <= allowed, (
+        f"matcher-path rows with pre-r13 hashes beyond the documented "
+        f"protocol pair: {stale - allowed}"
+    )
+    assert stale <= set(entry._R15_WINDOW), (
+        f"age-only residue not scheduled in the next rotation: {stale}"
+    )
+
 
 def _driver_regex_patterns(src: str | None = None) -> list[str]:
     """Extract the pattern of EVERY RE/NRE ``LabelMatcher`` in the entry
