@@ -4576,9 +4576,9 @@ _R12_WINDOW = [
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 
 
-#: The ACTIVE round-13 rotation (hoisted in ``queries()`` below), flipped
-#: exactly as the r12 session prepared it — the r13 session's only
-#: rotation change, per plan.  Construction against
+#: The round-13 rotation (hoisted r13, landed 50/50 green in
+#: CORRECTNESS_r13.json), flipped exactly as the r12 session prepared it
+#: — the r13 session's only rotation change, per plan.  Construction against
 #: the post-r12 hash map (r9x12, r10x48, r11x50, r12x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R12_WINDOW --check
 #: _R13_WINDOW``):
@@ -4626,9 +4626,9 @@ assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 #: r11 hashes with the r12 diffs proven no-ops for their inputs.
 _R14_HEAD = ["tsdb_ignore_label", "tsdb_rate"]
 
-#: The PREPARED round-14 rotation — defined now (while the r13 staleness
-#: map is fresh) but NOT hoisted; the r14 session's only rotation change
-#: is flipping the hoist line to ``_R14_WINDOW``.  Construction against
+#: The round-14 rotation (hoisted r14, landed 50/50 green in
+#: CORRECTNESS_r14.json), flipped exactly as the r13 session prepared it
+#: — the r14 session's only rotation change, per plan.  Construction against
 #: the post-r13 hash map (r10x48, r11x12, r12x50, r13x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R13_WINDOW --check
 #: _R14_WINDOW``):
@@ -4670,9 +4670,9 @@ _R14_WINDOW = [
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 assert _R14_WINDOW[:2] == _R14_HEAD
 
-#: The PREPARED round-15 rotation — defined now (while the post-r14 hash
-#: map is deterministic) but NOT hoisted; the r15 session's only rotation
-#: change is flipping the hoist line to ``_R15_WINDOW``.  Construction
+#: The ACTIVE round-15 rotation (hoisted in ``queries()`` below), flipped
+#: exactly as the r14 session prepared it — the r15 session's only
+#: rotation change, per plan.  Construction
 #: against the post-r14 map (r11x10, r12x50, r13x50, r14x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R14_WINDOW --check
 #: _R15_WINDOW``):
@@ -4710,6 +4710,63 @@ _R15_WINDOW = [
 ]
 assert len(_R15_WINDOW) == 50 and len(set(_R15_WINDOW)) == 50
 
+#: The 10 r12-cohort rows the r15 slots cannot hold — they head the r16
+#: window (r12-window relative order preserved).  Pure hash-age residue:
+#: no code diff since r12 touches them (engine code has been
+#: diff-identical since r13 per VERDICT r14).
+_R16_HEAD = [
+    "q2_min_cost_region", "q11_important_parts",
+    "q20_promotable_suppliers", "q21_waiting_suppliers", "dedup_lines",
+    "dedup_bloom", "sim_matryoshka_topk", "dataset_shuffle_shards",
+    "text_vocab", "events_bucketed_join",
+]
+
+#: The PREPARED round-16 rotation — defined now (while the post-r15 hash
+#: map is deterministic) but NOT hoisted; the r16 session's only rotation
+#: change is flipping the hoist line to ``_R16_WINDOW``.  Construction
+#: against the post-r15 map (r12x10, r13x50, r14x50, r15x50 — verify with
+#: ``python tools/staleness_ledger.py --pending _R15_WINDOW --check
+#: _R16_WINDOW``):
+#:
+#: 1. The 10 named _R16_HEAD rows first (the complete post-r15 r12
+#:    cohort — the then-oldest hashes), in r12-window relative order:
+#:    after this window lands no row's hash predates r13.
+#: 2. The first 40 rows of the r13 cohort, in r13-window relative order:
+#:    pure hash-age rotation, no known behavior debt.  The remaining 10
+#:    r13 rows (tsdb_topk_series, tsdb_max_gap, tsdb_stale_series,
+#:    tsdb_read_eq, tsdb_read_name_regex, tsdb_read_nre, tsdb_label_regex,
+#:    tsdb_downsample_30s, tsdb_downsample_range_clamp,
+#:    tsdb_series_assembly) are the natural _R17 head.  Spelled as a list
+#: literal (not ``_R16_HEAD + _R13_WINDOW[:40]``) because
+#: tools/staleness_ledger.py parses window lists from SOURCE.
+_R16_WINDOW = [
+    # the 10 named _R16_HEAD rows: the complete post-r15 r12 cohort
+    # (r12-window relative order)
+    "q2_min_cost_region", "q11_important_parts",
+    "q20_promotable_suppliers", "q21_waiting_suppliers", "dedup_lines",
+    "dedup_bloom", "sim_matryoshka_topk", "dataset_shuffle_shards",
+    "text_vocab", "events_bucketed_join",
+    # the first 40 rows of the r13 cohort, r13-window relative order
+    "text_bigram_lm", "tsdb_label_values", "tsdb_series_count",
+    "tsdb_label_project", "dedup_minhash_recall", "ch_sink_roundtrip",
+    "dedup_containment", "dataset_interleave", "dedup_simhash",
+    "doc_stats_by_source", "customers_lapsed", "dataset_split",
+    "tsdb_irate", "tsdb_delta", "tsdb_increase", "tsdb_resets_changes",
+    "tsdb_range_agg", "tsdb_moving_avg", "tsdb_rollup_serve",
+    "tsdb_binary_ratio", "tsdb_compact_serve", "tsdb_count_values",
+    "tsdb_deriv", "tsdb_exp_smooth", "tsdb_histogram_buckets",
+    "tsdb_histogram_quantile", "tsdb_label_join", "tsdb_label_replace",
+    "tsdb_offset_ratio", "tsdb_predict_linear", "tsdb_quantile_over_time",
+    "tsdb_sliding_range_max", "tsdb_stddev_over_time",
+    "tsdb_topk_per_bucket", "ch_pushdown_read", "tsdb_rollup_hierarchy",
+    "tsdb_subquery_maxrate", "tsdb_retention_serve", "tsdb_mad_over_time",
+    "tsdb_sum_by_label",
+]
+assert len(_R16_WINDOW) == 50 and len(set(_R16_WINDOW)) == 50
+assert _R16_WINDOW[:10] == _R16_HEAD
+assert _R16_WINDOW[10:] == _R13_WINDOW[:40]
+assert not set(_R16_WINDOW) & set(_R15_WINDOW)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is a driver contract: the window above is hoisted to the
@@ -4742,7 +4799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (the 2 _R14_HEAD matcher rows retiring the r12-diff staleness debt
     # + the complete 48-row r10 cohort — after it no matcher-path row's
     # hash predates r13 and the residue is r11x10 + r12x50, scheduled
-    # across _R15_WINDOW + the named _R16 head).
+    # across _R15_WINDOW + the named _R16 head); r15 the _R15_WINDOW
+    # rotation, flipped exactly as prepared (the complete 10-row r11
+    # cohort — the recall diagnostics + connected components — + the
+    # first 40 r12 rows; after it the residue is r12x10 + r13x50,
+    # scheduled across _R16_WINDOW + the named _R17 head).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -4933,7 +4994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R14_WINDOW}
+    out = {name: base[name] for name in _R15_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 

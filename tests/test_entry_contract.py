@@ -29,11 +29,11 @@ def test_verification_windows_are_valid_rotations():
     window must name only real queries (a typo'd name would silently shrink
     the next rotation)."""
     names = list(entry.queries())
-    assert names[:50] == entry._R14_WINDOW  # active round's hoist
+    assert names[:50] == entry._R15_WINDOW  # active round's hoist
     for window in (
         entry._R9_WINDOW, entry._R10_WINDOW, entry._R11_WINDOW,
         entry._R12_WINDOW, entry._R13_WINDOW, entry._R14_WINDOW,
-        entry._R15_WINDOW,
+        entry._R15_WINDOW, entry._R16_WINDOW,
     ):
         assert len(window) == 50 and len(set(window)) == 50
         missing = set(window) - set(names)
@@ -72,6 +72,14 @@ def test_verification_windows_are_valid_rotations():
         "dedup_groups", "dedup_cluster_stats",
     ]
     assert not set(entry._R15_WINDOW) & set(entry._R14_WINDOW)
+    # r16 leads with the complete post-r15 r12 cohort (the then-oldest
+    # hashes — the 10 named _R16_HEAD rows the r15 slots could not hold),
+    # then absorbs the first 40 rows of the r13 cohort in r13-window
+    # relative order; the remaining 10 r13 rows are the natural _R17 head
+    assert entry._R16_WINDOW[:10] == entry._R16_HEAD
+    assert entry._R16_HEAD == entry._R12_WINDOW[40:]
+    assert entry._R16_WINDOW[10:] == entry._R13_WINDOW[:40]
+    assert not set(entry._R16_WINDOW) & set(entry._R15_WINDOW)
 
 
 def test_oracle_sql_compiles_in_duckdb():
@@ -160,37 +168,32 @@ def test_matcher_path_rows_covered_by_r11_rotation():
         f"matcher-path rows with no post-r12-diff re-hash: {uncovered_r12}"
     )
 
-    # Post-r14 hash-age floor (r13 verdict task 2's acceptance line): once
-    # _R14_WINDOW lands, every matcher-path row's hash is >= r13 EXCEPT the
-    # two protocol rows, whose r12 hashes already POSTDATE the r12 parity
-    # diff (they headed _R12_WINDOW for exactly that reason — re-hashed
-    # through the fixes in round 12 itself, so there is no behavior debt;
-    # the r13 matchers.py changes are driver-row no-ops, pinned by
-    # test_driver_row_regexes_unaffected_by_backslash_parity_scan).  They
-    # head _R15_WINDOW's r12 cohort, so the age-only residue clears next
-    # rotation.  Subset assertions keep this test valid in every artifact
-    # state: before CORRECTNESS_r14 lands (the _R14_WINDOW bump models it),
-    # after it lands (bump is a no-op), and after r15+ land (the exception
-    # set only shrinks).
+    # Post-r15 hash-age floor (r14 verdict task 1's acceptance line): once
+    # _R15_WINDOW lands, every matcher-path row's hash is >= r13 with NO
+    # exceptions — the two protocol rows (the last pre-r13 matcher-path
+    # hashes, age-only residue whose r12 hashes postdated the r12 parity
+    # diff) head _R15_WINDOW's r12 cohort and re-hash this round.  The
+    # hash-age map is order-independent (max, not last-write-wins — ADVICE
+    # r14: lexicographic glob order silently inverts at r100) and the
+    # _R15_WINDOW bump keeps the assertion valid in every artifact state:
+    # before CORRECTNESS_r15 lands the bump models the upcoming driver
+    # run; after it lands the bump is a no-op; r16+ rotations only raise
+    # ages further.
     import glob as _glob
     import json as _json
     import re as _re2
 
     age: dict[str, int] = {}
-    for p in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for p in _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")):
         rnd = int(_re2.search(r"r0*(\d+)", _os.path.basename(p)).group(1))
         for k in _json.load(open(p)):
-            age[k] = rnd
-    for k in entry._R14_WINDOW:
-        age[k] = max(age.get(k, 0), 14)
+            age[k] = max(age.get(k, 0), rnd)
+    for k in entry._R15_WINDOW:
+        age[k] = max(age.get(k, 0), 15)
     stale = {r for r in matcher_rows if age.get(r, 0) < 13}
-    allowed = {"protocol_roundtrip_read", "protocol_response_assembly"}
-    assert stale <= allowed, (
-        f"matcher-path rows with pre-r13 hashes beyond the documented "
-        f"protocol pair: {stale - allowed}"
-    )
-    assert stale <= set(entry._R15_WINDOW), (
-        f"age-only residue not scheduled in the next rotation: {stale}"
+    assert not stale, (
+        f"matcher-path rows with pre-r13 hashes after the r15 rotation "
+        f"(the protocol-pair exception cleared with _R15_WINDOW): {stale}"
     )
 
 
@@ -331,6 +334,11 @@ def test_staleness_tool_validates_prepared_window():
     # r13: live-tree contract tests must hold across artifact states)
     src = open(_os.path.join(repo, "__spark_entry__.py")).read()
     hoisted = _re.search(r"for name in (_R(\d+)_WINDOW)\b", src)
+    assert hoisted is not None, (
+        "queries() hoist line not found — expected "
+        "'out = {name: base[name] for name in _R<N>_WINDOW}' (ADVICE r14: "
+        "fail with a pointer at the expected pattern, not an AttributeError)"
+    )
     prepared = f"_R{int(hoisted.group(2)) + 1}_WINDOW"
     proc = subprocess.run(
         [_sys.executable, _os.path.join(repo, "tools", "staleness_ledger.py"),
@@ -421,6 +429,11 @@ def test_staleness_tool_bare_check_agrees_with_pending():
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     src = open(_os.path.join(repo, "__spark_entry__.py")).read()
     hoisted = _re.search(r"for name in (_R(\d+)_WINDOW)\b", src)
+    assert hoisted is not None, (
+        "queries() hoist line not found — expected "
+        "'out = {name: base[name] for name in _R<N>_WINDOW}' (ADVICE r14: "
+        "fail with a pointer at the expected pattern, not an AttributeError)"
+    )
     prepared = f"_R{int(hoisted.group(2)) + 1}_WINDOW"
     assert prepared in src, f"no prepared {prepared} next to hoisted {hoisted.group(1)}"
 

@@ -60,9 +60,15 @@ test_read_plan.py, not the sink file):
 Before mutating anything, the screen runs the union of all selected
 killer files once on the PRISTINE tree (ADVICE r13): a killer file that
 is already red unmutated would report every mutant routed to it as
-KILLED spuriously, so those mutants are marked INVALID instead.  A
-per-mutant pytest timeout records TIMEOUT (non-KILLED) and continues,
-so one hung run cannot lose the summary for the rest.
+KILLED spuriously, so those mutants are marked INVALID instead.  The
+demotion is deliberately all-or-nothing (ADVICE r14): a mutant is
+INVALID if ANY of its killer files is baseline-red, even when another
+listed killer is healthy and might still fail legitimately — a partial
+"KILLED via the surviving killers" verdict would let a degraded run
+certify mutants at reduced sensitivity, and the screen already exits 1
+on a red baseline, so the whole run is a do-over anyway.  A per-mutant
+pytest timeout records TIMEOUT (non-KILLED) and continues, so one hung
+run cannot lose the summary for the rest.
 
 Usage:
     python tools/mutant_screen.py            # full screen (~5 min)
