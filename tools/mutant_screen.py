@@ -16,7 +16,10 @@ column is vouched for by tests that cannot actually see that clause.
 
 Every edit is restored even on crash (the try/finally writes the
 original source back); run from anywhere, exits 0 iff all mutants die.
-Full screen (r13, nine batches): 52/52 killed.  The screen earned its
+Full screen (r13, nine batches): 52/52 killed.  Full screen re-run end
+to end on the r15 tree after the harness hardening (first complete pass
+with the pristine-tree baseline active): 52/52 KILLED, zero INVALID,
+zero TIMEOUT, baseline green over all 18 killer files.  The screen earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
