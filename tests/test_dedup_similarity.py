@@ -542,6 +542,7 @@ def test_minhash_planted_duplicates_randomized(spark):
     for a, b in planted:
         assert (a, b) in pairs or (b, a) in pairs, (a, b, texts[a])
     for a, b in pairs:
+        assert a < b, (a, b)  # canonical order, no self-pairs (screen M58)
         assert jaccard(texts[a], texts[b]) >= 0.8, (a, b, jaccard(texts[a], texts[b]))
 
 
@@ -1193,3 +1194,18 @@ def test_bloom_near_miss_and_true_false_positive(spark):
     near, fp = out[100], out[101]
     assert (near.n_bits, near.n_hit, near.maybe_member) == (4, 3, False)
     assert (fp.n_bits, fp.n_hit, fp.maybe_member) == (4, 4, True)
+
+
+def test_minhash_lsh_pairs_canonical_and_no_self_pairs(spark):
+    """Mutation screen M58 (survived batch 10 unmutated: the randomized
+    sweep's exact-Jaccard check accepts a self-pair, whose Jaccard is
+    trivially 1.0).  Pin the output contract directly: every emitted row
+    is a canonical doc_a < doc_b pair, and a corpus of pairwise-disjoint
+    documents emits NO rows at all — a candidate filter weakened to <=
+    would emit one jaccard-1.0 self-row per document here."""
+    from remote_tsdb_clickhouse_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(12))) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = minhash_lsh_pairs(docs, threshold=0.8).collect()
+    assert got == [], sorted((r.doc_a, r.doc_b) for r in got)

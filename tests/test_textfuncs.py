@@ -182,3 +182,42 @@ def test_decontamination_default_shingle_width_is_13():
     )
     got = {r.doc_id: r.n_shared_ngrams for r in ngram_contamination(train, bench).collect()}
     assert got == {1: 1}
+
+
+def test_min_shingle_fingerprint_is_min_of_shingle_hashes(spark):
+    """Mutation screen M61: the 1-permutation MinHash fingerprint must be
+    the MINIMUM 32-bit shingle hash (documents sharing any low-hash
+    shingle collide — the winnowing-lite property).  Differential against
+    a hashlib re-computation of hash32 over the word 3-grams, with the
+    fixture asserted to have distinct min/max hashes so a max-taking
+    mutant cannot pass by coincidence."""
+    import hashlib
+
+    from remote_tsdb_clickhouse_spark.functions import textfuncs as tx
+
+    texts = [
+        "alpha beta gamma delta epsilon",
+        "one two three four five six seven",
+    ]
+
+    def expected(text):
+        toks = text.split()  # fixture text is already normalized
+        shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles]
+        assert min(hs) != max(hs), "fixture must distinguish min from max"
+        return min(hs)
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id",
+            tx.min_shingle_fingerprint(tx.tokens("text"), 3).alias("fp"),
+        ).collect()
+    }
+    assert got == {i: expected(t) for i, t in enumerate(texts)}
+    # documents too short to shingle carry the -1 sentinel, not NULL
+    short = spark.createDataFrame([(0, "just two")], "doc_id LONG, text STRING")
+    assert short.select(
+        tx.min_shingle_fingerprint(tx.tokens("text"), 3).alias("fp")
+    ).collect()[0].fp == -1

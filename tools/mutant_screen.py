@@ -19,7 +19,13 @@ original source back); run from anywhere, exits 0 iff all mutants die.
 Full screen (r13, nine batches): 52/52 killed.  Full screen re-run end
 to end on the r15 tree after the harness hardening (first complete pass
 with the pristine-tree baseline active): 52/52 KILLED, zero INVALID,
-zero TIMEOUT, baseline green over all 18 killer files.  The screen earned its
+zero TIMEOUT, baseline green over all 18 killer files.  Batch 10 (r15,
+M53-M61) targets the clauses the first nine batches left unpinned —
+rate's first-sample drop, population-vs-sample stddev, strict reset
+counting, the F11 NRE vacuous match, forward as-of tie inclusivity,
+LSH self-pair exclusion, containment direction, streaming-dedup
+cross-batch first-wins, and the min-shingle fingerprint — and found
+two more survivors (M58, M61 below), both closed the same day: 61/61.  The screen earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
@@ -59,6 +65,19 @@ test_read_plan.py, not the sink file):
   test_dedup_similarity.py::test_bloom_near_miss_and_true_false_positive,
   which plants a searched 3-of-4-hit doc (reject) and a genuine
   4-of-4 false positive (accept).
+- M58 (LSH candidate filter < -> <= admits self-pairs, batch 10)
+  survived because the randomized sweep verifies every emitted pair
+  against an independent exact Jaccard — which a self-pair passes
+  trivially at 1.0.  Killed by
+  test_dedup_similarity.py::test_minhash_lsh_pairs_canonical_and_no_self_pairs
+  (a pairwise-disjoint corpus must emit ZERO rows) plus a canonical
+  doc_a < doc_b assertion added to the sweep itself.
+- M61 (min-shingle fingerprint min -> max, batch 10) survived because
+  the fingerprint had no direct unit test — only the driver's oracle
+  row pinned the min.  Killed by
+  test_textfuncs.py::test_min_shingle_fingerprint_is_min_of_shingle_hashes,
+  a hashlib differential whose fixture asserts min != max so the
+  max-taking mutant cannot pass by coincidence.
 
 Before mutating anything, the screen runs the union of all selected
 killer files once on the PRISTINE tree (ADVICE r13): a killer file that
@@ -350,6 +369,54 @@ MUTANTS = [
      '(F.col("n_hit") == F.col("n_bits")).alias("maybe_member"),',
      '(F.col("n_hit") >= F.col("n_bits") - 1).alias("maybe_member"),',
      ["tests/test_dedup_similarity.py"]),
+    # -- batch 10 (r15): clauses the first nine batches left unpinned ------
+    ("M53", "X1 rate keeps each series' first sample (no-predecessor row)",
+     "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
+     'with_lags.where(F.col("_pv").isNotNull())',
+     "with_lags",
+     ["tests/test_tsfuncs.py"]),
+    ("M54", "stddev_over_time population variance -> sample (n-1)",
+     "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
+     "var = (qq - s * s / nn) / nn",
+     "var = (qq - s * s / nn) / (nn - 1.0)",
+     ["tests/test_tsfuncs.py"]),
+    ("M55", "resets counts flat adjacent pairs as counter resets",
+     "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
+     '(F.col("max_0") < pv).cast("long").alias("_reset"),',
+     '(F.col("max_0") <= pv).cast("long").alias("_reset"),',
+     ["tests/test_tsfuncs.py"]),
+    ("M56", "F11 label NRE vacuous match on missing label removed", MA,
+     'return ~F.exists(arr, lambda x: x.rlike(pat))  # F11: vacuous-∀ on missing',
+     'return ~F.exists(arr, lambda x: x.rlike(pat)) & F.exists(arr, lambda x: x.startswith(f"{m.name}="))',
+     ["tests/test_matchers.py", "tests/test_matcher_properties.py"]),
+    ("M57", "as-of forward tie inclusivity flipped (right row at equal ts lost)", AS,
+     '.orderBy(F.col("__t").asc(), F.col("__is_right").asc())',
+     '.orderBy(F.col("__t").asc(), F.col("__is_right").desc())',
+     ["tests/test_asof.py"]),
+    ("M58", "LSH candidate pairing admits self-pairs (jaccard 1.0 rows)",
+     "remote_tsdb_clickhouse_spark/operators/dedup.py",
+     '.where(F.col("x.doc_id") < F.col("y.doc_id"))\n        '
+     '.select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))\n'
+     "        .distinct()",
+     '.where(F.col("x.doc_id") <= F.col("y.doc_id"))\n        '
+     '.select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))\n'
+     "        .distinct()",
+     ["tests/test_dedup_similarity.py"]),
+    ("M59", "containment direction lost (inner count over OUTER size)",
+     "remote_tsdb_clickhouse_spark/operators/dedup.py",
+     '(F.col("inter").cast("double") / F.col("la")).alias("containment"),',
+     '(F.col("inter").cast("double") / F.col("lb")).alias("containment"),',
+     ["tests/test_dedup_similarity.py"]),
+    ("M60", "streaming dedup keeper restarts per micro-batch (first-wins lost)",
+     "remote_tsdb_clickhouse_spark/streaming/ingest.py",
+     '"is_first": [n + i == 0 for i in range(len(ids))],',
+     '"is_first": [i == 0 for i in range(len(ids))],',
+     ["tests/test_streaming.py"]),
+    ("M61", "min-shingle fingerprint takes the MAX hash (winnowing broken)",
+     "remote_tsdb_clickhouse_spark/functions/textfuncs.py",
+     "F.array_min(F.transform(shingles, hash32)),",
+     "F.array_max(F.transform(shingles, hash32)),",
+     ["tests/test_textfuncs.py"]),
 ]
 
 
