@@ -221,3 +221,57 @@ def test_min_shingle_fingerprint_is_min_of_shingle_hashes(spark):
     assert short.select(
         tx.min_shingle_fingerprint(tx.tokens("text"), 3).alias("fp")
     ).collect()[0].fp == -1
+
+
+def test_langid_frame_matches_expr_and_breaks_ties_en_first(spark):
+    """Mutation screen M66 (survived batch 11 unmutated: langid_frame —
+    the engine path with the single-tokenize + exchange barrier — had no
+    unit test; only the expr cascade did).  The two spellings must agree
+    row-for-row, including the documented tie order en > de > fr > es:
+    the fixture plants an exact en/de stopword tie AND a zero-stopword
+    doc (a four-way tie at 0) — both must label en, which a
+    strict-inequality cascade silently sends to de."""
+    from remote_tsdb_clickhouse_spark.functions.textfuncs import langid_frame
+
+    rows = [
+        (0, "the und"),              # en == de == 1: tie must break to en
+        (1, "xyz abc qqq"),          # no stopwords: four-way tie at 0 -> en
+        (2, "der die das und ist"),  # clear de
+        (3, "le la les et pour"),    # clear fr
+        (4, "el los las y por"),     # clear es
+        (5, "the a and of to"),      # clear en
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    frame = {r.doc_id: r.pred_lang for r in langid_frame(df).collect()}
+    expr = {
+        r.doc_id: r.lang
+        for r in df.select("doc_id", langid_expr("text").alias("lang")).collect()
+    }
+    assert frame == expr
+    assert frame == {0: "en", 1: "en", 2: "de", 3: "fr", 4: "es", 5: "en"}
+
+
+def test_quality_score_component_weights(spark):
+    """Mutation screen M67 (survived batch 11 unmutated: quality_score had
+    no unit test — only the driver oracle pinned it).  Pin the composite
+    0.5*stopword_ratio + 0.3*min(n_tokens/100, 1) + 0.2*(1 - punct_ratio)
+    at inputs where the length and noise terms DIFFER, so any weight swap
+    moves the score; includes the capped length prior and the all-noise
+    floor."""
+    from remote_tsdb_clickhouse_spark.functions.textfuncs import quality_score
+
+    df = spark.createDataFrame(
+        [(0, 50, 0.4, 0.1), (1, 200, 0.4, 0.1), (2, 0, 0.0, 1.0)],
+        "i LONG, n_tokens LONG, sw DOUBLE, punct DOUBLE",
+    )
+    got = {
+        r.i: r.q
+        for r in df.select(
+            "i",
+            quality_score(F.col("n_tokens"), F.col("sw"), F.col("punct")).alias("q"),
+        ).collect()
+    }
+    # 0.5*0.4 + 0.3*0.5 + 0.2*0.9 = 0.53 ; capped: 0.2 + 0.3 + 0.18 = 0.68
+    assert got[0] == pytest.approx(0.53)
+    assert got[1] == pytest.approx(0.68)
+    assert got[2] == pytest.approx(0.0)

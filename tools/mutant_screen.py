@@ -25,7 +25,12 @@ rate's first-sample drop, population-vs-sample stddev, strict reset
 counting, the F11 NRE vacuous match, forward as-of tie inclusivity,
 LSH self-pair exclusion, containment direction, streaming-dedup
 cross-batch first-wins, and the min-shingle fingerprint — and found
-two more survivors (M58, M61 below), both closed the same day: 61/61.  The screen earned its
+two more survivors (M58, M61 below), both closed the same day: 61/61.
+Batch 11 (r15, M62-M67) sweeps the mixing/quantization/ANN knobs and
+the text scoring paths — int8 range +1, the multi-probe flip set, the
+mixture take boundary and proportional floor, langid_frame's tie order,
+and the quality-score weights — finding two more survivors (M66, M67
+below), both closed the same day: 67/67.  The screen earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
@@ -78,6 +83,16 @@ test_read_plan.py, not the sink file):
   test_textfuncs.py::test_min_shingle_fingerprint_is_min_of_shingle_hashes,
   a hashlib differential whose fixture asserts min != max so the
   max-taking mutant cannot pass by coincidence.
+- M66 (langid_frame tie order >= -> >, batch 11) survived because only
+  the EXPR cascade had a unit sweep; langid_frame — the engine path the
+  entry actually serves — was pinned by nothing local.  Killed by
+  test_textfuncs.py::test_langid_frame_matches_expr_and_breaks_ties_en_first,
+  a frame-vs-expr differential planting an exact en/de tie and a
+  zero-stopword four-way tie (both must break to en).
+- M67 (quality-score weight swap, batch 11) survived for the same
+  reason: no unit test touched quality_score.  Killed by
+  test_textfuncs.py::test_quality_score_component_weights, which pins
+  the composite at inputs where the length and noise terms differ.
 
 Before mutating anything, the screen runs the union of all selected
 killer files once on the PRISTINE tree (ADVICE r13): a killer file that
@@ -416,6 +431,39 @@ MUTANTS = [
      "remote_tsdb_clickhouse_spark/functions/textfuncs.py",
      "F.array_min(F.transform(shingles, hash32)),",
      "F.array_max(F.transform(shingles, hash32)),",
+     ["tests/test_textfuncs.py"]),
+    # -- batch 11 (r15): mixing / quantization / ANN knobs / text scoring --
+    ("M62", "int8 quantization range +1 dropped (max element overflows to code k)",
+     "remote_tsdb_clickhouse_spark/operators/similarity.py",
+     'f"((vi - mn_micro) * {int(codes)}) div (mx_micro - mn_micro + 1)"',
+     'f"((vi - mn_micro) * {int(codes)}) div (mx_micro - mn_micro)"',
+     ["tests/test_mixing_quantize.py"]),
+    ("M63", "multi-probe flip set skips the nearest hyperplane",
+     "remote_tsdb_clickhouse_spark/operators/similarity.py",
+     "F.slice(entries, 1, nprobe - 1),",
+     "F.slice(entries, 2, nprobe - 1),",
+     ["tests/test_dedup_similarity.py"]),
+    ("M64", "mixture take boundary <= -> < (last selected doc per source lost)",
+     "remote_tsdb_clickhouse_spark/operators/mixing.py",
+     '.where(F.col("__rk") <= F.col("n_take"))',
+     '.where(F.col("__rk") < F.col("n_take"))',
+     ["tests/test_mixing_quantize.py"]),
+    ("M65", "water-filling proportional take floor -> ceil (mixture overshoots)",
+     "remote_tsdb_clickhouse_spark/operators/mixing.py",
+     'F.expr("(w * n_star) div bigw").alias("n_take"),',
+     'F.expr("(w * n_star + bigw - 1) div bigw").alias("n_take"),',
+     ["tests/test_mixing_quantize.py"]),
+    ("M66", "langid_frame tie order en > de dropped (ties fall through)",
+     "remote_tsdb_clickhouse_spark/functions/textfuncs.py",
+     'F.when(F.col("__na") > 0.3, F.lit("zh"))\n'
+     '        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))',
+     'F.when(F.col("__na") > 0.3, F.lit("zh"))\n'
+     '        .when((en > de) & (en > fr) & (en > es), F.lit("en"))',
+     ["tests/test_textfuncs.py"]),
+    ("M67", "quality score length/noise weights swapped (0.3/0.2 -> 0.2/0.3)",
+     "remote_tsdb_clickhouse_spark/functions/textfuncs.py",
+     "F.lit(0.5) * stopword_ratio + F.lit(0.3) * length_prior + F.lit(0.2) * (1.0 - punct)",
+     "F.lit(0.5) * stopword_ratio + F.lit(0.2) * length_prior + F.lit(0.3) * (1.0 - punct)",
      ["tests/test_textfuncs.py"]),
 ]
 
