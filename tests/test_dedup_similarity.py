@@ -1209,3 +1209,24 @@ def test_minhash_lsh_pairs_canonical_and_no_self_pairs(spark):
     docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
     got = minhash_lsh_pairs(docs, threshold=0.8).collect()
     assert got == [], sorted((r.doc_a, r.doc_b) for r in got)
+
+
+def test_opq_interleave_is_the_documented_stride_permutation(spark):
+    """Mutation screen M70 (survived batch 12 unmutated: interleave_permute
+    had no unit test — only the recall diagnostic consumed it, and any
+    permutation yields SOME recall).  Pin the exact stride formula
+    perm[i] = (i % (d/m)) * m + i // (d/m) on an identity-valued vector
+    (component i holds value i, so the output READS the permutation), and
+    assert it is a genuine non-identity permutation of the 64 dims."""
+    from remote_tsdb_clickhouse_spark.operators.similarity import interleave_permute
+
+    d, m = 64, 4
+    sub = d // m
+    df = spark.createDataFrame(
+        [(0, [float(i) for i in range(d)])], "vec_id long, embedding array<float>"
+    )
+    got = interleave_permute(df, m=m).collect()[0].embedding
+    want = [float((i % sub) * m + i // sub) for i in range(d)]
+    assert got == want
+    assert sorted(got) == [float(i) for i in range(d)]  # a permutation
+    assert got != [float(i) for i in range(d)]          # not the identity

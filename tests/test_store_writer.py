@@ -374,3 +374,21 @@ def test_compact_randomized_content_identity_sweep(spark, tmp_path):
 
     writer.write(wr("up", [("job", "a")], [(42.0, base_ms + 1000)]))
     assert len(canon()) == len(before) + 1
+
+
+def test_partition_pruning_keeps_the_end_instant_day(spark, tmp_path):
+    """Mutation screen M69 (survived batch 12 unmutated: the pruning test
+    queried a window whose end fell strictly inside the last day).  The
+    derived ts_date predicate must keep the partition holding the END
+    instant itself: F2's upper bound is inclusive, and a sample at
+    exactly end_ms lives in the end day's partition — a `<` on the
+    partition date silently prunes it while the ts filter would keep it."""
+    from remote_tsdb_clickhouse_spark.plans.read_plan import ReadQuery, read_query_grouped
+
+    store = make_store(spark, tmp_path)
+    writer = TimeseriesWriter(store)
+    # one sample mid-day-2, one at EXACTLY midnight of day 3
+    writer.write(wr("m", [], [(1.0, 1704196800000), (2.0, 1704240000000)]))
+    q = ReadQuery(start_ms=1704153600000, end_ms=1704240000000)  # end = day-3 00:00:00Z
+    got = sorted(r["max_0"] for r in read_query_grouped(store.read(), q).collect())
+    assert got == [1.0, 2.0]  # the midnight sample is IN (inclusive F2 upper)

@@ -30,7 +30,10 @@ Batch 11 (r15, M62-M67) sweeps the mixing/quantization/ANN knobs and
 the text scoring paths — int8 range +1, the multi-probe flip set, the
 mixture take boundary and proportional floor, langid_frame's tie order,
 and the quality-score weights — finding two more survivors (M66, M67
-below), both closed the same day: 67/67.  The screen earned its
+below), both closed the same day: 67/67.  Batch 12 (r15, M68-M71):
+the S6 partition-pruning date bounds, the OPQ-lite interleave
+permutation, and the histogram le inclusivity — two more survivors
+(M69, M70 below), closed the same day: 71/71.  The screen earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
@@ -93,6 +96,17 @@ test_read_plan.py, not the sink file):
   reason: no unit test touched quality_score.  Killed by
   test_textfuncs.py::test_quality_score_component_weights, which pins
   the composite at inputs where the length and noise terms differ.
+- M69 (partition-pruning end date <= -> <, batch 12) survived because
+  the pruning test's query window ended strictly inside its last day —
+  the end-INSTANT case (a sample at exactly end_ms, living in the end
+  day's partition, kept by F2's inclusive upper) was never exercised.
+  Killed by
+  test_store_writer.py::test_partition_pruning_keeps_the_end_instant_day.
+- M70 (OPQ interleave -> identity, batch 12) survived because only the
+  recall diagnostic consumed the permutation, and ANY permutation —
+  including the identity — yields some recall.  Killed by
+  test_dedup_similarity.py::test_opq_interleave_is_the_documented_stride_permutation,
+  which reads the permutation off an identity-valued vector.
 
 Before mutating anything, the screen runs the union of all selected
 killer files once on the PRISTINE tree (ADVICE r13): a killer file that
@@ -465,6 +479,25 @@ MUTANTS = [
      "F.lit(0.5) * stopword_ratio + F.lit(0.3) * length_prior + F.lit(0.2) * (1.0 - punct)",
      "F.lit(0.5) * stopword_ratio + F.lit(0.2) * length_prior + F.lit(0.3) * (1.0 - punct)",
      ["tests/test_textfuncs.py"]),
+    # -- batch 12 (r15): partition pruning bounds, OPQ interleave, le bound -
+    ("M68", "S6 partition pruning start >= -> > (start-day partitions lost)", RP,
+     "cond = F.col(PARTITION_COLUMN) >= F.to_date(",
+     "cond = F.col(PARTITION_COLUMN) > F.to_date(",
+     ["tests/test_store_writer.py"]),
+    ("M69", "S6 partition pruning end <= -> < (end-instant day pruned, breaks F2)", RP,
+     "F.col(PARTITION_COLUMN) <= F.to_date(F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))",
+     "F.col(PARTITION_COLUMN) < F.to_date(F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))",
+     ["tests/test_store_writer.py"]),
+    ("M70", "OPQ-lite interleave degenerates to the identity permutation",
+     "remote_tsdb_clickhouse_spark/operators/similarity.py",
+     "perm = [(i % sub) * m + i // sub for i in range(d)]",
+     "perm = list(range(d))",
+     ["tests/test_dedup_similarity.py"]),
+    ("M71", "histogram le bound inclusive -> exclusive (boundary samples fall out)",
+     "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
+     'F.count(F.when(F.col("max_0") <= F.lit(b), 1)).alias(f"cum_{i}")',
+     'F.count(F.when(F.col("max_0") < F.lit(b), 1)).alias(f"cum_{i}")',
+     ["tests/test_tsfuncs.py"]),
 ]
 
 
