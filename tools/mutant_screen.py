@@ -33,7 +33,11 @@ and the quality-score weights — finding two more survivors (M66, M67
 below), both closed the same day: 67/67.  Batch 12 (r15, M68-M71):
 the S6 partition-pruning date bounds, the OPQ-lite interleave
 permutation, and the histogram le inclusivity — two more survivors
-(M69, M70 below), closed the same day: 71/71.  The screen earned its
+(M69, M70 below), closed the same day: 71/71.  Batch 13 (r15,
+M72-M74): the events->samples adapter feeding every tsdb driver row —
+previously pinned only through those rows' oracles — got a direct
+clause test (tests/test_events_adapter.py) covering the second
+truncation, the tier rule, and the sorted label array: 74/74.  The screen earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
@@ -498,6 +502,22 @@ MUTANTS = [
      'F.count(F.when(F.col("max_0") <= F.lit(b), 1)).alias(f"cum_{i}")',
      'F.count(F.when(F.col("max_0") < F.lit(b), 1)).alias(f"cum_{i}")',
      ["tests/test_tsfuncs.py"]),
+    # -- batch 13 (r15): the events->samples adapter feeding every tsdb row -
+    ("M72", "events adapter drops the to-the-second timestamp truncation",
+     "remote_tsdb_clickhouse_spark/sources/events.py",
+     'F.date_trunc("second", "ts").alias("ts"),',
+     'F.col("ts").alias("ts"),',
+     ["tests/test_events_adapter.py"]),
+    ("M73", "events adapter tier rule shifts to user_id % 3 == 1",
+     "remote_tsdb_clickhouse_spark/sources/events.py",
+     'F.when(F.col("user_id") % 3 == 0, F.array(F.lit("tier=gold")))',
+     'F.when(F.col("user_id") % 3 == 1, F.array(F.lit("tier=gold")))',
+     ["tests/test_events_adapter.py"]),
+    ("M74", "events adapter label array left unsorted (P2 analog)",
+     "remote_tsdb_clickhouse_spark/sources/events.py",
+     "F.array_sort(F.concat(base, extra)).alias(\"labels\"),",
+     "F.concat(extra, base).alias(\"labels\"),",
+     ["tests/test_events_adapter.py"]),
 ]
 
 
