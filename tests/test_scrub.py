@@ -47,6 +47,40 @@ class TestPiiScan:
         assert row["n_ipv4"] == 2
         assert row["redacted"] == "odd <IP>@<IP> string"
 
+    def test_redact_helper_agrees_with_pii_scan_order(self, spark):
+        """Mutation screen M75 (survived batch 14 unmutated): redact()
+        walks REDACTIONS while pii_scan stages the same order inline, so
+        the tuple's order could drift without any test noticing.
+        Differential on a fixture where order MATTERS: an email whose
+        host is an IPv4 plus an alphabetic TLD — IP-first redaction
+        leaves a mangled u@<IP>.co behind instead of one <EMAIL>."""
+        df = _docs(
+            spark,
+            [
+                (1, "contact u@1.2.3.4.co now"),
+                (2, "mail a@ex.co and 10.0.0.1 then 555-0100"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in scrub.pii_scan(df)
+            .withColumn("helper", scrub.redact(F.col("text")))
+            .collect()
+        }
+        for r in out.values():
+            assert r["helper"] == r["redacted"], r
+        assert out[1]["redacted"] == "contact <EMAIL> now"
+
+    def test_phone_guard_only_matches_test_prefix(self, spark):
+        """Mutation screen M76 (survived batch 14 unmutated): the phone
+        pattern is deliberately scoped to the 555 test prefix — generic
+        ddd-dddd spans (dates, part numbers, room codes) must pass
+        through unredacted, which no fixture asserted."""
+        df = _docs(spark, [(1, "meeting 123-4567 and 555-0100 room 10")])
+        row = scrub.pii_scan(df).collect()[0]
+        assert row["n_phones"] == 1
+        assert row["redacted"] == "meeting 123-4567 and <PHONE> room 10"
+
     def test_pure_projection_no_exchange(self, spark):
         df = _docs(spark, [(1, "x@y.io")])
         plan = scrub.pii_scan(df)._jdf.queryExecution().executedPlan().toString()

@@ -37,7 +37,9 @@ permutation, and the histogram le inclusivity — two more survivors
 M72-M74): the events->samples adapter feeding every tsdb driver row —
 previously pinned only through those rows' oracles — got a direct
 clause test (tests/test_events_adapter.py) covering the second
-truncation, the tier rule, and the sorted label array: 74/74.  The screen earned its
+truncation, the tier rule, and the sorted label array: 74/74.  Batch
+14 (r15, M75-M76): the PII redaction order and the phone test-prefix
+guard — both survived (M75/M76 below), both closed the same day: 76/76.  The screen earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
@@ -111,6 +113,15 @@ test_read_plan.py, not the sink file):
   including the identity — yields some recall.  Killed by
   test_dedup_similarity.py::test_opq_interleave_is_the_documented_stride_permutation,
   which reads the permutation off an identity-valued vector.
+- M75 (REDACTIONS order swapped, batch 14) survived because redact()
+  walks the REDACTIONS tuple while pii_scan stages the same order
+  inline — the tuple could drift without any test noticing.  Killed by
+  test_scrub.py::test_redact_helper_agrees_with_pii_scan_order, a
+  differential on an email whose host is an IPv4 plus a TLD (the one
+  shape where order changes the output).
+- M76 (phone pattern loses the 555 prefix, batch 14) survived because
+  no fixture asserted a generic ddd-dddd span stays UNREDACTED.  Killed
+  by test_scrub.py::test_phone_guard_only_matches_test_prefix.
 
 Before mutating anything, the screen runs the union of all selected
 killer files once on the PRISTINE tree (ADVICE r13): a killer file that
@@ -518,6 +529,17 @@ MUTANTS = [
      "F.array_sort(F.concat(base, extra)).alias(\"labels\"),",
      "F.concat(extra, base).alias(\"labels\"),",
      ["tests/test_events_adapter.py"]),
+    # -- batch 14 (r15): PII redaction order + the phone test-prefix guard --
+    ("M75", "PII redaction order swapped (IP before email)",
+     "remote_tsdb_clickhouse_spark/operators/scrub.py",
+     'REDACTIONS = (\n    (EMAIL_PATTERN, "<EMAIL>"),\n    (IPV4_PATTERN, "<IP>"),',
+     'REDACTIONS = (\n    (IPV4_PATTERN, "<IP>"),\n    (EMAIL_PATTERN, "<EMAIL>"),',
+     ["tests/test_scrub.py"]),
+    ("M76", "phone pattern loses the 555 test-prefix guard (over-scrubs)",
+     "remote_tsdb_clickhouse_spark/operators/scrub.py",
+     'PHONE_PATTERN = r"555-[0-9]{4}"',
+     'PHONE_PATTERN = r"[0-9]{3}-[0-9]{4}"',
+     ["tests/test_scrub.py"]),
 ]
 
 
