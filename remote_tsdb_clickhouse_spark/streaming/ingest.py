@@ -257,7 +257,7 @@ def stateful_dedup_stream(doc_stream: DataFrame) -> DataFrame:
                 "content_hash": [h] * len(ids),
                 "doc_id": ids,
                 "n_seen_before": [n + i for i in range(len(ids))],
-                "is_first": [i == 0 for i in range(len(ids))],
+                "is_first": [n + i == 0 for i in range(len(ids))],
             }
         )
 
