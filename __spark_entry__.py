@@ -4721,9 +4721,9 @@ _R16_HEAD = [
     "text_vocab", "events_bucketed_join",
 ]
 
-#: The PREPARED round-16 rotation — defined now (while the post-r15 hash
-#: map is deterministic) but NOT hoisted; the r16 session's only rotation
-#: change is flipping the hoist line to ``_R16_WINDOW``.  Construction
+#: The ACTIVE round-16 rotation (hoisted in ``queries()`` below), flipped
+#: exactly as the r15 session prepared it — the r16 session's only
+#: rotation change, per plan.  Construction
 #: against the post-r15 map (r12x10, r13x50, r14x50, r15x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R15_WINDOW --check
 #: _R16_WINDOW``):
@@ -4767,6 +4767,66 @@ assert _R16_WINDOW[:10] == _R16_HEAD
 assert _R16_WINDOW[10:] == _R13_WINDOW[:40]
 assert not set(_R16_WINDOW) & set(_R15_WINDOW)
 
+#: The 10 r13-cohort rows the r16 slots cannot hold — they head the r17
+#: window (r13-window relative order preserved).  Pure hash-age residue:
+#: all 10 are tsdb matcher-path rows whose code has been diff-identical
+#: since r13 (VERDICT r15 re-verified the package diff), so the debt is
+#: hash age only.
+_R17_HEAD = [
+    "tsdb_topk_series", "tsdb_max_gap", "tsdb_stale_series",
+    "tsdb_read_eq", "tsdb_read_name_regex", "tsdb_read_nre",
+    "tsdb_label_regex", "tsdb_downsample_30s",
+    "tsdb_downsample_range_clamp", "tsdb_series_assembly",
+]
+
+#: The PREPARED round-17 rotation — defined now (while the post-r16 hash
+#: map is deterministic) but NOT hoisted; the r17 session's only rotation
+#: change is flipping the hoist line to ``_R17_WINDOW``.  Construction
+#: against the post-r16 map (r13x10, r14x50, r15x50, r16x50 — verify with
+#: ``python tools/staleness_ledger.py --pending _R16_WINDOW --check
+#: _R17_WINDOW``):
+#:
+#: 1. The 10 named _R17_HEAD rows first (the complete post-r16 r13
+#:    cohort — the then-oldest hashes), in r13-window relative order:
+#:    after this window lands no row's hash predates r14.
+#: 2. The first 40 rows of the r14 cohort, in r14-window relative order:
+#:    pure hash-age rotation, no known behavior debt.  The remaining 10
+#:    r14 rows (sales_rollup, the 8-row contiguous multimodal block —
+#:    which shares the content-addressed codec memo and so stays whole —
+#:    and sim_ivf_balance) are the natural _R18 head.  Spelled as a list
+#:    literal (not ``_R17_HEAD + _R14_WINDOW[:40]``) because
+#:    tools/staleness_ledger.py parses window lists from SOURCE.
+_R17_WINDOW = [
+    # the 10 named _R17_HEAD rows: the complete post-r16 r13 cohort
+    # (r13-window relative order)
+    "tsdb_topk_series", "tsdb_max_gap", "tsdb_stale_series",
+    "tsdb_read_eq", "tsdb_read_name_regex", "tsdb_read_nre",
+    "tsdb_label_regex", "tsdb_downsample_30s",
+    "tsdb_downsample_range_clamp", "tsdb_series_assembly",
+    # the first 40 rows of the r14 cohort, r14-window relative order
+    "tsdb_ignore_label", "tsdb_rate",
+    "sim_ivf_pq_topk", "sim_ivf_pq_recall", "streaming_dedup",
+    "streaming_sessionize", "events_asof_tolerance", "events_asof_next",
+    "orders_market_basket", "sim_topk_filtered", "streaming_dropduplicates",
+    "events_bucketed_agg", "sim_topk_lsh", "sim_topk_ivf",
+    "sim_ivf_trained", "events_value_histogram", "events_daily_pivot",
+    "events_retention", "emb_label_centroids", "min_cost_supplier",
+    "orders_with_returns", "orders_no_returns", "order_value_quantiles",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q4_late_shipment_priority", "q5_local_supplier_volume",
+    "q7_nation_trade_volume", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_item_reporting", "q12_ship_lateness_priority",
+    "q13_customer_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_cardinality",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_or_predicate_revenue", "q22_inactive_customer_balance",
+]
+assert len(_R17_WINDOW) == 50 and len(set(_R17_WINDOW)) == 50
+assert _R17_WINDOW[:10] == _R17_HEAD
+assert _R17_HEAD == _R13_WINDOW[40:]
+assert _R17_WINDOW[10:] == _R14_WINDOW[:40]
+assert not set(_R17_WINDOW) & set(_R16_WINDOW)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is a driver contract: the window above is hoisted to the
@@ -4803,7 +4863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotation, flipped exactly as prepared (the complete 10-row r11
     # cohort — the recall diagnostics + connected components — + the
     # first 40 r12 rows; after it the residue is r12x10 + r13x50,
-    # scheduled across _R16_WINDOW + the named _R17 head).
+    # scheduled across _R16_WINDOW + the named _R17 head); r16 the
+    # _R16_WINDOW rotation, flipped exactly as prepared (the complete
+    # 10-row r12 cohort + the first 40 r13 rows; after it the residue is
+    # r13x10 + r14x50, scheduled across _R17_WINDOW + the named _R18
+    # head).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -4994,7 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R15_WINDOW}
+    out = {name: base[name] for name in _R16_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 
