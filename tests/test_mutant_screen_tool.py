@@ -155,3 +155,79 @@ def test_screen_site_error_on_ambiguous_snippet(tmp_path, monkeypatch, capsys):
     )
     assert mod.main() == 1
     assert "T1 ambiguous site: SITE-ERROR (count=2)" in capsys.readouterr().out
+
+
+def test_screen_refuses_dirty_target_files(tmp_path, monkeypatch, capsys):
+    """VERDICT r15 task 2: the end-of-round snapshot committed mutant M60
+    because the screen ran (and mutated) over tree state a commit could
+    capture.  The screen must now refuse to START when a mutation target
+    file is dirty vs HEAD — mutating on top of uncommitted changes makes
+    any mid-run snapshot unattributable.  Build a REAL git repo in
+    tmp_path (the other hermetic tests use a bare directory, which the
+    check deliberately skips), commit the pristine source, dirty it, and
+    require the rc-2 refusal with no pytest baseline ever run."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\n", "tests/test_k.py": _KILLER_PINS_X},
+    )
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+           "HOME": str(tmp_path), "PATH": os.environ["PATH"]}
+    for cmd in (["git", "init", "-q"], ["git", "add", "-A"],
+                ["git", "commit", "-qm", "pristine"]):
+        subprocess.run(cmd, cwd=tmp_path, check=True, env=env,
+                       capture_output=True)
+    (tmp_path / "fake_src.py").write_text("X = 1\n# uncommitted edit\n")
+    assert mod.main() == 2
+    out = capsys.readouterr().out
+    assert "REFUSING to run" in out
+    assert "fake_src.py" in out
+    assert "baseline: pytest" not in out  # refused before any pytest run
+    # an untouched clean repo passes the guard and completes normally
+    subprocess.run(["git", "add", "-A"], cwd=tmp_path, check=True, env=env,
+                   capture_output=True)
+    subprocess.run(["git", "commit", "-qm", "edit"], cwd=tmp_path,
+                   check=True, env=env, capture_output=True)
+    assert mod.main() == 0
+    assert "T1 flip X: KILLED" in capsys.readouterr().out
+
+
+def test_every_mutant_original_snippet_canonical_at_head():
+    """VERDICT r15 task 2, second leg: pin the canonical spelling of every
+    mutant's ORIGINAL snippet in COMMITTED source — ``git show
+    HEAD:<path>`` must contain each rule's ``old`` string exactly once.
+    The r15 snapshot shipped mutant M60 at HEAD for a full round because
+    nothing checked committed state (the working tree was correct, so
+    pytest stayed green).  This test fails loudly and cheaply on any
+    future committed mutant, independent of working-tree state."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "mutant_screen_head_check",
+        os.path.join(repo, "tools", "mutant_screen.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    head = subprocess.run(["git", "rev-parse", "--verify", "HEAD"],
+                          cwd=repo, capture_output=True, text=True)
+    if head.returncode != 0:
+        pytest.skip("not a git checkout")
+
+    blobs: dict[str, str] = {}
+    problems: list[str] = []
+    for mid, desc, path, old, new, _killers in mod.MUTANTS:
+        if path not in blobs:
+            r = subprocess.run(["git", "show", f"HEAD:{path}"], cwd=repo,
+                               capture_output=True, text=True)
+            assert r.returncode == 0, f"{path} missing at HEAD"
+            blobs[path] = r.stdout
+        n_old = blobs[path].count(old)
+        if n_old != 1:
+            state = ("MUTANT COMMITTED" if blobs[path].count(new) > 0
+                     else "snippet drifted")
+            problems.append(f"{mid} ({desc}): old-count={n_old} in "
+                            f"HEAD:{path} [{state}]")
+    assert not problems, (
+        "mutant original snippets not canonical at HEAD — a committed "
+        "mutant or a stale screen rule:\n" + "\n".join(problems))

@@ -32,3 +32,16 @@ def test_no_queries_is_a_usage_error():
     )
     assert proc.returncode == 2  # argparse usage error
     assert "usage" in proc.stderr.lower()
+
+
+def test_zero_trials_is_a_usage_error():
+    """ADVICE r15: --trials 0 used to skip the timing loop and crash on
+    an unbound `n` in the report f-string (after a full Spark spin-up and
+    warm pass).  It must be an argparse usage error, pre-Spark."""
+    proc = subprocess.run(
+        [sys.executable, TOOL, "--trials", "0", "dedup_lines"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 2
+    assert "--trials must be >= 1" in proc.stderr
+    assert "Spark" not in proc.stdout

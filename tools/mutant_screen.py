@@ -16,6 +16,14 @@ column is vouched for by tests that cannot actually see that clause.
 
 Every edit is restored even on crash (the try/finally writes the
 original source back); run from anywhere, exits 0 iff all mutants die.
+Snapshot-mid-run hardening (r16, after the M60 incident — VERDICT r15):
+the screen refuses to start if any mutation target file is dirty vs
+HEAD, and ``tests/test_mutant_screen_tool.py`` pins every mutant's
+ORIGINAL snippet to appear exactly once in ``git show HEAD:<path>`` so
+a committed mutant fails the suite loudly and cheaply.  Builder habit
+(run docs): do NOT start a screen pass in the last ~30 min of a
+session's budget — the per-mutant pytest subprocess is an exposure
+window during which an external snapshot commit captures a live mutant.
 Full screen (r13, nine batches): 52/52 killed.  Full screen re-run end
 to end on the r15 tree after the harness hardening (first complete pass
 with the pristine-tree baseline active): 52/52 KILLED, zero INVALID,
@@ -543,9 +551,48 @@ MUTANTS = [
 ]
 
 
+def _dirty_target_files(paths: list[str]) -> list[str]:
+    """Return the subset of ``paths`` with uncommitted changes vs HEAD.
+
+    VERDICT r15 "what's wrong": the driver's turn-budget snapshot commit
+    fired while the screen held mutant M60 applied, committing a live
+    semantic bug into ``streaming/ingest.py``.  The screen cannot stop an
+    external ``git commit -A`` mid-run, but it CAN refuse to add mutations
+    on top of an already-dirty target file — that is the state in which a
+    snapshot becomes unattributable (was the diff the builder's edit or
+    the screen's mutation?).  Skips silently when ``REPO`` is not a git
+    work tree (the hermetic tool tests run against a bare tmp_path fake).
+    """
+    try:
+        r = subprocess.run(
+            ["git", "diff", "--name-only", "HEAD", "--", *paths],
+            cwd=REPO, capture_output=True, text=True, timeout=60)
+    except (OSError, subprocess.TimeoutExpired):
+        return []
+    if r.returncode != 0:  # not a git repo / no HEAD: cannot attribute
+        return []
+    return sorted(ln.strip() for ln in r.stdout.splitlines() if ln.strip())
+
+
 def main() -> int:
     only = set(sys.argv[1:])
     selected = [m for m in MUTANTS if not only or m[0] in only]
+
+    # Dirty-tree refusal (VERDICT r15 task 2): never mutate a target file
+    # that already carries uncommitted changes — a snapshot commit landing
+    # mid-screen would capture EITHER the builder's work-in-progress OR a
+    # live mutant, and nobody could tell which.  (Habit note, same task:
+    # do not start a screen pass in the last ~30 min of a session's
+    # budget — the driver's end-of-round snapshot commits whatever state
+    # the tree is in, and the per-mutant pytest subprocess is an exposure
+    # window no in-process guard can close.)
+    dirty = _dirty_target_files(sorted({m[2] for m in selected}))
+    if dirty:
+        print("REFUSING to run: uncommitted changes in mutation target "
+              f"file(s) {dirty} — commit or stash first (a snapshot commit "
+              "landing mid-screen committed mutant M60 in r15; see "
+              "VERDICT r15).")
+        return 2
 
     # Clean-tree baseline (ADVICE r13): a killer file that already fails
     # unmutated would make every mutant routed to it report KILLED

@@ -46,10 +46,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+", help="queries() names to probe")
     ap.add_argument("--trials", type=int, default=5)
+    # ADVICE r15: --trials 0 used to skip the inner loop and hit an
+    # unbound `n` in the report line; refuse it up front instead.
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     args = ap.parse_args()
+    if args.trials < 1:
+        ap.error(f"--trials must be >= 1 (got {args.trials})")
 
     import bench
     import __spark_entry__ as entrymod
