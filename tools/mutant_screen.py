@@ -47,7 +47,16 @@ previously pinned only through those rows' oracles — got a direct
 clause test (tests/test_events_adapter.py) covering the second
 truncation, the tier rule, and the sorted label array: 74/74.  Batch
 14 (r15, M75-M76): the PII redaction order and the phone test-prefix
-guard — both survived (M75/M76 below), both closed the same day: 76/76.  The screen earned its
+guard — both survived (M75/M76 below), both closed the same day: 76/76.
+Batch 15 (r16, M77-M86): entry-level BOUNDARY clauses — the sessionize
+1800 s gap, the funnel stage windows, the split hash buckets, the
+basket support floor and pair expansion, the Matryoshka leading-prefix,
+the label_replace anchoring, the S8 delete upper bound, the
+stale-series 24 h cut.  Boundary clauses only fire when data lands
+exactly ON the boundary, so their oracle-parity pin depended on corpus
+luck; the killers are direct planted-fixture tests
+(tests/test_entry_clauses.py), written FIRST this batch — all 10
+KILLED on the first screen pass: 86/86.  The screen earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
@@ -548,6 +557,59 @@ MUTANTS = [
      'PHONE_PATTERN = r"555-[0-9]{4}"',
      'PHONE_PATTERN = r"[0-9]{3}-[0-9]{4}"',
      ["tests/test_scrub.py"]),
+    # -- batch 15 (r16): entry-level boundary clauses, previously pinned
+    # only through the oracles (which need corpus luck to land ON a
+    # boundary) — direct planted-fixture killers in test_entry_clauses.py
+    ("M77", "sessionize gap boundary > 1800 -> >= (exact-1800 gap splits)",
+     "__spark_entry__.py",
+     "F.when(gap.isNull() | (gap > 1800.0), 1)",
+     "F.when(gap.isNull() | (gap >= 1800.0), 1)",
+     ["tests/test_entry_clauses.py"]),
+    ("M78", "funnel click-at-signup-instant excluded (>= t_signup -> >)",
+     "__spark_entry__.py",
+     '(F.col("ts") >= F.col("t_signup"))',
+     '(F.col("ts") > F.col("t_signup"))',
+     ["tests/test_entry_clauses.py"]),
+    ("M79", "funnel 24h stage window inclusive -> exclusive (<= day -> <)",
+     "__spark_entry__.py",
+     '& (F.col("ts").cast("double") - F.col("t_signup").cast("double") <= day)',
+     '& (F.col("ts").cast("double") - F.col("t_signup").cast("double") < day)',
+     ["tests/test_entry_clauses.py"]),
+    ("M80", "split train boundary h < 80 -> <= (bucket 80 leaks into train)",
+     "__spark_entry__.py",
+     'F.when(h < 80, F.lit("train"))',
+     'F.when(h <= 80, F.lit("train"))',
+     ["tests/test_entry_clauses.py"]),
+    ("M81", "basket support floor >= 2 -> > 2 (support-2 pairs lost)",
+     "__spark_entry__.py",
+     '.where(F.col("support") >= 2)',
+     '.where(F.col("support") > 2)',
+     ["tests/test_entry_clauses.py"]),
+    ("M82", "basket pair slice from i+2 -> i+1 (self-pairs, M58 analog)",
+     "__spark_entry__.py",
+     "F.slice(F.col(\"parts\"), i + F.lit(2), F.size(F.col(\"parts\")))",
+     "F.slice(F.col(\"parts\"), i + F.lit(1), F.size(F.col(\"parts\")))",
+     ["tests/test_entry_clauses.py"]),
+    ("M83", "Matryoshka prefix shifts off the leading dim (slice 1 -> 2)",
+     "__spark_entry__.py",
+     'emb = _embs(spark, sf_dir).withColumn("embedding", F.slice("embedding", 1, 16))',
+     'emb = _embs(spark, sf_dir).withColumn("embedding", F.slice("embedding", 2, 16))',
+     ["tests/test_entry_clauses.py"]),
+    ("M84", "label_replace loses the Prometheus full anchoring",
+     "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
+     'anchored = f"^(?:{pattern})$"',
+     'anchored = f"(?:{pattern})"',
+     ["tests/test_tsfuncs.py"]),
+    ("M85", "S8 range-delete upper bound inclusive -> exclusive",
+     "remote_tsdb_clickhouse_spark/sources/samples_store.py",
+     'cond = (F.col("ts") > F.lit(start_exclusive)) & (F.col("ts") <= F.lit(end_inclusive))',
+     'cond = (F.col("ts") > F.lit(start_exclusive)) & (F.col("ts") < F.lit(end_inclusive))',
+     ["tests/test_store_writer.py"]),
+    ("M86", "stale-series cut < end-24h -> <= (boundary series goes stale)",
+     "__spark_entry__.py",
+     '.where(F.col("last_t") < F.lit(end_s - 86400))',
+     '.where(F.col("last_t") <= F.lit(end_s - 86400))',
+     ["tests/test_entry_clauses.py"]),
 ]
 
 
