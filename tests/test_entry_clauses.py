@@ -144,3 +144,124 @@ def test_stale_series_boundary_exactly_24h(spark, tmp_path):
     ])
     out = entry.q_tsdb_stale_series(spark, str(tmp_path)).collect()
     assert {r["metric_name"] for r in out} == {"view"}, out
+
+
+# -- batch 16 (r16): arithmetic / frame / tie-break clauses ----------------
+
+def test_doc_packing_bin_is_pre_doc_cumulative(spark, tmp_path):
+    """Mutant M87: a document's bin comes from the cumulative count
+    BEFORE the doc (``floor((cum - n_tokens)/4096)``) — the doc that
+    crosses a 4096 boundary still belongs to the bin it started in.
+    Token runs 3000/2000/2000: cums 3000/5000/7000, so bins 0/0/1; the
+    post-doc spelling yields 0/1/1."""
+    rows = [
+        (1, "w " * 3000, "en", "src", 1),
+        (2, "w " * 2000, "en", "src", 1),
+        (3, "w " * 2000, "en", "src", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["lang"], r["bin"]): (r["n_docs"], r["sum_tokens"])
+        for r in entry.q_doc_packing(spark, str(tmp_path)).collect()
+    }
+    assert got == {("en", 0): (2, 5000), ("en", 1): (1, 2000)}, got
+
+
+def test_moving_avg_frame_is_trailing_five_points(spark, tmp_path):
+    """Mutant M88: the smoothing frame is exactly the trailing FIVE rows
+    (``rowsBetween(-4, 0)``).  Six hourly samples 1..6 on one series:
+    the sixth point averages samples 2..6 = 4.0 (a six-point frame gives
+    3.5)."""
+    t0 = datetime(2024, 1, 6, 0, 0, 0)
+    _write_events(spark, str(tmp_path), [
+        (i, t0 + timedelta(hours=i), 7, "view", float(i + 1), '{"k": 1}')
+        for i in range(6)
+    ])
+    out = entry.q_tsdb_moving_avg(spark, str(tmp_path)).orderBy("t").collect()
+    assert [r["avg5"] for r in out] == [1.0, 1.5, 2.0, 2.5, 3.0, 4.0], out
+
+
+def test_quality_filter_token_count_boundaries(spark, tmp_path):
+    """Mutants M89/M90: the C4 gate keeps docs with EXACTLY 20 tokens
+    (``< 20`` flags) and EXACTLY 512 tokens (``> 512`` flags).  Both
+    boundary docs use distinct 4-letter tokens (repetition 0, mean
+    length 4) so only the count rules can fire; a 5-token doc pins the
+    short-flag itself."""
+    t20 = " ".join(f"a{i:03d}" for i in range(20))
+    t512 = " ".join(f"b{i:03d}" for i in range(512))
+    t5 = " ".join(f"c{i:03d}" for i in range(5))
+    rows = [(1, t20, "en", "s", 1), (2, t512, "en", "s", 1), (3, t5, "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["lang"], r["fail_mask"]): (r["n_docs"], r["sum_tokens"])
+        for r in entry.q_text_quality_filter(spark, str(tmp_path)).collect()
+    }
+    assert got == {("en", 0): (2, 532), ("en", 1): (1, 5)}, got
+
+
+def test_tfidf_tie_breaks_on_document_frequency_asc(spark, tmp_path):
+    """Mutant M91: keywords tying on tf rank by ASCENDING df — the rarer
+    (more distinctive) term wins.  In doc 1, apple and banana both have
+    tf 2, but apple also appears in doc 2 (df 2 vs banana's 1): banana
+    must out-rank apple."""
+    rows = [
+        (1, "apple banana apple banana cherry", "en", "s", 1),
+        (2, "apple kiwi", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["term"]: r["rk"]
+        for r in entry.q_text_tfidf_keywords(spark, str(tmp_path)).collect()
+        if r["doc_id"] == 1
+    }
+    assert got == {"banana": 1, "apple": 2, "cherry": 3}, got
+
+
+def test_vocab_rank_tie_breaks_on_term_asc(spark, tmp_path):
+    """Mutant M92: vocabulary ranks tie-break by term ASCENDING on equal
+    counts — zz and aa both count 2, so aa takes rank 1."""
+    rows = [(1, "zz zz aa aa bb", "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["term"]: r["rnk"]
+        for r in entry.q_text_vocab(spark, str(tmp_path)).collect()
+    }
+    assert got == {"aa": 1, "zz": 2, "bb": 3}, got
+
+
+def test_interleave_positions_round_robin_across_sources(spark, tmp_path):
+    """Mutant M93: the global training position is ``rnk * n_sources +
+    src_idx`` — consecutive positions ALTERNATE sources (round-robin),
+    never block by source.  Two sources x two docs: positions 0..3 must
+    map to sources a,b,a,b."""
+    rows = [(1, "t", "en", "a", 1), (2, "t", "en", "a", 1),
+            (3, "t", "en", "b", 1), (4, "t", "en", "b", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["position"]: r["source"]
+        for r in entry.q_dataset_interleave(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: "a", 1: "b", 2: "a", 3: "b"}, got
+
+
+def test_sliding_range_max_excludes_exactly_one_hour_old(spark, tmp_path):
+    """Mutant M94: the trailing-hour RANGE frame is ``(-3599, 0)`` — a
+    sample EXACTLY 3600 s older is outside the hour.  Two signup samples
+    3600 s apart (values 10 then 1): the second point's max is 1."""
+    t0 = datetime(2024, 1, 6, 0, 0, 0)
+    _write_events(spark, str(tmp_path), [
+        (1, t0, 9, "signup", 10.0, '{"k": 1}'),
+        (2, t0 + timedelta(seconds=3600), 9, "signup", 1.0, '{"k": 1}'),
+    ])
+    out = entry.q_tsdb_sliding_range_max(spark, str(tmp_path)).orderBy("t").collect()
+    assert [r["max_1h"] for r in out] == [10.0, 1.0], out

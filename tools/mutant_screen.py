@@ -56,7 +56,13 @@ stale-series 24 h cut.  Boundary clauses only fire when data lands
 exactly ON the boundary, so their oracle-parity pin depended on corpus
 luck; the killers are direct planted-fixture tests
 (tests/test_entry_clauses.py), written FIRST this batch — all 10
-KILLED on the first screen pass: 86/86.  The screen earned its
+KILLED on the first screen pass: 86/86.  Batch 16 (r16, M87-M94):
+entry-level arithmetic / frame / tie-break clauses — the packing bin's
+pre-doc cumulative, the 5-point moving-average frame, the C4 gate's
+20/512 token-count boundaries, the tf-idf df-asc and vocab term-asc
+tie-breaks, the interleave round-robin position formula, and the
+sliding-hour RANGE frame's -3599 bound — same killer-first protocol,
+all 8 KILLED: 94/94.  The screen earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
@@ -609,6 +615,47 @@ MUTANTS = [
      "__spark_entry__.py",
      '.where(F.col("last_t") < F.lit(end_s - 86400))',
      '.where(F.col("last_t") <= F.lit(end_s - 86400))',
+     ["tests/test_entry_clauses.py"]),
+    # -- batch 16 (r16): arithmetic / frame / tie-break clauses ------------
+    ("M87", "packing bin from post-doc cumulative (boundary doc jumps bins)",
+     "__spark_entry__.py",
+     'F.floor((cum - F.col("n_tokens")) / F.lit(4096.0))',
+     "F.floor(cum / F.lit(4096.0))",
+     ["tests/test_entry_clauses.py"]),
+    ("M88", "moving-avg frame widens to six rows (rowsBetween -4 -> -5)",
+     "__spark_entry__.py",
+     ".rowsBetween(-4, 0)",
+     ".rowsBetween(-5, 0)",
+     ["tests/test_entry_clauses.py"]),
+    ("M89", "quality gate flags exactly-20-token docs (< 20 -> <= 20)",
+     "__spark_entry__.py",
+     "F.when(n_tok < 20, F.lit(1))",
+     "F.when(n_tok <= 20, F.lit(1))",
+     ["tests/test_entry_clauses.py"]),
+    ("M90", "quality gate flags exactly-512-token docs (> 512 -> >= 512)",
+     "__spark_entry__.py",
+     "F.when(n_tok > 512, F.lit(2))",
+     "F.when(n_tok >= 512, F.lit(2))",
+     ["tests/test_entry_clauses.py"]),
+    ("M91", "tf-idf tie-break df asc -> desc (common term outranks rare)",
+     "__spark_entry__.py",
+     'F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()',
+     'F.col("tf").desc(), F.col("df").desc(), F.col("term").asc()',
+     ["tests/test_entry_clauses.py"]),
+    ("M92", "vocab rank tie-break term asc dropped (desc on count ties)",
+     "__spark_entry__.py",
+     'w = Window.orderBy(F.col("cnt").desc(), F.col("term"))',
+     'w = Window.orderBy(F.col("cnt").desc(), F.col("term").desc())',
+     ["tests/test_entry_clauses.py"]),
+    ("M93", "interleave position blocks by source (rnk*n+idx -> rnk+n*idx)",
+     "__spark_entry__.py",
+     '(F.col("rnk") * n_src + F.col("src_idx"))',
+     '(F.col("rnk") + n_src * F.col("src_idx"))',
+     ["tests/test_entry_clauses.py"]),
+    ("M94", "sliding-hour RANGE frame admits the exactly-3600s-old sample",
+     "__spark_entry__.py",
+     ".rangeBetween(-3599, 0)",
+     ".rangeBetween(-3600, 0)",
      ["tests/test_entry_clauses.py"]),
 ]
 
