@@ -59,16 +59,19 @@ def test_funnel_stage_window_boundaries(spark, tmp_path):
         (1, t0, 1, "signup", 1.0, '{"k": 1}'),
         (2, t0, 1, "click", 1.0, '{"k": 1}'),
         (3, t0, 1, "purchase", 1.0, '{"k": 1}'),
-        # u2: click exactly 24 h after signup (inclusive boundary)
+        # u2: click exactly 24 h after signup (inclusive boundary), then a
+        # purchase exactly 24 h after THAT click (pins the purchase-stage
+        # window boundary independently — mutant M101)
         (4, t0, 2, "signup", 1.0, '{"k": 1}'),
         (5, t0 + day, 2, "click", 1.0, '{"k": 1}'),
+        (8, t0 + day + day, 2, "purchase", 1.0, '{"k": 1}'),
         # u3: click 24 h + 1 s after signup (outside, both spellings)
         (6, t0, 3, "signup", 1.0, '{"k": 1}'),
         (7, t0 + day + timedelta(seconds=1), 3, "click", 1.0, '{"k": 1}'),
     ])
     row = entry.q_events_funnel(spark, str(tmp_path)).collect()[0]
     assert (row["n_signup"], row["n_click_after"], row["n_purchase_after"]) == (
-        3, 2, 1,
+        3, 2, 2,
     ), row
 
 
@@ -265,3 +268,97 @@ def test_sliding_range_max_excludes_exactly_one_hour_old(spark, tmp_path):
     ])
     out = entry.q_tsdb_sliding_range_max(spark, str(tmp_path)).orderBy("t").collect()
     assert [r["max_1h"] for r in out] == [10.0, 1.0], out
+
+
+# -- batch 17 (r16): floor-vs-trunc, set direction, null-drop, tie-breaks --
+
+def test_topk_series_tie_breaks_on_labelset_asc(spark, tmp_path):
+    """Mutant M95: series tying on mean value rank by labelset ASC — the
+    deterministic-ranking pin (the M30 analog for topk_series).  Users
+    1/2/3 all average 5.0; user 4 averages 1.0 and falls outside the
+    top 3.  Users 1/2/4 avoid the user%3==0 tier=gold label, which would
+    re-order the labelset strings."""
+    t0 = datetime(2024, 1, 6, 0, 0, 0)
+    rows = [(u * 10 + i, t0 + timedelta(hours=i), u, "click", 5.0, '{"k": 1}')
+            for u in (1, 2, 4) for i in range(2)]
+    rows += [(50, t0, 5, "click", 1.0, '{"k": 1}')]
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        r["labels_str"]: r["rk"]
+        for r in entry.q_tsdb_topk_series(spark, str(tmp_path)).collect()
+    }
+    assert got == {"k=1,user=1": 1, "k=1,user=2": 2, "k=1,user=4": 3}, got
+
+
+def test_value_histogram_floor_buckets_negative_values(spark, tmp_path):
+    """Mutant M96: the value bucket is FLOOR(value/10), not a toward-zero
+    long cast — value -5.0 lands in bucket -1, not 0."""
+    t0 = datetime(2024, 1, 6, 0, 0, 0)
+    rows = [(1, t0, 1, "click", -5.0, '{"k": 1}'),
+            (2, t0, 2, "click", 15.0, '{"k": 1}')]
+    spark.createDataFrame(rows, EV_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["bucket"]: r["n"]
+        for r in entry.q_events_value_histogram(spark, str(tmp_path)).collect()
+    }
+    assert got == {-1: 1, 1: 1}, got
+
+
+def test_max_gap_drops_single_sample_series(spark, tmp_path):
+    """Mutant M97: a single-sample series has NO gap (its lag is null) and
+    must not appear in the report at all — not appear with a null gap."""
+    t0 = datetime(2024, 1, 6, 0, 0, 0)
+    _write_events(spark, str(tmp_path), [
+        (1, t0, 1, "purchase", 1.0, '{"k": 1}'),
+        (2, t0 + timedelta(hours=2), 1, "purchase", 1.0, '{"k": 1}'),
+        (3, t0, 2, "purchase", 1.0, '{"k": 1}'),  # single sample: no row
+    ])
+    out = entry.q_tsdb_max_gap(spark, str(tmp_path)).collect()
+    assert [(r["labels_str"], r["max_gap_s"]) for r in out] == [
+        ("k=1,user=1", 7200),
+    ], out
+
+
+def test_customers_lapsed_set_difference_direction(spark, tmp_path):
+    """Mutant M98: lapsed = ordered in 1996 AND NOT in 1997 — customer A
+    (1996 only) is lapsed, C (1997 only) is new, B (both) is neither."""
+    rows = [
+        (1, 100, datetime(1996, 3, 1)),   # A: 1996 only -> lapsed
+        (2, 200, datetime(1996, 5, 1)),   # B: both years
+        (3, 200, datetime(1997, 2, 1)),
+        (4, 300, datetime(1997, 7, 1)),   # C: 1997 only
+    ]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = [r["o_custkey"] for r in entry.q_customers_lapsed(spark, str(tmp_path)).collect()]
+    assert got == [100], got
+
+
+def test_count_values_floors_the_gauge_key(spark, tmp_path):
+    """Mutant M99: the count_values key is FLOOR(value) — a -2.5 gauge
+    counts under -3, not the toward-zero -2."""
+    t0 = datetime(2024, 1, 6, 0, 0, 0)
+    _write_events(spark, str(tmp_path), [
+        (1, t0, 1, "view", -2.5, '{"k": 1}'),
+    ])
+    out = entry.q_tsdb_count_values(spark, str(tmp_path)).collect()
+    assert [(r["value"], r["n_samples"]) for r in out] == [(-3, 1)], out
+
+
+def test_label_centroids_floor_quantize_negative_components(spark, tmp_path):
+    """Mutant M100: embedding components quantize by FLOOR(v*1e6) — a
+    -2.5e-6 component contributes -3 micro-units, not the toward-zero
+    -2."""
+    vec = [0.0] * 64
+    vec[0] = -2.5e-6
+    spark.createDataFrame(
+        [(0, vec, 7)], "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {
+        (r["label"], r["dim"]): r["centroid_v"]
+        for r in entry.q_emb_label_centroids(spark, str(tmp_path)).collect()
+    }
+    assert out[(7, 0)] == -3e-6, out

@@ -62,7 +62,15 @@ pre-doc cumulative, the 5-point moving-average frame, the C4 gate's
 20/512 token-count boundaries, the tf-idf df-asc and vocab term-asc
 tie-breaks, the interleave round-robin position formula, and the
 sliding-hour RANGE frame's -3599 bound — same killer-first protocol,
-all 8 KILLED: 94/94.  The screen earned its
+all 8 KILLED: 94/94.  Batch 17 (r16, M95-M101): floor-vs-toward-zero
+casts on negative values (value-histogram bucket, count_values key,
+centroid micro-quantize), the topk_series labelset tie-break, the
+max_gap single-sample null-drop, the customers_lapsed set-difference
+direction, and the funnel purchase-stage window boundary — killer-first
+again, all 7 KILLED: 101/101.  r16 also re-verified the full register
+on this tree in chunks (M1-M35, M36-M76 + the new rules, with the
+dirty-tree guard active throughout): every rule KILLED.  The screen
+earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
@@ -656,6 +664,42 @@ MUTANTS = [
      "__spark_entry__.py",
      ".rangeBetween(-3599, 0)",
      ".rangeBetween(-3600, 0)",
+     ["tests/test_entry_clauses.py"]),
+    # -- batch 17 (r16): floor-vs-trunc, set direction, null-drop, ties ----
+    ("M95", "topk_series tie-break labelset asc dropped (M30 analog)",
+     "__spark_entry__.py",
+     '.orderBy(F.col("avg_v").desc(), F.col("labels_str"))',
+     '.orderBy(F.col("avg_v").desc(), F.col("labels_str").desc())',
+     ["tests/test_entry_clauses.py"]),
+    ("M96", "value-histogram bucket floor -> toward-zero cast (negatives)",
+     "__spark_entry__.py",
+     'F.floor(F.col("value") / 10.0).cast("long").alias("bucket")',
+     '(F.col("value") / 10.0).cast("long").alias("bucket")',
+     ["tests/test_entry_clauses.py"]),
+    ("M97", "max_gap keeps single-sample series as null-gap rows",
+     "__spark_entry__.py",
+     '.where(F.col("max_gap_s").isNotNull())',
+     '.where(F.lit(True))',
+     ["tests/test_entry_clauses.py"]),
+    ("M98", "customers_lapsed set difference direction flipped",
+     "__spark_entry__.py",
+     "return year_keys(1996).subtract(year_keys(1997))",
+     "return year_keys(1997).subtract(year_keys(1996))",
+     ["tests/test_entry_clauses.py"]),
+    ("M99", "count_values key floor -> toward-zero cast (negative gauges)",
+     "__spark_entry__.py",
+     'floored = grouped.withColumn("max_0", F.floor(F.col("max_0")).cast("long"))',
+     'floored = grouped.withColumn("max_0", F.col("max_0").cast("long"))',
+     ["tests/test_entry_clauses.py"]),
+    ("M100", "centroid micro-quantize floor -> toward-zero cast",
+     "__spark_entry__.py",
+     'q = F.floor(F.col("v").cast("double") * 1000000.0).cast("long")',
+     'q = (F.col("v").cast("double") * 1000000.0).cast("long")',
+     ["tests/test_entry_clauses.py"]),
+    ("M101", "funnel purchase-stage 24h window inclusive -> exclusive",
+     "__spark_entry__.py",
+     '& (F.col("ts").cast("double") - F.col("t_click").cast("double") <= day)',
+     '& (F.col("ts").cast("double") - F.col("t_click").cast("double") < day)',
      ["tests/test_entry_clauses.py"]),
 ]
 
