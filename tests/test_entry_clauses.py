@@ -362,3 +362,32 @@ def test_label_centroids_floor_quantize_negative_components(spark, tmp_path):
         for r in entry.q_emb_label_centroids(spark, str(tmp_path)).collect()
     }
     assert out[(7, 0)] == -3e-6, out
+
+
+def test_offset_ratio_compares_today_with_yesterday(spark, tmp_path):
+    """Mutant M103: the day-over-day join shifts YESTERDAY's bucket
+    forward (+86400) so today's row carries yesterday's sum as s_prev —
+    day-2 hour-0 must report (3.0 vs 2.0) with ratio 1.5."""
+    _write_events(spark, str(tmp_path), [
+        (1, datetime(2024, 1, 6, 0, 15), 1, "view", 2.0, '{"k": 1}'),
+        (2, datetime(2024, 1, 7, 0, 20), 1, "view", 3.0, '{"k": 1}'),
+    ])
+    out = entry.q_tsdb_offset_ratio(spark, str(tmp_path)).collect()
+    assert [
+        (r["bucket_t"], r["sum_micro"], r["prev_sum_micro"], r["dod_ratio_micro"])
+        for r in out
+    ] == [(1704585600, 3000000, 2000000, 1500000)], out
+
+
+def test_dataset_sample_membership_boundary_bucket_10(spark, tmp_path):
+    """Mutant M104: the 10% membership cut is ``h < 10`` — a doc whose
+    md5 bucket lands EXACTLY on 10 (doc_id 3) is NOT sampled; bucket 9
+    (doc_id 138) is."""
+    rows = [(3, "t", "en", "s", 1), (138, "t", "en", "s", 1)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = entry.q_dataset_sample(spark, str(tmp_path)).collect()
+    assert [(r["lang"], r["n_docs"], r["n_sampled"]) for r in out] == [
+        ("en", 2, 1)
+    ], out

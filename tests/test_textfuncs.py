@@ -275,3 +275,17 @@ def test_quality_score_component_weights(spark):
     assert got[0] == pytest.approx(0.53)
     assert got[1] == pytest.approx(0.68)
     assert got[2] == pytest.approx(0.0)
+
+
+def test_langid_zh_threshold_is_strictly_above_30_percent(spark):
+    """Mutation screen M102: the zh cutover fires only STRICTLY above 30%
+    non-ascii — a doc at exactly 0.3 falls through to the stopword
+    cascade.  "the to ééé" is 10 chars with 3 non-ascii (ratio 0.300
+    exactly) and two en stopwords, so it must label en; one more é tips
+    it to zh both ways (sanity)."""
+    from remote_tsdb_clickhouse_spark.functions.textfuncs import langid_frame
+
+    rows = [(0, "the to ééé"), (1, "the to éééé")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.pred_lang for r in langid_frame(df).collect()}
+    assert got == {0: "en", 1: "zh"}, got

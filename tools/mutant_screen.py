@@ -67,10 +67,12 @@ casts on negative values (value-histogram bucket, count_values key,
 centroid micro-quantize), the topk_series labelset tie-break, the
 max_gap single-sample null-drop, the customers_lapsed set-difference
 direction, and the funnel purchase-stage window boundary — killer-first
-again, all 7 KILLED: 101/101.  r16 also re-verified the full register
-on this tree in chunks (M1-M35, M36-M76 + the new rules, with the
-dirty-tree guard active throughout): every rule KILLED.  The screen
-earned its
+again, all 7 KILLED: 101/101.  Batch 18 (r16, M102-M104): the langid
+zh 30% threshold boundary, the offset_ratio day-shift direction, and
+the sample-membership bucket-10 cut — all 3 KILLED: 104/104.  r16 also
+re-verified the full register on this tree in chunks (M1-M35,
+M36-M76 + the new rules, with the dirty-tree guard active throughout):
+every rule KILLED.  The screen earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
@@ -700,6 +702,22 @@ MUTANTS = [
      "__spark_entry__.py",
      '& (F.col("ts").cast("double") - F.col("t_click").cast("double") <= day)',
      '& (F.col("ts").cast("double") - F.col("t_click").cast("double") < day)',
+     ["tests/test_entry_clauses.py"]),
+    # -- batch 18 (r16): langid threshold, day-over-day shift, sample cut --
+    ("M102", "langid zh cutover fires AT 30% non-ascii (> 0.3 -> >=)",
+     "remote_tsdb_clickhouse_spark/functions/textfuncs.py",
+     'F.when(F.col("__na") > 0.3, F.lit("zh"))',
+     'F.when(F.col("__na") >= 0.3, F.lit("zh"))',
+     ["tests/test_textfuncs.py"]),
+    ("M103", "offset_ratio joins tomorrow instead of yesterday (+86400 -> -)",
+     "__spark_entry__.py",
+     '(F.col("bucket_t") + 86400).alias("bucket_t")',
+     '(F.col("bucket_t") - 86400).alias("bucket_t")',
+     ["tests/test_entry_clauses.py"]),
+    ("M104", "sample membership h < 10 -> <= (bucket 10 leaks in)",
+     "__spark_entry__.py",
+     'F.sum(F.when(F.col("hv") < 10, 1).otherwise(0))',
+     'F.sum(F.when(F.col("hv") <= 10, 1).otherwise(0))',
      ["tests/test_entry_clauses.py"]),
 ]
 
