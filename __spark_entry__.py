@@ -4721,9 +4721,9 @@ _R16_HEAD = [
     "text_vocab", "events_bucketed_join",
 ]
 
-#: The ACTIVE round-16 rotation (hoisted in ``queries()`` below), flipped
-#: exactly as the r15 session prepared it — the r16 session's only
-#: rotation change, per plan.  Construction
+#: The round-16 rotation (hoisted r16, landed 50/50 green in
+#: CORRECTNESS_r16.json), flipped exactly as the r15 session prepared it
+#: — the r16 session's only rotation change, per plan.  Construction
 #: against the post-r15 map (r12x10, r13x50, r14x50, r15x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R15_WINDOW --check
 #: _R16_WINDOW``):
@@ -4779,9 +4779,9 @@ _R17_HEAD = [
     "tsdb_downsample_range_clamp", "tsdb_series_assembly",
 ]
 
-#: The PREPARED round-17 rotation — defined now (while the post-r16 hash
-#: map is deterministic) but NOT hoisted; the r17 session's only rotation
-#: change is flipping the hoist line to ``_R17_WINDOW``.  Construction
+#: The ACTIVE round-17 rotation (hoisted in ``queries()`` below), flipped
+#: exactly as the r16 session prepared it — the r17 session's only
+#: rotation change, per plan.  Construction
 #: against the post-r16 map (r13x10, r14x50, r15x50, r16x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R16_WINDOW --check
 #: _R17_WINDOW``):
@@ -4827,6 +4827,69 @@ assert _R17_HEAD == _R13_WINDOW[40:]
 assert _R17_WINDOW[10:] == _R14_WINDOW[:40]
 assert not set(_R17_WINDOW) & set(_R16_WINDOW)
 
+#: The 10 r14-cohort rows the r17 slots cannot hold — they head the r18
+#: window (r14-window relative order preserved).  Pure hash-age residue:
+#: sales_rollup, the 8-row contiguous multimodal block (which shares the
+#: content-addressed codec memo and so stays whole), and sim_ivf_balance.
+#: All 10 sit on code paths that have been diff-identical since r14, so
+#: the debt is hash age only.
+_R18_HEAD = [
+    "sales_rollup", "multimodal_features", "multimodal_png_features",
+    "multimodal_jpeg_features", "multimodal_gif_frames",
+    "multimodal_frame_sample", "multimodal_resize", "multimodal_resample",
+    "multimodal_audio_energy", "sim_ivf_balance",
+]
+
+#: The PREPARED round-18 rotation — defined now (while the post-r17 hash
+#: map is deterministic) but NOT hoisted; the r18 session's only rotation
+#: change is flipping the hoist line to ``_R18_WINDOW``.  Construction
+#: against the post-r17 map (r14x10, r15x50, r16x50, r17x50 — verify with
+#: ``python tools/staleness_ledger.py --pending _R17_WINDOW --check
+#: _R18_WINDOW``):
+#:
+#: 1. The 10 named _R18_HEAD rows first (the complete post-r17 r14
+#:    cohort — the then-oldest hashes), in r14-window relative order:
+#:    after this window lands no row's hash predates r15.
+#: 2. The first 40 rows of the r15 cohort, in r15-window relative order:
+#:    pure hash-age rotation, no known behavior debt.  The r11-cohort
+#:    recall-diagnostic block stays contiguous (shares the broadcast
+#:    exact-top-10 baseline and the _TRAIN_CACHE builds).  The remaining
+#:    10 r15 rows (text_pii_scrub, doc_chunk_windows, doc_chunk_texts,
+#:    streaming_windowed_max, text_quality_filter, events_salted_stats,
+#:    and the contiguous sim_pq_codes/adc/trained trio +
+#:    sim_topk_lsh_multiprobe) are the natural _R19 head.  Spelled as a
+#:    list literal (not ``_R18_HEAD + _R15_WINDOW[:40]``) because
+#:    tools/staleness_ledger.py parses window lists from SOURCE.
+_R18_WINDOW = [
+    # the 10 named _R18_HEAD rows: the complete post-r17 r14 cohort
+    # (r14-window relative order)
+    "sales_rollup", "multimodal_features", "multimodal_png_features",
+    "multimodal_jpeg_features", "multimodal_gif_frames",
+    "multimodal_frame_sample", "multimodal_resize", "multimodal_resample",
+    "multimodal_audio_energy", "sim_ivf_balance",
+    # the first 40 rows of the r15 cohort, r15-window relative order
+    "sim_pq_recall", "sim_pq_trained_recall", "sim_pq_opq_recall",
+    "sim_lsh_recall", "sim_lsh_multiprobe_recall", "sim_ivf_recall",
+    "sim_ivf_trained_recall", "sim_matryoshka_recall",
+    "dedup_groups", "dedup_cluster_stats",
+    "protocol_roundtrip_read", "protocol_response_assembly",
+    "streaming_stateful_rate", "events_sessionize", "events_asof_click",
+    "events_window_agg", "events_funnel", "text_decontaminate",
+    "text_pipeline", "text_langid", "text_quality", "text_tokens",
+    "text_fingerprint", "text_tfidf_keywords", "text_repetition",
+    "dataset_dedup_apply", "dataset_length_histogram", "dataset_sample",
+    "dataset_mixture_sample", "doc_packing", "q6_revenue_delta",
+    "top_customers_per_segment", "sim_topk_bruteforce",
+    "emb_quantize_int8", "dedup_exact", "dedup_embedding_cosine",
+    "dedup_embedding_cosine_lsh", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_incremental",
+]
+assert len(_R18_WINDOW) == 50 and len(set(_R18_WINDOW)) == 50
+assert _R18_WINDOW[:10] == _R18_HEAD
+assert _R18_HEAD == _R14_WINDOW[40:]
+assert _R18_WINDOW[10:] == _R15_WINDOW[:40]
+assert not set(_R18_WINDOW) & set(_R17_WINDOW)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is a driver contract: the window above is hoisted to the
@@ -4867,7 +4930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # _R16_WINDOW rotation, flipped exactly as prepared (the complete
     # 10-row r12 cohort + the first 40 r13 rows; after it the residue is
     # r13x10 + r14x50, scheduled across _R17_WINDOW + the named _R18
-    # head).
+    # head); r17 the _R17_WINDOW rotation, flipped exactly as prepared
+    # (the complete 10-row r13 cohort + the first 40 r14 rows; after it
+    # the residue is r14x10 + r15x50, scheduled across _R18_WINDOW + the
+    # named _R19 head).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -5058,7 +5124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R16_WINDOW}
+    out = {name: base[name] for name in _R17_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 

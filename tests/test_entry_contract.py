@@ -29,11 +29,12 @@ def test_verification_windows_are_valid_rotations():
     window must name only real queries (a typo'd name would silently shrink
     the next rotation)."""
     names = list(entry.queries())
-    assert names[:50] == entry._R16_WINDOW  # active round's hoist
+    assert names[:50] == entry._R17_WINDOW  # active round's hoist
     for window in (
         entry._R9_WINDOW, entry._R10_WINDOW, entry._R11_WINDOW,
         entry._R12_WINDOW, entry._R13_WINDOW, entry._R14_WINDOW,
         entry._R15_WINDOW, entry._R16_WINDOW, entry._R17_WINDOW,
+        entry._R18_WINDOW,
     ):
         assert len(window) == 50 and len(set(window)) == 50
         missing = set(window) - set(names)
@@ -90,6 +91,16 @@ def test_verification_windows_are_valid_rotations():
     assert entry._R17_HEAD == entry._R13_WINDOW[40:]
     assert entry._R17_WINDOW[10:] == entry._R14_WINDOW[:40]
     assert not set(entry._R17_WINDOW) & set(entry._R16_WINDOW)
+    # r18 leads with the complete post-r17 r14 cohort (the then-oldest
+    # hashes — the 10 named _R18_HEAD rows the r17 slots could not hold:
+    # sales_rollup, the contiguous 8-row multimodal block,
+    # sim_ivf_balance), then absorbs the first 40 rows of the r15 cohort
+    # in r15-window relative order; the remaining 10 r15 rows are the
+    # natural _R19 head
+    assert entry._R18_WINDOW[:10] == entry._R18_HEAD
+    assert entry._R18_HEAD == entry._R14_WINDOW[40:]
+    assert entry._R18_WINDOW[10:] == entry._R15_WINDOW[:40]
+    assert not set(entry._R18_WINDOW) & set(entry._R17_WINDOW)
 
 
 def test_oracle_sql_compiles_in_duckdb():
@@ -200,11 +211,13 @@ def test_matcher_path_rows_covered_by_r11_rotation():
             age[k] = max(age.get(k, 0), rnd)
     for k in entry._R15_WINDOW:
         age[k] = max(age.get(k, 0), 15)
-    # same modeling for the r16 rotation now active: before
-    # CORRECTNESS_r16 lands the bump models the upcoming driver run;
-    # after it lands the bump is a no-op
+    # same modeling for the later rotations (r16 landed; r17 now
+    # active): before each CORRECTNESS file lands the bump models the
+    # upcoming driver run; after it lands the bump is a no-op
     for k in entry._R16_WINDOW:
         age[k] = max(age.get(k, 0), 16)
+    for k in entry._R17_WINDOW:
+        age[k] = max(age.get(k, 0), 17)
     stale = {r for r in matcher_rows if age.get(r, 0) < 13}
     assert not stale, (
         f"matcher-path rows with pre-r13 hashes after the r15 rotation "
