@@ -194,6 +194,63 @@ def test_screen_refuses_dirty_target_files(tmp_path, monkeypatch, capsys):
     assert "T1 flip X: KILLED" in capsys.readouterr().out
 
 
+def test_screen_refuses_untracked_target_files(tmp_path, monkeypatch, capsys):
+    """ADVICE r16 item 2: ``git diff HEAD`` only reports modified TRACKED
+    files, so a mutation target that is untracked (new, never committed)
+    used to pass the dirty-tree guard even though a mid-run snapshot
+    commit of it would be equally unattributable.  Build a real repo,
+    commit only the killer, leave the target untracked, and require the
+    rc-2 refusal before any pytest run."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\n", "tests/test_k.py": _KILLER_PINS_X},
+    )
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+           "HOME": str(tmp_path), "PATH": os.environ["PATH"]}
+    for cmd in (["git", "init", "-q"], ["git", "add", "tests/test_k.py"],
+                ["git", "commit", "-qm", "killer only"]):
+        subprocess.run(cmd, cwd=tmp_path, check=True, env=env,
+                       capture_output=True)
+    assert mod.main() == 2
+    out = capsys.readouterr().out
+    assert "REFUSING to run" in out
+    assert "fake_src.py" in out
+    assert "baseline: pytest" not in out  # refused before any pytest run
+    # committing the target clears the guard and the screen completes
+    for cmd in (["git", "add", "-A"], ["git", "commit", "-qm", "target"]):
+        subprocess.run(cmd, cwd=tmp_path, check=True, env=env,
+                       capture_output=True)
+    assert mod.main() == 0
+    assert "T1 flip X: KILLED" in capsys.readouterr().out
+
+
+def test_screen_warns_when_guard_skipped_in_git_checkout(
+        tmp_path, monkeypatch, capsys):
+    """ADVICE r16 item 1: a git failure must not disable the dirty-tree
+    refusal SILENTLY in anything that looks like a git checkout.  A fresh
+    ``git init`` with no commits has ``.git`` but no HEAD, so ``git diff
+    HEAD`` fails — the guard skips, but now with a loud warning.  The
+    bare-tmp_path hermetic case (no ``.git``) stays silent, which every
+    other test in this file implicitly pins by asserting on full output.
+    """
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\n", "tests/test_k.py": _KILLER_PINS_X},
+    )
+    env = {"HOME": str(tmp_path), "PATH": os.environ["PATH"]}
+    subprocess.run(["git", "init", "-q"], cwd=tmp_path, check=True, env=env,
+                   capture_output=True)
+    assert mod.main() == 0  # guard skipped, screen still runs to completion
+    out = capsys.readouterr().out
+    assert "WARNING: dirty-tree guard SKIPPED" in out
+    assert "T1 flip X: KILLED" in out
+
+
 def test_every_mutant_original_snippet_canonical_at_head():
     """VERDICT r15 task 2, second leg: pin the canonical spelling of every
     mutant's ORIGINAL snippet in COMMITTED source — ``git show

@@ -722,8 +722,23 @@ MUTANTS = [
 ]
 
 
+def _warn_guard_skipped(why: str) -> None:
+    """ADVICE r16 item 1: the dirty-tree refusal silently disabled itself
+    on ANY git failure (OSError, timeout, nonzero exit), which is correct
+    for the hermetic tool tests (a bare tmp_path with no ``.git``) but
+    wrong in a real checkout, where a transient git failure would skip the
+    M60 safety guard with no indication.  Warn whenever ``REPO`` LOOKS
+    like a git checkout (``.git`` exists — work-tree dir or worktree
+    gitfile); stay silent only in the genuinely-not-a-repo case."""
+    if os.path.exists(os.path.join(REPO, ".git")):
+        print(f"WARNING: dirty-tree guard SKIPPED ({why}) — .git exists "
+              "but git state could not be read; the M60 snapshot-mid-run "
+              "refusal is NOT active for this pass.", flush=True)
+
+
 def _dirty_target_files(paths: list[str]) -> list[str]:
-    """Return the subset of ``paths`` with uncommitted changes vs HEAD.
+    """Return the subset of ``paths`` with uncommitted changes vs HEAD,
+    INCLUDING untracked (never-committed) target files.
 
     VERDICT r15 "what's wrong": the driver's turn-budget snapshot commit
     fired while the screen held mutant M60 applied, committing a live
@@ -731,18 +746,31 @@ def _dirty_target_files(paths: list[str]) -> list[str]:
     external ``git commit -A`` mid-run, but it CAN refuse to add mutations
     on top of an already-dirty target file — that is the state in which a
     snapshot becomes unattributable (was the diff the builder's edit or
-    the screen's mutation?).  Skips silently when ``REPO`` is not a git
-    work tree (the hermetic tool tests run against a bare tmp_path fake).
+    the screen's mutation?).  ADVICE r16 item 2: ``git diff HEAD`` only
+    reports MODIFIED tracked files, so an untracked target (a new rule
+    pointing at a file never committed) used to pass the guard even
+    though a mid-run snapshot commit of it is equally unattributable —
+    ``git ls-files --others`` now catches that leg.  Skips (with a
+    warning when ``.git`` exists — see ``_warn_guard_skipped``) when the
+    git state cannot be read; silent only for the hermetic tool tests'
+    bare tmp_path fake.
     """
-    try:
-        r = subprocess.run(
-            ["git", "diff", "--name-only", "HEAD", "--", *paths],
-            cwd=REPO, capture_output=True, text=True, timeout=60)
-    except (OSError, subprocess.TimeoutExpired):
-        return []
-    if r.returncode != 0:  # not a git repo / no HEAD: cannot attribute
-        return []
-    return sorted(ln.strip() for ln in r.stdout.splitlines() if ln.strip())
+    dirty: set[str] = set()
+    for argv in (
+        ["git", "diff", "--name-only", "HEAD", "--", *paths],
+        ["git", "ls-files", "--others", "--exclude-standard", "--", *paths],
+    ):
+        try:
+            r = subprocess.run(
+                argv, cwd=REPO, capture_output=True, text=True, timeout=60)
+        except (OSError, subprocess.TimeoutExpired) as exc:
+            _warn_guard_skipped(f"{argv[1]}: {type(exc).__name__}")
+            return []
+        if r.returncode != 0:  # not a git repo / no HEAD: cannot attribute
+            _warn_guard_skipped(f"{argv[1]}: rc={r.returncode}")
+            return []
+        dirty.update(ln.strip() for ln in r.stdout.splitlines() if ln.strip())
+    return sorted(dirty)
 
 
 def main() -> int:
