@@ -4779,9 +4779,9 @@ _R17_HEAD = [
     "tsdb_downsample_range_clamp", "tsdb_series_assembly",
 ]
 
-#: The ACTIVE round-17 rotation (hoisted in ``queries()`` below), flipped
-#: exactly as the r16 session prepared it — the r17 session's only
-#: rotation change, per plan.  Construction
+#: The round-17 rotation (hoisted r17, landed 50/50 green in
+#: CORRECTNESS_r17.json), flipped exactly as the r16 session prepared it
+#: — the r17 session's only rotation change, per plan.  Construction
 #: against the post-r16 map (r13x10, r14x50, r15x50, r16x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R16_WINDOW --check
 #: _R17_WINDOW``):
@@ -4840,9 +4840,9 @@ _R18_HEAD = [
     "multimodal_audio_energy", "sim_ivf_balance",
 ]
 
-#: The PREPARED round-18 rotation — defined now (while the post-r17 hash
-#: map is deterministic) but NOT hoisted; the r18 session's only rotation
-#: change is flipping the hoist line to ``_R18_WINDOW``.  Construction
+#: The ACTIVE round-18 rotation (hoisted in ``queries()`` below), flipped
+#: exactly as the r17 session prepared it — the r18 session's only
+#: rotation change, per plan.  Construction
 #: against the post-r17 map (r14x10, r15x50, r16x50, r17x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R17_WINDOW --check
 #: _R18_WINDOW``):
@@ -4890,6 +4890,69 @@ assert _R18_HEAD == _R14_WINDOW[40:]
 assert _R18_WINDOW[10:] == _R15_WINDOW[:40]
 assert not set(_R18_WINDOW) & set(_R17_WINDOW)
 
+#: The 10 r15-cohort rows the r18 slots cannot hold — they head the r19
+#: window (r15-window relative order preserved).  Pure hash-age residue:
+#: the scrub/chunk trio, the windowed-max streaming row, the salted-skew
+#: row, and the contiguous sim_pq codes/ADC/trained trio +
+#: sim_topk_lsh_multiprobe (which share the _TRAIN_CACHE builds and so
+#: stay together).  All 10 sit on code paths diff-identical since r13
+#: (per VERDICT r15–r17's empty engine diffs), so the debt is hash age
+#: only.
+_R19_HEAD = [
+    "text_pii_scrub", "doc_chunk_windows", "doc_chunk_texts",
+    "streaming_windowed_max", "text_quality_filter", "events_salted_stats",
+    "sim_pq_codes", "sim_pq_adc_topk", "sim_pq_trained",
+    "sim_topk_lsh_multiprobe",
+]
+
+#: The PREPARED round-19 rotation — defined now (while the post-r18 hash
+#: map is deterministic) but NOT hoisted; the r19 session's only rotation
+#: change is flipping the hoist line to ``_R19_WINDOW``.  Construction
+#: against the post-r18 map (r15x10, r16x50, r17x50, r18x50 — verify with
+#: ``python tools/staleness_ledger.py --pending _R18_WINDOW --check
+#: _R19_WINDOW``):
+#:
+#: 1. The 10 named _R19_HEAD rows first (the complete post-r18 r15
+#:    cohort — the then-oldest hashes), in r15-window relative order:
+#:    after this window lands no row's hash predates r16.
+#: 2. The first 40 rows of the r16 cohort, in r16-window relative order:
+#:    pure hash-age rotation, no known behavior debt.  The remaining 10
+#:    r16 rows (tsdb_quantile_over_time, tsdb_sliding_range_max,
+#:    tsdb_stddev_over_time, tsdb_topk_per_bucket, ch_pushdown_read,
+#:    tsdb_rollup_hierarchy, tsdb_subquery_maxrate, tsdb_retention_serve,
+#:    tsdb_mad_over_time, tsdb_sum_by_label) are
+#:    the natural _R20 head.  Spelled as a list literal (not
+#:    ``_R19_HEAD + _R16_WINDOW[:40]``) because
+#:    tools/staleness_ledger.py parses window lists from SOURCE.
+_R19_WINDOW = [
+    # the 10 named _R19_HEAD rows: the complete post-r18 r15 cohort
+    # (r15-window relative order)
+    "text_pii_scrub", "doc_chunk_windows", "doc_chunk_texts",
+    "streaming_windowed_max", "text_quality_filter", "events_salted_stats",
+    "sim_pq_codes", "sim_pq_adc_topk", "sim_pq_trained",
+    "sim_topk_lsh_multiprobe",
+    # the first 40 rows of the r16 cohort, r16-window relative order
+    "q2_min_cost_region", "q11_important_parts",
+    "q20_promotable_suppliers", "q21_waiting_suppliers", "dedup_lines",
+    "dedup_bloom", "sim_matryoshka_topk", "dataset_shuffle_shards",
+    "text_vocab", "events_bucketed_join",
+    "text_bigram_lm", "tsdb_label_values", "tsdb_series_count",
+    "tsdb_label_project", "dedup_minhash_recall", "ch_sink_roundtrip",
+    "dedup_containment", "dataset_interleave", "dedup_simhash",
+    "doc_stats_by_source", "customers_lapsed", "dataset_split",
+    "tsdb_irate", "tsdb_delta", "tsdb_increase", "tsdb_resets_changes",
+    "tsdb_range_agg", "tsdb_moving_avg", "tsdb_rollup_serve",
+    "tsdb_binary_ratio", "tsdb_compact_serve", "tsdb_count_values",
+    "tsdb_deriv", "tsdb_exp_smooth", "tsdb_histogram_buckets",
+    "tsdb_histogram_quantile", "tsdb_label_join", "tsdb_label_replace",
+    "tsdb_offset_ratio", "tsdb_predict_linear",
+]
+assert len(_R19_WINDOW) == 50 and len(set(_R19_WINDOW)) == 50
+assert _R19_WINDOW[:10] == _R19_HEAD
+assert _R19_HEAD == _R15_WINDOW[40:]
+assert _R19_WINDOW[10:] == _R16_WINDOW[:40]
+assert not set(_R19_WINDOW) & set(_R18_WINDOW)
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is a driver contract: the window above is hoisted to the
@@ -4933,7 +4996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # head); r17 the _R17_WINDOW rotation, flipped exactly as prepared
     # (the complete 10-row r13 cohort + the first 40 r14 rows; after it
     # the residue is r14x10 + r15x50, scheduled across _R18_WINDOW + the
-    # named _R19 head).
+    # named _R19 head); r18 the _R18_WINDOW rotation, flipped exactly as
+    # prepared (the complete 10-row r14 cohort — sales_rollup + the
+    # contiguous 8-row multimodal block + sim_ivf_balance — + the first
+    # 40 r15 rows; after it the residue is r15x10 + r16x50, scheduled
+    # across _R19_WINDOW + the named _R20 head).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -5124,7 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R17_WINDOW}
+    out = {name: base[name] for name in _R18_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 

@@ -29,12 +29,12 @@ def test_verification_windows_are_valid_rotations():
     window must name only real queries (a typo'd name would silently shrink
     the next rotation)."""
     names = list(entry.queries())
-    assert names[:50] == entry._R17_WINDOW  # active round's hoist
+    assert names[:50] == entry._R18_WINDOW  # active round's hoist
     for window in (
         entry._R9_WINDOW, entry._R10_WINDOW, entry._R11_WINDOW,
         entry._R12_WINDOW, entry._R13_WINDOW, entry._R14_WINDOW,
         entry._R15_WINDOW, entry._R16_WINDOW, entry._R17_WINDOW,
-        entry._R18_WINDOW,
+        entry._R18_WINDOW, entry._R19_WINDOW,
     ):
         assert len(window) == 50 and len(set(window)) == 50
         missing = set(window) - set(names)
@@ -101,6 +101,17 @@ def test_verification_windows_are_valid_rotations():
     assert entry._R18_HEAD == entry._R14_WINDOW[40:]
     assert entry._R18_WINDOW[10:] == entry._R15_WINDOW[:40]
     assert not set(entry._R18_WINDOW) & set(entry._R17_WINDOW)
+    # r19 leads with the complete post-r18 r15 cohort (the then-oldest
+    # hashes — the 10 named _R19_HEAD rows the r18 slots could not hold:
+    # the scrub/chunk trio, streaming_windowed_max, text_quality_filter,
+    # events_salted_stats, the contiguous sim_pq trio +
+    # sim_topk_lsh_multiprobe), then absorbs the first 40 rows of the r16
+    # cohort in r16-window relative order; the remaining 10 r16 rows are
+    # the natural _R20 head
+    assert entry._R19_WINDOW[:10] == entry._R19_HEAD
+    assert entry._R19_HEAD == entry._R15_WINDOW[40:]
+    assert entry._R19_WINDOW[10:] == entry._R16_WINDOW[:40]
+    assert not set(entry._R19_WINDOW) & set(entry._R18_WINDOW)
 
 
 def test_oracle_sql_compiles_in_duckdb():
@@ -211,13 +222,15 @@ def test_matcher_path_rows_covered_by_r11_rotation():
             age[k] = max(age.get(k, 0), rnd)
     for k in entry._R15_WINDOW:
         age[k] = max(age.get(k, 0), 15)
-    # same modeling for the later rotations (r16 landed; r17 now
+    # same modeling for the later rotations (r17 landed; r18 now
     # active): before each CORRECTNESS file lands the bump models the
     # upcoming driver run; after it lands the bump is a no-op
     for k in entry._R16_WINDOW:
         age[k] = max(age.get(k, 0), 16)
     for k in entry._R17_WINDOW:
         age[k] = max(age.get(k, 0), 17)
+    for k in entry._R18_WINDOW:
+        age[k] = max(age.get(k, 0), 18)
     stale = {r for r in matcher_rows if age.get(r, 0) < 13}
     assert not stale, (
         f"matcher-path rows with pre-r13 hashes after the r15 rotation "

@@ -227,15 +227,15 @@ def test_screen_refuses_untracked_target_files(tmp_path, monkeypatch, capsys):
     assert "T1 flip X: KILLED" in capsys.readouterr().out
 
 
-def test_screen_warns_when_guard_skipped_in_git_checkout(
+def test_screen_fresh_init_refuses_via_untracked_leg(
         tmp_path, monkeypatch, capsys):
-    """ADVICE r16 item 1: a git failure must not disable the dirty-tree
-    refusal SILENTLY in anything that looks like a git checkout.  A fresh
-    ``git init`` with no commits has ``.git`` but no HEAD, so ``git diff
-    HEAD`` fails — the guard skips, but now with a loud warning.  The
-    bare-tmp_path hermetic case (no ``.git``) stays silent, which every
-    other test in this file implicitly pins by asserting on full output.
-    """
+    """ADVICE r17 item 2 (supersedes the r16 warn-and-proceed pin): a
+    fresh ``git init`` with no commits has ``.git`` but no HEAD, so ``git
+    diff HEAD`` fails — but ``git ls-files --others`` alone still runs
+    and flags every existing target as untracked, i.e. unattributable
+    under a mid-run snapshot commit.  The guard must fall through to that
+    leg and REFUSE, not disable both legs with a warning (the previous,
+    weaker behavior)."""
     mod = _load_screen(
         tmp_path, monkeypatch,
         mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
@@ -245,10 +245,132 @@ def test_screen_warns_when_guard_skipped_in_git_checkout(
     env = {"HOME": str(tmp_path), "PATH": os.environ["PATH"]}
     subprocess.run(["git", "init", "-q"], cwd=tmp_path, check=True, env=env,
                    capture_output=True)
-    assert mod.main() == 0  # guard skipped, screen still runs to completion
+    assert mod.main() == 2
+    out = capsys.readouterr().out
+    assert "REFUSING to run" in out
+    assert "fake_src.py" in out
+    assert "baseline: pytest" not in out  # refused before any pytest run
+
+
+def test_screen_warns_when_no_git_state_readable(
+        tmp_path, monkeypatch, capsys):
+    """ADVICE r16 item 1, re-pinned on the r18 guard shape: when NO git
+    state at all can be read (both legs fail) in anything that looks like
+    a git checkout (``.git`` exists), the guard skips with a loud warning
+    and the screen still completes.  The bare-tmp_path hermetic case (no
+    ``.git``) stays silent, which every other test in this file
+    implicitly pins by asserting on full output."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\n", "tests/test_k.py": _KILLER_PINS_X},
+    )
+    (tmp_path / ".git").mkdir()  # looks like a checkout; git itself fails
+    real_run = mod.subprocess.run
+
+    def fake_run(cmd, **kw):
+        if cmd[0] == "git":
+            raise OSError("git unreachable")
+        return real_run(cmd, **kw)
+
+    monkeypatch.setattr(mod.subprocess, "run", fake_run)
+    assert mod.main() == 0  # guard skipped loudly, screen runs to completion
     out = capsys.readouterr().out
     assert "WARNING: dirty-tree guard SKIPPED" in out
     assert "T1 flip X: KILLED" in out
+
+
+def test_screen_later_leg_failure_keeps_confirmed_dirty(
+        tmp_path, monkeypatch, capsys):
+    """ADVICE r17 item 1: when the diff-HEAD leg has already confirmed a
+    dirty target, a transient failure of the ls-files leg must not
+    discard that confirmation — the refusal stands on what was read."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\n", "tests/test_k.py": _KILLER_PINS_X},
+    )
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+           "HOME": str(tmp_path), "PATH": os.environ["PATH"]}
+    for cmd in (["git", "init", "-q"], ["git", "add", "-A"],
+                ["git", "commit", "-qm", "pristine"]):
+        subprocess.run(cmd, cwd=tmp_path, check=True, env=env,
+                       capture_output=True)
+    (tmp_path / "fake_src.py").write_text("X = 1\n# uncommitted edit\n")
+    real_run = mod.subprocess.run
+
+    def fake_run(cmd, **kw):
+        if cmd[0] == "git" and cmd[1] == "ls-files":
+            raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 0))
+        return real_run(cmd, **kw)
+
+    monkeypatch.setattr(mod.subprocess, "run", fake_run)
+    assert mod.main() == 2
+    out = capsys.readouterr().out
+    assert "REFUSING to run" in out
+    assert "fake_src.py" in out
+    assert "baseline: pytest" not in out
+
+
+def test_dirty_guard_empty_selection_makes_no_git_call(
+        tmp_path, monkeypatch):
+    """VERDICT r17 "what's wrong": ``git ls-files --others --`` with NO
+    pathspec lists the whole tree's untracked files, so an empty path
+    list used to produce a spurious refusal naming files that were never
+    mutation targets.  An empty selection must return [] without running
+    git at all."""
+    mod = _load_screen(tmp_path, monkeypatch, mutants=[], files={})
+
+    def boom(cmd, **kw):
+        raise AssertionError(f"git must not be called: {cmd}")
+
+    monkeypatch.setattr(mod.subprocess, "run", boom)
+    assert mod._dirty_target_files([]) == []
+
+
+def test_screen_rejects_unknown_mutant_id(tmp_path, monkeypatch, capsys):
+    """VERDICT r17 "what's wrong": a typo'd ID used to select zero
+    mutants silently (then trip the empty-selection guard bug).  Unknown
+    IDs must be rejected loudly, running nothing."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\n", "tests/test_k.py": _KILLER_PINS_X},
+        argv=["M999"],
+    )
+    assert mod.main() == 2
+    out = capsys.readouterr().out
+    assert "unknown mutant ID" in out
+    assert "M999" in out
+    assert "baseline: pytest" not in out  # nothing ran
+    # a KNOWN id still runs normally through the same argparse path
+    monkeypatch.setattr(sys, "argv", ["mutant_screen.py", "T1"])
+    assert mod.main() == 0
+    assert "T1 flip X: KILLED" in capsys.readouterr().out
+
+
+def test_screen_help_prints_usage_not_refusal(tmp_path, monkeypatch, capsys):
+    """VERDICT r17 "what's wrong": ``--help`` used to be swallowed as a
+    mutant-ID filter and produce a spurious whole-tree refusal.  argparse
+    must intercept it: usage on stdout, SystemExit(0), no refusal text."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\n", "tests/test_k.py": _KILLER_PINS_X},
+        argv=["--help"],
+    )
+    with pytest.raises(SystemExit) as exc:
+        mod.main()
+    assert exc.value.code == 0
+    out = capsys.readouterr().out
+    assert "usage:" in out
+    assert "MUTANT_ID" in out
+    assert "REFUSING" not in out
 
 
 def test_every_mutant_original_snippet_canonical_at_head():

@@ -176,6 +176,7 @@ Usage:
 
 from __future__ import annotations
 
+import argparse
 import os
 import subprocess
 import sys
@@ -755,7 +756,15 @@ def _dirty_target_files(paths: list[str]) -> list[str]:
     git state cannot be read; silent only for the hermetic tool tests'
     bare tmp_path fake.
     """
+    if not paths:
+        # VERDICT r17 "what's wrong": with NO pathspec, the ls-files leg
+        # lists every untracked file in the whole tree, so an empty
+        # selection (no mutants routed here) produced a spurious refusal
+        # naming files that were never mutation targets.  Nothing to
+        # mutate means nothing to attribute — no git call at all.
+        return []
     dirty: set[str] = set()
+    failed: list[str] = []
     for argv in (
         ["git", "diff", "--name-only", "HEAD", "--", *paths],
         ["git", "ls-files", "--others", "--exclude-standard", "--", *paths],
@@ -764,17 +773,55 @@ def _dirty_target_files(paths: list[str]) -> list[str]:
             r = subprocess.run(
                 argv, cwd=REPO, capture_output=True, text=True, timeout=60)
         except (OSError, subprocess.TimeoutExpired) as exc:
-            _warn_guard_skipped(f"{argv[1]}: {type(exc).__name__}")
-            return []
-        if r.returncode != 0:  # not a git repo / no HEAD: cannot attribute
-            _warn_guard_skipped(f"{argv[1]}: rc={r.returncode}")
-            return []
+            failed.append(f"{argv[1]}: {type(exc).__name__}")
+            continue
+        if r.returncode != 0:
+            # not a git repo, or no HEAD yet (fresh init): this LEG
+            # cannot be read, but the other leg may still attribute —
+            # ADVICE r17 item 2: a diff-HEAD failure in a just-initialised
+            # repo must not disable the ls-files leg, which alone would
+            # flag every existing target as untracked/unattributable.
+            failed.append(f"{argv[1]}: rc={r.returncode}")
+            continue
         dirty.update(ln.strip() for ln in r.stdout.splitlines() if ln.strip())
-    return sorted(dirty)
+    if dirty:
+        # ADVICE r17 item 1: a later-leg failure must not discard an
+        # already-confirmed refusal condition — refuse on what was read.
+        return sorted(dirty)
+    if len(failed) == 2:
+        # no git state at all could be read: the only true full skip
+        _warn_guard_skipped("; ".join(failed))
+    elif failed:
+        # one leg read clean, the other could not be read: weaker than
+        # the full guard — say so rather than degrade silently
+        _warn_guard_skipped(failed[0] + " (other leg read clean)")
+    return []
 
 
-def main() -> int:
-    only = set(sys.argv[1:])
+def main(argv: list[str] | None = None) -> int:
+    # VERDICT r17 "what's wrong": the old ``set(sys.argv[1:])`` treated
+    # ANY token (``--help``, a typo'd ID) as a mutant-ID filter, selected
+    # zero mutants, and the empty selection produced a spurious
+    # whole-tree refusal.  argparse (the tools/targeted_probe.py pattern)
+    # makes ``--help`` print usage, and unknown IDs are rejected loudly
+    # instead of silently selecting nothing.
+    parser = argparse.ArgumentParser(
+        description="Apply each registered mutant (one flipped semantic "
+                    "clause), run its killer test files, and require a "
+                    "failure: KILLED/SURVIVED/INVALID/TIMEOUT per mutant, "
+                    "exit 0 iff all KILLED.")
+    parser.add_argument(
+        "ids", nargs="*", metavar="MUTANT_ID",
+        help="run only these mutant IDs (e.g. M13 M104); default: all")
+    ns = parser.parse_args(argv)
+    known = {m[0] for m in MUTANTS}
+    unknown = sorted(set(ns.ids) - known)
+    if unknown:
+        print(f"ERROR: unknown mutant ID(s) {unknown} — known IDs are "
+              f"{sorted(known, key=lambda i: (len(i), i))[:5]} ... "
+              f"({len(known)} registered); nothing run.")
+        return 2
+    only = set(ns.ids)
     selected = [m for m in MUTANTS if not only or m[0] in only]
 
     # Dirty-tree refusal (VERDICT r15 task 2): never mutate a target file
