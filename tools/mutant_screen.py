@@ -72,7 +72,10 @@ zh 30% threshold boundary, the offset_ratio day-shift direction, and
 the sample-membership bucket-10 cut — all 3 KILLED: 104/104.  r16 also
 re-verified the full register on this tree in chunks (M1-M35,
 M36-M76 + the new rules, with the dirty-tree guard active throughout):
-every rule KILLED.  The screen earned its
+every rule KILLED.  r18 re-ran the full 104-rule register in one pass
+on the committed tree (after the argparse/guard fixes): 104/104
+KILLED, zero INVALID/TIMEOUT, pristine-tree baseline green over all 20
+killer files.  The screen earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
