@@ -4383,6 +4383,18 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
 #: Fill the rest of r10 oldest-first from the r6 cohort (multimodal_*,
 #: streaming_sessionize, events_asof_*, orders_market_basket, ...) then
 #: the r7 cohort (TPC-H block) — pure rotation hygiene, no known debt.
+def _require(cond: bool, what: str) -> None:
+    """Window-invariant check that survives ``python -O`` (ADVICE r18
+    item 2: plain ``assert`` statements are stripped under -O, leaving
+    only the test suite to catch a drifted window literal).  Raises
+    explicitly so the module fails to import on drift in every
+    interpreter mode; tests/test_entry_contract.py duplicates each
+    invariant independently."""
+    if not cond:
+        raise AssertionError("window invariant violated: " + what)
+
+
+
 _R9_WINDOW = [
     # 22 r5-hashed rows (oldest cohort), r5-window relative order —
     # keeps the PQ build chain and staged dedup order intact
@@ -4409,7 +4421,8 @@ _R9_WINDOW = [
     "dataset_interleave", "dedup_simhash", "doc_stats_by_source",
     "customers_lapsed", "dataset_split",
 ]
-assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+_require(len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50,
+         "len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50")
 
 
 #: The round-10 rotation (prepared in r9 while the staleness map was
@@ -4458,7 +4471,8 @@ _R10_WINDOW = [
     "multimodal_frame_sample", "multimodal_resize", "multimodal_resample",
     "multimodal_audio_energy", "sim_ivf_balance",
 ]
-assert len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50
+_require(len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50,
+         "len(_R10_WINDOW) == 50 and len(set(_R10_WINDOW)) == 50")
 
 
 #: The ACTIVE round-11 rotation (hoisted in ``queries()`` below).  The
@@ -4518,7 +4532,8 @@ _R11_WINDOW = [
     "tsdb_label_regex", "tsdb_downsample_30s", "tsdb_downsample_range_clamp",
     "tsdb_series_assembly", "tsdb_ignore_label", "tsdb_rate",
 ]
-assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+_require(len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50,
+         "len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50")
 
 
 #: The round-12 rotation (hoisted r12, landed 50/50 green in
@@ -4573,7 +4588,8 @@ _R12_WINDOW = [
     "dedup_bloom", "sim_matryoshka_topk", "dataset_shuffle_shards",
     "text_vocab", "events_bucketed_join",
 ]
-assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
+_require(len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50,
+         "len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50")
 
 
 #: The round-13 rotation (hoisted r13, landed 50/50 green in
@@ -4619,7 +4635,8 @@ _R13_WINDOW = [
     "tsdb_label_regex", "tsdb_downsample_30s", "tsdb_downsample_range_clamp",
     "tsdb_series_assembly",
 ]
-assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
+_require(len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50,
+         "len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50")
 
 #: The 2 matcher-path rows the r13 slots cannot hold — they head the r14
 #: window (r11-window relative order preserved).  Until then they carry
@@ -4667,8 +4684,10 @@ _R14_WINDOW = [
     "multimodal_frame_sample", "multimodal_resize", "multimodal_resample",
     "multimodal_audio_energy", "sim_ivf_balance",
 ]
-assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
-assert _R14_WINDOW[:2] == _R14_HEAD
+_require(len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50,
+         "len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50")
+_require(_R14_WINDOW[:2] == _R14_HEAD,
+         "_R14_WINDOW[:2] == _R14_HEAD")
 
 #: The ACTIVE round-15 rotation (hoisted in ``queries()`` below), flipped
 #: exactly as the r14 session prepared it — the r15 session's only
@@ -4708,7 +4727,8 @@ _R15_WINDOW = [
     "text_quality_filter", "events_salted_stats", "sim_pq_codes",
     "sim_pq_adc_topk", "sim_pq_trained", "sim_topk_lsh_multiprobe",
 ]
-assert len(_R15_WINDOW) == 50 and len(set(_R15_WINDOW)) == 50
+_require(len(_R15_WINDOW) == 50 and len(set(_R15_WINDOW)) == 50,
+         "len(_R15_WINDOW) == 50 and len(set(_R15_WINDOW)) == 50")
 
 #: The 10 r12-cohort rows the r15 slots cannot hold — they head the r16
 #: window (r12-window relative order preserved).  Pure hash-age residue:
@@ -4762,10 +4782,14 @@ _R16_WINDOW = [
     "tsdb_subquery_maxrate", "tsdb_retention_serve", "tsdb_mad_over_time",
     "tsdb_sum_by_label",
 ]
-assert len(_R16_WINDOW) == 50 and len(set(_R16_WINDOW)) == 50
-assert _R16_WINDOW[:10] == _R16_HEAD
-assert _R16_WINDOW[10:] == _R13_WINDOW[:40]
-assert not set(_R16_WINDOW) & set(_R15_WINDOW)
+_require(len(_R16_WINDOW) == 50 and len(set(_R16_WINDOW)) == 50,
+         "len(_R16_WINDOW) == 50 and len(set(_R16_WINDOW)) == 50")
+_require(_R16_WINDOW[:10] == _R16_HEAD,
+         "_R16_WINDOW[:10] == _R16_HEAD")
+_require(_R16_WINDOW[10:] == _R13_WINDOW[:40],
+         "_R16_WINDOW[10:] == _R13_WINDOW[:40]")
+_require(not set(_R16_WINDOW) & set(_R15_WINDOW),
+         "not set(_R16_WINDOW) & set(_R15_WINDOW)")
 
 #: The 10 r13-cohort rows the r16 slots cannot hold — they head the r17
 #: window (r13-window relative order preserved).  Pure hash-age residue:
@@ -4821,11 +4845,16 @@ _R17_WINDOW = [
     "q17_small_quantity_revenue", "q18_large_orders",
     "q19_or_predicate_revenue", "q22_inactive_customer_balance",
 ]
-assert len(_R17_WINDOW) == 50 and len(set(_R17_WINDOW)) == 50
-assert _R17_WINDOW[:10] == _R17_HEAD
-assert _R17_HEAD == _R13_WINDOW[40:]
-assert _R17_WINDOW[10:] == _R14_WINDOW[:40]
-assert not set(_R17_WINDOW) & set(_R16_WINDOW)
+_require(len(_R17_WINDOW) == 50 and len(set(_R17_WINDOW)) == 50,
+         "len(_R17_WINDOW) == 50 and len(set(_R17_WINDOW)) == 50")
+_require(_R17_WINDOW[:10] == _R17_HEAD,
+         "_R17_WINDOW[:10] == _R17_HEAD")
+_require(_R17_HEAD == _R13_WINDOW[40:],
+         "_R17_HEAD == _R13_WINDOW[40:]")
+_require(_R17_WINDOW[10:] == _R14_WINDOW[:40],
+         "_R17_WINDOW[10:] == _R14_WINDOW[:40]")
+_require(not set(_R17_WINDOW) & set(_R16_WINDOW),
+         "not set(_R17_WINDOW) & set(_R16_WINDOW)")
 
 #: The 10 r14-cohort rows the r17 slots cannot hold — they head the r18
 #: window (r14-window relative order preserved).  Pure hash-age residue:
@@ -4840,9 +4869,9 @@ _R18_HEAD = [
     "multimodal_audio_energy", "sim_ivf_balance",
 ]
 
-#: The ACTIVE round-18 rotation (hoisted in ``queries()`` below), flipped
-#: exactly as the r17 session prepared it — the r18 session's only
-#: rotation change, per plan.  Construction
+#: The round-18 rotation (hoisted r18, landed 50/50 green in
+#: CORRECTNESS_r18.json), flipped exactly as the r17 session prepared it
+#: — the r18 session's only rotation change, per plan.  Construction
 #: against the post-r17 map (r14x10, r15x50, r16x50, r17x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R17_WINDOW --check
 #: _R18_WINDOW``):
@@ -4884,11 +4913,16 @@ _R18_WINDOW = [
     "dedup_embedding_cosine_lsh", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "dedup_incremental",
 ]
-assert len(_R18_WINDOW) == 50 and len(set(_R18_WINDOW)) == 50
-assert _R18_WINDOW[:10] == _R18_HEAD
-assert _R18_HEAD == _R14_WINDOW[40:]
-assert _R18_WINDOW[10:] == _R15_WINDOW[:40]
-assert not set(_R18_WINDOW) & set(_R17_WINDOW)
+_require(len(_R18_WINDOW) == 50 and len(set(_R18_WINDOW)) == 50,
+         "len(_R18_WINDOW) == 50 and len(set(_R18_WINDOW)) == 50")
+_require(_R18_WINDOW[:10] == _R18_HEAD,
+         "_R18_WINDOW[:10] == _R18_HEAD")
+_require(_R18_HEAD == _R14_WINDOW[40:],
+         "_R18_HEAD == _R14_WINDOW[40:]")
+_require(_R18_WINDOW[10:] == _R15_WINDOW[:40],
+         "_R18_WINDOW[10:] == _R15_WINDOW[:40]")
+_require(not set(_R18_WINDOW) & set(_R17_WINDOW),
+         "not set(_R18_WINDOW) & set(_R17_WINDOW)")
 
 #: The 10 r15-cohort rows the r18 slots cannot hold — they head the r19
 #: window (r15-window relative order preserved).  Pure hash-age residue:
@@ -4905,9 +4939,9 @@ _R19_HEAD = [
     "sim_topk_lsh_multiprobe",
 ]
 
-#: The PREPARED round-19 rotation — defined now (while the post-r18 hash
-#: map is deterministic) but NOT hoisted; the r19 session's only rotation
-#: change is flipping the hoist line to ``_R19_WINDOW``.  Construction
+#: The ACTIVE round-19 rotation (hoisted in ``queries()`` below), flipped
+#: exactly as the r18 session prepared it — the r19 session's only
+#: rotation change, per plan.  Construction
 #: against the post-r18 map (r15x10, r16x50, r17x50, r18x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R18_WINDOW --check
 #: _R19_WINDOW``):
@@ -4947,11 +4981,83 @@ _R19_WINDOW = [
     "tsdb_histogram_quantile", "tsdb_label_join", "tsdb_label_replace",
     "tsdb_offset_ratio", "tsdb_predict_linear",
 ]
-assert len(_R19_WINDOW) == 50 and len(set(_R19_WINDOW)) == 50
-assert _R19_WINDOW[:10] == _R19_HEAD
-assert _R19_HEAD == _R15_WINDOW[40:]
-assert _R19_WINDOW[10:] == _R16_WINDOW[:40]
-assert not set(_R19_WINDOW) & set(_R18_WINDOW)
+_require(len(_R19_WINDOW) == 50 and len(set(_R19_WINDOW)) == 50,
+         "len(_R19_WINDOW) == 50 and len(set(_R19_WINDOW)) == 50")
+_require(_R19_WINDOW[:10] == _R19_HEAD,
+         "_R19_WINDOW[:10] == _R19_HEAD")
+_require(_R19_HEAD == _R15_WINDOW[40:],
+         "_R19_HEAD == _R15_WINDOW[40:]")
+_require(_R19_WINDOW[10:] == _R16_WINDOW[:40],
+         "_R19_WINDOW[10:] == _R16_WINDOW[:40]")
+_require(not set(_R19_WINDOW) & set(_R18_WINDOW),
+         "not set(_R19_WINDOW) & set(_R18_WINDOW)")
+
+#: The 10 r16-cohort rows the r19 slots cannot hold — they head the r20
+#: window (r16-window relative order preserved).  Pure hash-age residue:
+#: all 10 are tsdb over-time / serve rows (plus ch_pushdown_read) whose
+#: code paths have been diff-identical since r13 (per VERDICT r15–r18's
+#: empty engine diffs), so the debt is hash age only.
+_R20_HEAD = [
+    "tsdb_quantile_over_time", "tsdb_sliding_range_max",
+    "tsdb_stddev_over_time", "tsdb_topk_per_bucket", "ch_pushdown_read",
+    "tsdb_rollup_hierarchy", "tsdb_subquery_maxrate",
+    "tsdb_retention_serve", "tsdb_mad_over_time", "tsdb_sum_by_label",
+]
+
+#: The PREPARED round-20 rotation — defined now (while the post-r19 hash
+#: map is deterministic) but NOT hoisted; the r20 session's only rotation
+#: change is flipping the hoist line to ``_R20_WINDOW``.  Construction
+#: against the post-r19 map (r16x10, r17x50, r18x50, r19x50 — verify with
+#: ``python tools/staleness_ledger.py --pending _R19_WINDOW --check
+#: _R20_WINDOW``):
+#:
+#: 1. The 10 named _R20_HEAD rows first (the complete post-r19 r16
+#:    cohort — the then-oldest hashes), in r16-window relative order:
+#:    after this window lands no row's hash predates r17.
+#: 2. The first 40 rows of the r17 cohort, in r17-window relative order:
+#:    pure hash-age rotation, no known behavior debt.  The remaining 10
+#:    r17 rows (q10_returned_item_reporting, q12_ship_lateness_priority,
+#:    q13_customer_order_distribution, q14_promo_revenue,
+#:    q15_top_supplier, q16_supplier_part_cardinality,
+#:    q17_small_quantity_revenue, q18_large_orders,
+#:    q19_or_predicate_revenue, q22_inactive_customer_balance) are the
+#:    natural _R21 head.  Spelled as a list literal (not
+#:    ``_R20_HEAD + _R17_WINDOW[:40]``) because
+#:    tools/staleness_ledger.py parses window lists from SOURCE.
+_R20_WINDOW = [
+    # the 10 named _R20_HEAD rows: the complete post-r19 r16 cohort
+    # (r16-window relative order)
+    "tsdb_quantile_over_time", "tsdb_sliding_range_max",
+    "tsdb_stddev_over_time", "tsdb_topk_per_bucket", "ch_pushdown_read",
+    "tsdb_rollup_hierarchy", "tsdb_subquery_maxrate",
+    "tsdb_retention_serve", "tsdb_mad_over_time", "tsdb_sum_by_label",
+    # the first 40 rows of the r17 cohort, r17-window relative order
+    "tsdb_topk_series", "tsdb_max_gap", "tsdb_stale_series",
+    "tsdb_read_eq", "tsdb_read_name_regex", "tsdb_read_nre",
+    "tsdb_label_regex", "tsdb_downsample_30s",
+    "tsdb_downsample_range_clamp", "tsdb_series_assembly",
+    "tsdb_ignore_label", "tsdb_rate",
+    "sim_ivf_pq_topk", "sim_ivf_pq_recall", "streaming_dedup",
+    "streaming_sessionize", "events_asof_tolerance", "events_asof_next",
+    "orders_market_basket", "sim_topk_filtered", "streaming_dropduplicates",
+    "events_bucketed_agg", "sim_topk_lsh", "sim_topk_ivf",
+    "sim_ivf_trained", "events_value_histogram", "events_daily_pivot",
+    "events_retention", "emb_label_centroids", "min_cost_supplier",
+    "orders_with_returns", "orders_no_returns", "order_value_quantiles",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q4_late_shipment_priority", "q5_local_supplier_volume",
+    "q7_nation_trade_volume", "q8_market_share", "q9_product_type_profit",
+]
+_require(len(_R20_WINDOW) == 50 and len(set(_R20_WINDOW)) == 50,
+         "len(_R20_WINDOW) == 50 and len(set(_R20_WINDOW)) == 50")
+_require(_R20_WINDOW[:10] == _R20_HEAD,
+         "_R20_WINDOW[:10] == _R20_HEAD")
+_require(_R20_HEAD == _R16_WINDOW[40:],
+         "_R20_HEAD == _R16_WINDOW[40:]")
+_require(_R20_WINDOW[10:] == _R17_WINDOW[:40],
+         "_R20_WINDOW[10:] == _R17_WINDOW[:40]")
+_require(not set(_R20_WINDOW) & set(_R19_WINDOW),
+         "not set(_R20_WINDOW) & set(_R19_WINDOW)")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -5000,7 +5106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prepared (the complete 10-row r14 cohort — sales_rollup + the
     # contiguous 8-row multimodal block + sim_ivf_balance — + the first
     # 40 r15 rows; after it the residue is r15x10 + r16x50, scheduled
-    # across _R19_WINDOW + the named _R20 head).
+    # across _R19_WINDOW + the named _R20 head); r19 the _R19_WINDOW
+    # rotation, flipped exactly as prepared (the complete 10-row r15
+    # cohort + the first 40 r16 rows; after it the residue is r16x10 +
+    # r17x50, scheduled across _R20_WINDOW + the named _R21 head).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -5191,7 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R18_WINDOW}
+    out = {name: base[name] for name in _R19_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 

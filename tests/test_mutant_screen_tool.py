@@ -252,14 +252,13 @@ def test_screen_fresh_init_refuses_via_untracked_leg(
     assert "baseline: pytest" not in out  # refused before any pytest run
 
 
-def test_screen_warns_when_no_git_state_readable(
+def test_screen_refuses_when_no_git_state_readable(
         tmp_path, monkeypatch, capsys):
-    """ADVICE r16 item 1, re-pinned on the r18 guard shape: when NO git
-    state at all can be read (both legs fail) in anything that looks like
-    a git checkout (``.git`` exists), the guard skips with a loud warning
-    and the screen still completes.  The bare-tmp_path hermetic case (no
-    ``.git``) stays silent, which every other test in this file
-    implicitly pins by asserting on full output."""
+    """ADVICE r18 item 1, tightening the r16/r17 shape: when NO git state
+    at all can be read (both legs fail) in anything that looks like a git
+    checkout (``.git`` exists), the guard REFUSES (exit 2) instead of
+    degrading to warn-and-proceed — the M60 snapshot-attribution window
+    is exactly the case the guard exists to close.  Nothing runs."""
     mod = _load_screen(
         tmp_path, monkeypatch,
         mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
@@ -275,10 +274,68 @@ def test_screen_warns_when_no_git_state_readable(
         return real_run(cmd, **kw)
 
     monkeypatch.setattr(mod.subprocess, "run", fake_run)
-    assert mod.main() == 0  # guard skipped loudly, screen runs to completion
-    out = capsys.readouterr().out
-    assert "WARNING: dirty-tree guard SKIPPED" in out
-    assert "T1 flip X: KILLED" in out
+    assert mod.main() == 2
+    captured = capsys.readouterr()
+    assert "REFUSING to run" in captured.err
+    assert "git state could not be read" in captured.err
+    assert "baseline: pytest" not in captured.out  # nothing ran
+
+
+def test_screen_refuses_when_one_leg_unreadable_other_clean(
+        tmp_path, monkeypatch, capsys):
+    """ADVICE r18 item 1, the exact scenario named: the diff-HEAD leg
+    fails transiently while ls-files reads clean — a modified TRACKED
+    target would be invisible to the surviving leg (the legs cover
+    disjoint dirty classes), so the screen must refuse, not proceed with
+    a warning."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\n", "tests/test_k.py": _KILLER_PINS_X},
+    )
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+           "HOME": str(tmp_path), "PATH": os.environ["PATH"]}
+    for cmd in (["git", "init", "-q"], ["git", "add", "-A"],
+                ["git", "commit", "-qm", "pristine"]):
+        subprocess.run(cmd, cwd=tmp_path, check=True, env=env,
+                       capture_output=True)
+    # tracked target IS dirty — but the only leg that can see that fails
+    (tmp_path / "fake_src.py").write_text("X = 1\n# uncommitted edit\n")
+    real_run = mod.subprocess.run
+
+    def fake_run(cmd, **kw):
+        if cmd[0] == "git" and cmd[1] == "diff":
+            raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 0))
+        return real_run(cmd, **kw)
+
+    monkeypatch.setattr(mod.subprocess, "run", fake_run)
+    assert mod.main() == 2
+    captured = capsys.readouterr()
+    assert "REFUSING to run" in captured.err
+    assert "other leg read clean" in captured.err
+    assert "baseline: pytest" not in captured.out  # nothing ran
+
+
+def test_screen_proceeds_silently_without_dotgit(
+        tmp_path, monkeypatch, capsys):
+    """The hermetic no-``.git`` fake (this file's own fixture) stays the
+    only proceed-on-unreadable case: both legs fail (tmp_path is not a
+    repo) yet there is nothing to attribute snapshots against, so the
+    screen runs to completion with no warning and no refusal."""
+    mod = _load_screen(
+        tmp_path, monkeypatch,
+        mutants=[("T1", "flip X", "fake_src.py", "X = 1", "X = 2",
+                  ["tests/test_k.py"])],
+        files={"fake_src.py": "X = 1\n", "tests/test_k.py": _KILLER_PINS_X},
+    )
+    assert not (tmp_path / ".git").exists()
+    assert mod.main() == 0
+    captured = capsys.readouterr()
+    assert "T1 flip X: KILLED" in captured.out
+    assert "REFUSING" not in captured.err + captured.out
+    assert "WARNING" not in captured.err + captured.out
 
 
 def test_screen_later_leg_failure_keeps_confirmed_dirty(
@@ -343,10 +400,11 @@ def test_screen_rejects_unknown_mutant_id(tmp_path, monkeypatch, capsys):
         argv=["M999"],
     )
     assert mod.main() == 2
-    out = capsys.readouterr().out
-    assert "unknown mutant ID" in out
-    assert "M999" in out
-    assert "baseline: pytest" not in out  # nothing ran
+    captured = capsys.readouterr()
+    # ADVICE r18 item 3: the rejection is an error — stderr, not stdout
+    assert "unknown mutant ID" in captured.err
+    assert "M999" in captured.err
+    assert "baseline: pytest" not in captured.out  # nothing ran
     # a KNOWN id still runs normally through the same argparse path
     monkeypatch.setattr(sys, "argv", ["mutant_screen.py", "T1"])
     assert mod.main() == 0

@@ -726,18 +726,14 @@ MUTANTS = [
 ]
 
 
-def _warn_guard_skipped(why: str) -> None:
-    """ADVICE r16 item 1: the dirty-tree refusal silently disabled itself
-    on ANY git failure (OSError, timeout, nonzero exit), which is correct
-    for the hermetic tool tests (a bare tmp_path with no ``.git``) but
-    wrong in a real checkout, where a transient git failure would skip the
-    M60 safety guard with no indication.  Warn whenever ``REPO`` LOOKS
-    like a git checkout (``.git`` exists — work-tree dir or worktree
-    gitfile); stay silent only in the genuinely-not-a-repo case."""
-    if os.path.exists(os.path.join(REPO, ".git")):
-        print(f"WARNING: dirty-tree guard SKIPPED ({why}) — .git exists "
-              "but git state could not be read; the M60 snapshot-mid-run "
-              "refusal is NOT active for this pass.", flush=True)
+class GitStateUnreadable(RuntimeError):
+    """ADVICE r18 item 1: the dirty-tree guard could not read git state in
+    what looks like a real checkout (``.git`` exists).  The r16–r18 shape
+    degraded to warn-and-proceed here, which left the M60-class
+    snapshot-attribution risk window open on exactly the path the guard
+    exists to close — a transient git failure must make the screen REFUSE
+    instead.  The hermetic tool tests (a bare tmp_path with no ``.git``)
+    remain the only proceed-on-unreadable case."""
 
 
 def _dirty_target_files(paths: list[str]) -> list[str]:
@@ -754,10 +750,10 @@ def _dirty_target_files(paths: list[str]) -> list[str]:
     reports MODIFIED tracked files, so an untracked target (a new rule
     pointing at a file never committed) used to pass the guard even
     though a mid-run snapshot commit of it is equally unattributable —
-    ``git ls-files --others`` now catches that leg.  Skips (with a
-    warning when ``.git`` exists — see ``_warn_guard_skipped``) when the
-    git state cannot be read; silent only for the hermetic tool tests'
-    bare tmp_path fake.
+    ``git ls-files --others`` now catches that leg.  Raises
+    ``GitStateUnreadable`` (ADVICE r18 item 1: the caller refuses, exit
+    2) when any leg cannot be read while ``.git`` exists; proceeds
+    silently only for the hermetic tool tests' bare tmp_path fake.
     """
     if not paths:
         # VERDICT r17 "what's wrong": with NO pathspec, the ls-files leg
@@ -791,13 +787,19 @@ def _dirty_target_files(paths: list[str]) -> list[str]:
         # ADVICE r17 item 1: a later-leg failure must not discard an
         # already-confirmed refusal condition — refuse on what was read.
         return sorted(dirty)
-    if len(failed) == 2:
-        # no git state at all could be read: the only true full skip
-        _warn_guard_skipped("; ".join(failed))
-    elif failed:
-        # one leg read clean, the other could not be read: weaker than
-        # the full guard — say so rather than degrade silently
-        _warn_guard_skipped(failed[0] + " (other leg read clean)")
+    if failed and os.path.exists(os.path.join(REPO, ".git")):
+        # ADVICE r18 item 1: in a real checkout, ANY unreadable leg means
+        # the guard cannot certify the targets clean — refuse rather than
+        # warn-and-proceed (the r16–r18 behavior).  One leg reading clean
+        # is not enough: the legs cover disjoint dirty classes
+        # (modified-tracked vs untracked), so a clean diff-HEAD says
+        # nothing about untracked targets and vice versa.
+        detail = "; ".join(failed)
+        if len(failed) == 1:
+            detail += " (other leg read clean)"
+        raise GitStateUnreadable(detail)
+    # no ``.git`` at all: the hermetic tool-test fake — nothing to
+    # attribute snapshots against, proceed silently
     return []
 
 
@@ -820,9 +822,10 @@ def main(argv: list[str] | None = None) -> int:
     known = {m[0] for m in MUTANTS}
     unknown = sorted(set(ns.ids) - known)
     if unknown:
+        # ADVICE r18 item 3: errors go to stderr, not stdout
         print(f"ERROR: unknown mutant ID(s) {unknown} — known IDs are "
               f"{sorted(known, key=lambda i: (len(i), i))[:5]} ... "
-              f"({len(known)} registered); nothing run.")
+              f"({len(known)} registered); nothing run.", file=sys.stderr)
         return 2
     only = set(ns.ids)
     selected = [m for m in MUTANTS if not only or m[0] in only]
@@ -835,7 +838,18 @@ def main(argv: list[str] | None = None) -> int:
     # budget — the driver's end-of-round snapshot commits whatever state
     # the tree is in, and the per-mutant pytest subprocess is an exposure
     # window no in-process guard can close.)
-    dirty = _dirty_target_files(sorted({m[2] for m in selected}))
+    try:
+        dirty = _dirty_target_files(sorted({m[2] for m in selected}))
+    except GitStateUnreadable as exc:
+        # ADVICE r18 item 1: a real checkout whose git state cannot be
+        # read gets a refusal, not a warn-and-proceed — retry when git
+        # works.  (stderr, like the unknown-ID rejection: it is an error.)
+        print("REFUSING to run: .git exists but git state could not be "
+              f"read ({exc}) — the dirty-tree guard cannot certify the "
+              "mutation targets clean, so a mid-run snapshot would be "
+              "unattributable (see VERDICT r15 / mutant M60).",
+              file=sys.stderr)
+        return 2
     if dirty:
         print("REFUSING to run: uncommitted changes in mutation target "
               f"file(s) {dirty} — commit or stash first (a snapshot commit "
