@@ -75,7 +75,9 @@ M36-M76 + the new rules, with the dirty-tree guard active throughout):
 every rule KILLED.  r18 re-ran the full 104-rule register in one pass
 on the committed tree (after the argparse/guard fixes): 104/104
 KILLED, zero INVALID/TIMEOUT, pristine-tree baseline green over all 20
-killer files.  The screen earned its
+killer files.  r19 re-ran the full register in one pass on the
+committed tree (after the refuse-on-unreadable-git tightening):
+104/104 KILLED, zero INVALID/TIMEOUT, baseline green.  The screen earned its
 keep on first contact, surviving six times before the gaps were closed
 (plus one killer-list correction: M50's CH-leg trunc test lives in
 test_read_plan.py, not the sink file):
