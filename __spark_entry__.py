@@ -4939,9 +4939,9 @@ _R19_HEAD = [
     "sim_topk_lsh_multiprobe",
 ]
 
-#: The ACTIVE round-19 rotation (hoisted in ``queries()`` below), flipped
-#: exactly as the r18 session prepared it — the r19 session's only
-#: rotation change, per plan.  Construction
+#: The round-19 rotation (hoisted r19, landed 50/50 green in
+#: CORRECTNESS_r19.json), flipped exactly as the r18 session prepared it
+#: — the r19 session's only rotation change, per plan.  Construction
 #: against the post-r18 map (r15x10, r16x50, r17x50, r18x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R18_WINDOW --check
 #: _R19_WINDOW``):
@@ -5004,9 +5004,10 @@ _R20_HEAD = [
     "tsdb_retention_serve", "tsdb_mad_over_time", "tsdb_sum_by_label",
 ]
 
-#: The PREPARED round-20 rotation — defined now (while the post-r19 hash
-#: map is deterministic) but NOT hoisted; the r20 session's only rotation
-#: change is flipping the hoist line to ``_R20_WINDOW``.  Construction
+#: The ACTIVE round-20 rotation (hoisted in ``queries()`` below), flipped
+#: exactly as the r19 session prepared it — the r20 session's only
+#: rotation change, per plan (judge pre-gated all 50 rows green at
+#: sf0.01 during r19 via ``tools/pregate_window.py``).  Construction
 #: against the post-r19 map (r16x10, r17x50, r18x50, r19x50 — verify with
 #: ``python tools/staleness_ledger.py --pending _R19_WINDOW --check
 #: _R20_WINDOW``):
@@ -5059,6 +5060,77 @@ _require(_R20_WINDOW[10:] == _R17_WINDOW[:40],
 _require(not set(_R20_WINDOW) & set(_R19_WINDOW),
          "not set(_R20_WINDOW) & set(_R19_WINDOW)")
 
+#: The 10 r17-cohort rows the r20 slots cannot hold — they head the r21
+#: window (r17-window relative order preserved).  Pure hash-age residue:
+#: the TPC-H q10..q22 tail, all on classic-SQL code paths diff-identical
+#: since r13 (per VERDICT r15–r19's empty engine diffs), so the debt is
+#: hash age only.
+_R21_HEAD = [
+    "q10_returned_item_reporting", "q12_ship_lateness_priority",
+    "q13_customer_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_cardinality",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_or_predicate_revenue", "q22_inactive_customer_balance",
+]
+
+#: The PREPARED round-21 rotation — defined now (while the post-r20 hash
+#: map is deterministic) but NOT hoisted; a future r21 session's only
+#: rotation change would be flipping the hoist line to ``_R21_WINDOW``.
+#: Construction against the post-r20 map (r17x10, r18x50, r19x50, r20x50
+#: — verify with ``python tools/staleness_ledger.py --pending _R20_WINDOW
+#: --check _R21_WINDOW``):
+#:
+#: 1. The 10 named _R21_HEAD rows first (the complete post-r20 r17
+#:    cohort — the then-oldest hashes), in r17-window relative order:
+#:    after this window lands no row's hash predates r18.
+#: 2. The first 40 rows of the r18 cohort, in r18-window relative order:
+#:    pure hash-age rotation, no known behavior debt.  The 8-row
+#:    contiguous multimodal block (which shares the content-addressed
+#:    codec memo) and the r11-cohort recall-diagnostic block (which
+#:    shares the broadcast exact-top-10 baseline and the _TRAIN_CACHE
+#:    builds) both stay whole.  The remaining 10 r18 rows
+#:    (q6_revenue_delta, top_customers_per_segment, sim_topk_bruteforce,
+#:    emb_quantize_int8, dedup_exact, dedup_embedding_cosine,
+#:    dedup_embedding_cosine_lsh, dedup_ngram_jaccard, dedup_minhash_lsh,
+#:    dedup_incremental) are the natural _R22 head.  Spelled as a list
+#:    literal (not ``_R21_HEAD + _R18_WINDOW[:40]``) because
+#:    tools/staleness_ledger.py parses window lists from SOURCE.
+_R21_WINDOW = [
+    # the 10 named _R21_HEAD rows: the complete post-r20 r17 cohort
+    # (r17-window relative order — the TPC-H q10..q22 tail)
+    "q10_returned_item_reporting", "q12_ship_lateness_priority",
+    "q13_customer_order_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_cardinality",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_or_predicate_revenue", "q22_inactive_customer_balance",
+    # the first 40 rows of the r18 cohort, r18-window relative order
+    "sales_rollup", "multimodal_features", "multimodal_png_features",
+    "multimodal_jpeg_features", "multimodal_gif_frames",
+    "multimodal_frame_sample", "multimodal_resize", "multimodal_resample",
+    "multimodal_audio_energy", "sim_ivf_balance",
+    "sim_pq_recall", "sim_pq_trained_recall", "sim_pq_opq_recall",
+    "sim_lsh_recall", "sim_lsh_multiprobe_recall", "sim_ivf_recall",
+    "sim_ivf_trained_recall", "sim_matryoshka_recall",
+    "dedup_groups", "dedup_cluster_stats",
+    "protocol_roundtrip_read", "protocol_response_assembly",
+    "streaming_stateful_rate", "events_sessionize", "events_asof_click",
+    "events_window_agg", "events_funnel", "text_decontaminate",
+    "text_pipeline", "text_langid", "text_quality", "text_tokens",
+    "text_fingerprint", "text_tfidf_keywords", "text_repetition",
+    "dataset_dedup_apply", "dataset_length_histogram", "dataset_sample",
+    "dataset_mixture_sample", "doc_packing",
+]
+_require(len(_R21_WINDOW) == 50 and len(set(_R21_WINDOW)) == 50,
+         "len(_R21_WINDOW) == 50 and len(set(_R21_WINDOW)) == 50")
+_require(_R21_WINDOW[:10] == _R21_HEAD,
+         "_R21_WINDOW[:10] == _R21_HEAD")
+_require(_R21_HEAD == _R17_WINDOW[40:],
+         "_R21_HEAD == _R17_WINDOW[40:]")
+_require(_R21_WINDOW[10:] == _R18_WINDOW[:40],
+         "_R21_WINDOW[10:] == _R18_WINDOW[:40]")
+_require(not set(_R21_WINDOW) & set(_R20_WINDOW),
+         "not set(_R21_WINDOW) & set(_R20_WINDOW)")
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is a driver contract: the window above is hoisted to the
@@ -5109,7 +5181,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # across _R19_WINDOW + the named _R20 head); r19 the _R19_WINDOW
     # rotation, flipped exactly as prepared (the complete 10-row r15
     # cohort + the first 40 r16 rows; after it the residue is r16x10 +
-    # r17x50, scheduled across _R20_WINDOW + the named _R21 head).
+    # r17x50, scheduled across _R20_WINDOW + the named _R21 head); r20
+    # the _R20_WINDOW rotation, flipped exactly as prepared (the complete
+    # 10-row r16 cohort — the quantile/stddev/MAD over-time tail +
+    # rollup/retention serving + ch_pushdown_read — + the first 40 r17
+    # rows; after it the residue is r17x10 + r18x50, scheduled across
+    # _R21_WINDOW + the named _R22 head).
     base = {
         # --- never driver-verified: added in round 4 (16) ---
         "text_pii_scrub": q_text_pii_scrub,
@@ -5300,7 +5377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hoist the round's verification window to the front (dict order is
     # the driver contract); everything else keeps its historical position
-    out = {name: base[name] for name in _R19_WINDOW}
+    out = {name: base[name] for name in _R20_WINDOW}
     out.update((name, fn) for name, fn in base.items() if name not in out)
     return out
 

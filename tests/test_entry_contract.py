@@ -29,12 +29,13 @@ def test_verification_windows_are_valid_rotations():
     window must name only real queries (a typo'd name would silently shrink
     the next rotation)."""
     names = list(entry.queries())
-    assert names[:50] == entry._R19_WINDOW  # active round's hoist
+    assert names[:50] == entry._R20_WINDOW  # active round's hoist
     for window in (
         entry._R9_WINDOW, entry._R10_WINDOW, entry._R11_WINDOW,
         entry._R12_WINDOW, entry._R13_WINDOW, entry._R14_WINDOW,
         entry._R15_WINDOW, entry._R16_WINDOW, entry._R17_WINDOW,
         entry._R18_WINDOW, entry._R19_WINDOW, entry._R20_WINDOW,
+        entry._R21_WINDOW,
     ):
         assert len(window) == 50 and len(set(window)) == 50
         missing = set(window) - set(names)
@@ -122,6 +123,15 @@ def test_verification_windows_are_valid_rotations():
     assert entry._R20_HEAD == entry._R16_WINDOW[40:]
     assert entry._R20_WINDOW[10:] == entry._R17_WINDOW[:40]
     assert not set(entry._R20_WINDOW) & set(entry._R19_WINDOW)
+    # r21 (prepared, not hoisted) leads with the complete post-r20 r17
+    # cohort (the then-oldest hashes — the 10 named _R21_HEAD rows the
+    # r20 slots could not hold: the TPC-H q10..q22 tail), then absorbs
+    # the first 40 rows of the r18 cohort in r18-window relative order;
+    # the remaining 10 r18 rows are the natural _R22 head
+    assert entry._R21_WINDOW[:10] == entry._R21_HEAD
+    assert entry._R21_HEAD == entry._R17_WINDOW[40:]
+    assert entry._R21_WINDOW[10:] == entry._R18_WINDOW[:40]
+    assert not set(entry._R21_WINDOW) & set(entry._R20_WINDOW)
 
 
 def test_oracle_sql_compiles_in_duckdb():
@@ -232,7 +242,7 @@ def test_matcher_path_rows_covered_by_r11_rotation():
             age[k] = max(age.get(k, 0), rnd)
     for k in entry._R15_WINDOW:
         age[k] = max(age.get(k, 0), 15)
-    # same modeling for the later rotations (r18 landed; r19 now
+    # same modeling for the later rotations (r19 landed; r20 now
     # active): before each CORRECTNESS file lands the bump models the
     # upcoming driver run; after it lands the bump is a no-op
     for k in entry._R16_WINDOW:
@@ -243,6 +253,8 @@ def test_matcher_path_rows_covered_by_r11_rotation():
         age[k] = max(age.get(k, 0), 18)
     for k in entry._R19_WINDOW:
         age[k] = max(age.get(k, 0), 19)
+    for k in entry._R20_WINDOW:
+        age[k] = max(age.get(k, 0), 20)
     stale = {r for r in matcher_rows if age.get(r, 0) < 13}
     assert not stale, (
         f"matcher-path rows with pre-r13 hashes after the r15 rotation "

@@ -51,29 +51,42 @@ def main(argv: list[str] | None = None) -> int:
         print(f"ERROR: window names not in queries(): {missing}",
               file=sys.stderr)
         return 2
+    # ADVICE r19 item 1: also validate against oracle_sql() upfront — the
+    # tool is standalone, so a query with no oracle must be the same
+    # ERROR/exit-2 shape, not a mid-run KeyError counted as a row FAIL.
+    no_oracle = [n for n in names if n not in oracles]
+    if no_oracle:
+        print(f"ERROR: window names not in oracle_sql(): {no_oracle}",
+              file=sys.stderr)
+        return 2
 
     spark = get_spark(f"pregate-{ns.window}")
     spark.sparkContext.setLogLevel("ERROR")
     failures = []
     t0 = time.time()
-    for i, name in enumerate(names, 1):
-        try:
-            spark_df = queries[name](spark, ns.sf).toPandas()
-            oracle_df = _duck_df(oracles[name])
-            assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
-                f"columns {sorted(spark_df.columns)} "
-                f"vs {sorted(oracle_df.columns)}")
-            assert len(spark_df) == len(oracle_df), (
-                f"rows {len(spark_df)} vs {len(oracle_df)}")
-            ours, theirs = _row_multiset(spark_df), _row_multiset(oracle_df)
-            assert ours == theirs, (
-                f"values ours-only={[r for r in ours if r not in theirs][:3]}"
-                f" oracle-only={[r for r in theirs if r not in ours][:3]}")
-            print(f"[{i:2d}/{len(names)}] {name}: OK "
-                  f"({len(spark_df)} rows)", flush=True)
-        except Exception as exc:  # noqa: BLE001 — report every row
-            failures.append((name, str(exc)[:500]))
-            print(f"[{i:2d}/{len(names)}] {name}: FAIL {exc}", flush=True)
+    # ADVICE r19 item 2: stop the session explicitly so main() is safe to
+    # reuse in-process and shutdown is clean, not left to process exit.
+    try:
+        for i, name in enumerate(names, 1):
+            try:
+                spark_df = queries[name](spark, ns.sf).toPandas()
+                oracle_df = _duck_df(oracles[name])
+                assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
+                    f"columns {sorted(spark_df.columns)} "
+                    f"vs {sorted(oracle_df.columns)}")
+                assert len(spark_df) == len(oracle_df), (
+                    f"rows {len(spark_df)} vs {len(oracle_df)}")
+                ours, theirs = _row_multiset(spark_df), _row_multiset(oracle_df)
+                assert ours == theirs, (
+                    f"values ours-only={[r for r in ours if r not in theirs][:3]}"
+                    f" oracle-only={[r for r in theirs if r not in ours][:3]}")
+                print(f"[{i:2d}/{len(names)}] {name}: OK "
+                      f"({len(spark_df)} rows)", flush=True)
+            except Exception as exc:  # noqa: BLE001 — report every row
+                failures.append((name, str(exc)[:500]))
+                print(f"[{i:2d}/{len(names)}] {name}: FAIL {exc}", flush=True)
+    finally:
+        spark.stop()
 
     ok = len(names) - len(failures)
     print(f"\n{ok}/{len(names)} green in {time.time() - t0:.0f}s")
