@@ -5076,6 +5076,8 @@ _R21_HEAD = [
 #: The PREPARED round-21 rotation — defined now (while the post-r20 hash
 #: map is deterministic) but NOT hoisted; a future r21 session's only
 #: rotation change would be flipping the hoist line to ``_R21_WINDOW``.
+#: Pre-gated 50/50 green at sf0.01 during r20 via
+#: ``tools/pregate_window.py _R21_WINDOW`` (driver-exact compare, 55 s).
 #: Construction against the post-r20 map (r17x10, r18x50, r19x50, r20x50
 #: — verify with ``python tools/staleness_ledger.py --pending _R20_WINDOW
 #: --check _R21_WINDOW``):
