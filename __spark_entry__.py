@@ -386,7 +386,7 @@ def q_tsdb_downsample_range_clamp(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def q_tsdb_series_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "signup"),))
-    assembled = read_query_df(_samples(spark, sf_dir), q)
+    assembled = read_query_df(_samples(spark, sf_dir), q, series_partitioned=True)
     first_s = F.element_at("samples", 1)
     last_s = F.element_at("samples", -1)
     return assembled.select(
@@ -421,7 +421,9 @@ def q_tsdb_ignore_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tsdb_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     rated = per_second_rate(grouped)
     return rated.select("metric_name", _lbl(), _epoch(), "rate")
 
@@ -435,7 +437,9 @@ def q_tsdb_subquery_maxrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention is made explicit (NULL rates excluded on both sides).
     One window + one hash aggregation, both keyed on the series."""
     q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "view"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     rated = per_second_rate(grouped)
     epoch = F.col("t").cast("long")
     return (
@@ -468,7 +472,9 @@ def q_tsdb_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL irate: rate of the last two samples per series, one row per
     series."""
     q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "click"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return irate(grouped).select("metric_name", _lbl(), _epoch(), "irate")
 
 
@@ -476,14 +482,18 @@ def q_tsdb_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL delta: last-minus-first per series (pure groupBy max_by/min_by
     aggregation — no window sort, map-side partials)."""
     q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "view"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return delta(grouped).select("metric_name", _lbl(), "delta", "range_s", "n_samples")
 
 
 def q_tsdb_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL increase: reset-aware counter growth per series."""
     q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "click"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return increase(grouped).select("metric_name", _lbl(), "increase")
 
 
@@ -491,7 +501,9 @@ def q_tsdb_resets_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL resets + changes: adjacent-drop and adjacent-change counts per
     series."""
     q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return resets_changes(grouped).select("metric_name", _lbl(), "resets", "changes")
 
 
@@ -499,7 +511,9 @@ def q_tsdb_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL *_over_time family: per-series avg/min/max/count in 1-hour
     tumbling buckets (floor-aligned like the A2 downsampler)."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "signup"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return range_aggregate(grouped, 3600).select(
         "metric_name", _lbl(), "bucket_t", "avg_v", "min_v", "max_v", "n"
     )
@@ -512,7 +526,9 @@ def q_tsdb_stddev_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE-exact sqrt/div only, so ``stddev_micro`` is bit-identical in
     DuckDB)."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "view"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return stddev_over_time(grouped, 3600).select(
         "metric_name", _lbl(), "bucket_t", "n", "sum_micro", "stddev_micro", "last_v"
     )
@@ -525,7 +541,9 @@ def q_tsdb_exp_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence pure int64 shift-adds scaled by 2^20, bit-identical
     cross-engine where a float ``pow`` chain would drift)."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return exp_smooth(grouped, window_n=21).select(
         "metric_name", _lbl(), "n_used", "smooth_scaled"
     )
@@ -625,7 +643,9 @@ def q_tsdb_mad_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     discrete medians at both stages (tsfuncs.mad_over_time — sorted-array
     indexing + one exact IEEE subtraction, bit-exact cross-engine)."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "click"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     from remote_tsdb_clickhouse_spark.functions.tsfuncs import mad_over_time
 
     return mad_over_time(grouped).select(
@@ -638,7 +658,9 @@ def q_tsdb_quantile_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     queried range (type-1 quantile — sorted-array indexing, bit-exact
     cross-engine; see tsfuncs.quantile_over_time)."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return quantile_over_time(grouped, [0.5, 0.95]).select(
         "metric_name", _lbl(), "n_samples", "p50", "p95"
     )
@@ -718,7 +740,9 @@ def q_tsdb_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials); the slope is one IEEE division of two exactly-converted
     integers, bit-identical to the DuckDB oracle."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return deriv(grouped, T0 // 1000).select(
         "metric_name", _lbl(), "n_samples", "slope_mu"
     )
@@ -731,7 +755,9 @@ def q_tsdb_predict_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle comparison is raw-bit (see tsfuncs.predict_linear for why the
     single-division closed form is avoided)."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return predict_linear(grouped, T0 // 1000, 480).select(
         "metric_name", _lbl(), "n_samples", "predicted_mu"
     )
@@ -746,7 +772,9 @@ def q_tsdb_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SINGLE hash aggregation (no explode, no window), then a pure unpivot
     to the (le, cum) wire format that ``histogram_quantile`` consumes."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return histogram_buckets(grouped, _HIST_BOUNDS).select(
         "metric_name", _lbl(), "le", "cum"
     )
@@ -759,7 +787,9 @@ def q_tsdb_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Prometheus edge rules: first bucket interpolates from 0, +Inf bucket
     returns the highest finite bound)."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     return histogram_quantile(grouped, 9, 10, _HIST_BOUNDS).select(
         "metric_name", _lbl(), "n_samples", "q_mu"
     )
@@ -987,7 +1017,9 @@ def q_tsdb_max_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     q = ReadQuery(start_ms=T0, matchers=(LabelMatcher(EQ, "__name__", "purchase"),))
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     w = Window.partitionBy("metric_name", "slb").orderBy("t")
     gap = F.col("t").cast("long") - F.lag(F.col("t").cast("long")).over(w)
     return (
@@ -1003,7 +1035,9 @@ def q_tsdb_stale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staleness report: series whose newest sample is older than 24h before
     the range end — a pure groupBy max (map-side partials, no window)."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=())
-    grouped = read_query_grouped(_samples(spark, sf_dir), q)
+    grouped = read_query_grouped(
+        _samples(spark, sf_dir), q, series_partitioned=True
+    )
     end_s = T20 // 1000
     return (
         grouped.groupBy("metric_name", "slb")

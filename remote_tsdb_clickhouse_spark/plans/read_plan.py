@@ -21,11 +21,21 @@ re-expressed Spark-first:
   key only, and the per-series sort is local and tiny.  AQE coalesces the
   post-shuffle partitions.
 
-Scale notes: both aggregations hash-partition on (metric_name, labels).
-Spark plans them as a single exchange (the second groupBy reuses the
-first's partitioning), with partial (map-side) max before the shuffle.
-Series keys are naturally high-cardinality, so skew is bounded by the
-per-series sample count — the downsampling bucket caps that.
+Scale notes: the A1 grouping hashes on (metric_name, labels, t) while
+every per-series consumer (the O1/O2 assembly, the X1-X4 windows) needs
+(metric_name, labels) — two different exchanges in the naive plan.  At
+raw resolution the A1 key is near-unique (one sample per series-second),
+so its map-side partial max reduces nothing and the first shuffle moves
+~every row; ``series_partitioned=True`` therefore establishes the
+(metric_name, labels) partitioning ONCE before the grouping (guide §2.4:
+a window partitioned by a prefix of a preceding aggregation's key can
+share its exchange) — one exchange of raw rows instead of two exchanges
+of near-raw rows, and the consumer's window/regroup is exchange-free.
+When a downsampling hint IS active the A1 bucket key collapses many
+samples per group and the map-side partial is worth a second (tiny)
+exchange, so the pre-partitioning is automatically skipped.  Series keys
+are naturally high-cardinality, so skew is bounded by the per-series
+sample count — the downsampling bucket caps that.
 """
 
 from __future__ import annotations
@@ -156,26 +166,39 @@ def read_query_grouped(
     *,
     ignore_label: str | None = DEFAULT_READ_IGNORE_LABEL,
     ignore_hints: bool = False,
+    series_partitioned: bool = False,
 ) -> DataFrame:
     """The flat grouped result: one row per (series, t) with ``max_0``.
 
     Columns: ``metric_name STRING, slb ARRAY<STRING>, t TIMESTAMP,
     max_0 DOUBLE`` — the reference query's exact projection (P1).
+
+    ``series_partitioned=True``: caller promises its next stage re-keys
+    by (metric_name, slb) or a superset, so the (metric_name, slb)
+    partitioning is established BEFORE the grouping and both stages share
+    one exchange (module docstring, scale notes).  Only applied at raw
+    resolution — under an active downsampling hint the bucketed group key
+    makes map-side partial aggregation the bigger lever, so the request
+    is ignored and the classic partial-agg shape is kept.  Same rows
+    either way; only the physical partitioning differs.
     """
     pruning = partition_pruning_filter(samples, q)
     if pruning is not None:
         samples = samples.where(pruning)
-    return (
-        samples.where(read_filter(q, ignore_label=ignore_label))
-        .select(
-            "metric_name",
-            F.array_sort("labels").alias("slb"),
-            time_expr(q, ignore_hints=ignore_hints).alias("t"),
-            "value",
-        )
-        .groupBy("metric_name", "slb", "t")
-        .agg(F.max("value").alias("max_0"))
+    projected = samples.where(read_filter(q, ignore_label=ignore_label)).select(
+        "metric_name",
+        F.array_sort("labels").alias("slb"),
+        time_expr(q, ignore_hints=ignore_hints).alias("t"),
+        "value",
     )
+    if (
+        series_partitioned
+        and downsample_interval_seconds(q.hints, ignore_hints=ignore_hints) is None
+    ):
+        # no numPartitions argument: AQE may coalesce (scale-adaptive)
+        projected = projected.repartition("metric_name", "slb")
+    grouped = projected.groupBy("metric_name", "slb", "t")
+    return grouped.agg(F.max("value").alias("max_0"))
 
 
 def read_query_df(
@@ -184,6 +207,7 @@ def read_query_df(
     *,
     ignore_label: str | None = DEFAULT_READ_IGNORE_LABEL,
     ignore_hints: bool = False,
+    series_partitioned: bool = False,
 ) -> DataFrame:
     """Full read path: grouped max + declarative series assembly (O2).
 
@@ -193,8 +217,18 @@ def read_query_df(
     time-ascending (array_sort on the struct sorts by first field), exactly
     the ordering the remote-read spec requires and the reference restores
     via ORDER BY + adjacent-row regrouping.
+
+    The O2 assembly re-keys by (metric_name, slb), so
+    ``series_partitioned=True`` makes the whole read path a single
+    exchange at raw resolution (see :func:`read_query_grouped`).
     """
-    grouped = read_query_grouped(samples, q, ignore_label=ignore_label, ignore_hints=ignore_hints)
+    grouped = read_query_grouped(
+        samples,
+        q,
+        ignore_label=ignore_label,
+        ignore_hints=ignore_hints,
+        series_partitioned=series_partitioned,
+    )
     return grouped.groupBy("metric_name", "slb").agg(
         F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("max_0").alias("v")))).alias(
             "samples"
