@@ -40,6 +40,13 @@ def _with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     from remote_tsdb_clickhouse_spark.util import spread
 
     v = as_double(vec_col)
+    # nrm stays the FOLD form deliberately: CollapseProject inlines this
+    # expression into whatever consumes the column, including the
+    # higher-order probe lambdas in _nearest_cents_col — where every
+    # branch of an unrolled chain is evaluated interpreted, per centroid
+    # (measured 6x slower on the IVF path when this was unroll=True).
+    # The codegen-able unroll is applied only at the final scoring
+    # projections, whose expressions stay top-level.
     return spread(emb).select(F.col(id_col).alias("vid"), v.alias("vec")).withColumn(
         "nrm", norm(F.col("vec"))
     )
@@ -66,7 +73,9 @@ def brute_force_topk(
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            cosine_with_norms(F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+            cosine_with_norms(
+                F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm"), unroll=True
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -145,7 +154,9 @@ def bucketed_topk(
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            cosine_with_norms(F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+            cosine_with_norms(
+                F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm"), unroll=True
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -239,7 +250,9 @@ def _coarse_cents(
     corpus vectors (deterministic init; selection is a distributed top-n,
     planned as TakeOrderedAndProject — no global sort)."""
     if centroids is not None:
-        return centroids.select("cent_id", F.col("cvec"), norm(F.col("cvec")).alias("cnrm"))
+        return centroids.select(
+            "cent_id", F.col("cvec"), norm(F.col("cvec"), unroll=True).alias("cnrm")
+        )
     return (
         _with_norm(emb, id_col, vec_col)
         .orderBy("vid")
@@ -468,7 +481,9 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            cosine_with_norms(F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm")).alias("cos"),
+            cosine_with_norms(
+                F.col("qvec"), F.col("vec"), F.col("qnrm"), F.col("nrm"), unroll=True
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

@@ -56,3 +56,29 @@ def test_vecfuncs_randomized_sweep(spark):
         bkt = sum((1 << j) for j, x in enumerate(a[:8]) if x >= 0)
         want = (dp, na, cos, bkt)
         assert got[i] == want, (i, got[i], want)
+
+
+def test_dot_unrolled_dims_bit_identical_to_fold(spark):
+    """r21 optimization pin: for the statically-unrolled dims (16/64 —
+    vecfuncs._UNROLL_DIMS) the codegen-able element chain must be
+    BIT-identical to the sequential fold (same left-to-right addition
+    order from the same 0.0 seed), including sign-flip/zero/adversarial
+    magnitude mixes where IEEE addition order matters most."""
+    import struct
+
+    rng = random.Random(97)
+    rows = []
+    i = 0
+    for d in list(vf._UNROLL_DIMS) + [63, 65]:  # off-by-one dims take the fold
+        for _ in range(25):
+            a = [rng.uniform(-10, 10) * 10 ** rng.randint(-8, 8) for _ in range(d)]
+            b = [rng.uniform(-10, 10) * 10 ** rng.randint(-8, 8) for _ in range(d)]
+            rows.append((i, a, b))
+            i += 1
+    df = spark.createDataFrame(rows, "i LONG, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    got = {r.i: r.dp for r in df.select("i", vf.dot(F.col("a"), F.col("b")).alias("dp")).collect()}
+    for i, a, b in rows:
+        dp = 0.0
+        for x, y in zip(a, b):
+            dp = dp + x * y
+        assert struct.pack("d", got[i]) == struct.pack("d", dp), (i, got[i], dp)
