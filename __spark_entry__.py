@@ -2262,11 +2262,11 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return _jaccard_pairs(spark, sf_dir)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return _lsh_pairs(spark, sf_dir)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2282,17 +2282,69 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures are computed in ONE full-corpus tokenize->shingle->minhash
     pass and split by id afterwards (per-doc signatures are independent, so
     pre- vs post-split is identical) — the exploded-shingle and signature
-    frames here are plan-identical to the ones the LSH/groups queries
-    persist, so the whole dedup family shares one materialization instead of
-    this query rebuilding two disjoint filtered pipelines (r2: 7.65 s)."""
-    base = dedup.normalized_docs(_docs(spark, sf_dir))
-    exploded = base.select("doc_id", F.explode("shingles").alias("sh")).persist()
-    sigs = dedup.minhash_signatures_from(exploded).persist()
+    frames are the session-memoized family build (_dedup_shingle_frames),
+    so the whole dedup family shares one materialization AND one analyzed
+    plan instead of this query rebuilding two disjoint filtered pipelines
+    (r2: 7.65 s; r21: the per-query plan reconstruction too)."""
+    exploded, sigs = _dedup_shingle_frames(spark, sf_dir)
+    exploded.persist()
+    sigs = sigs.persist()
     return dedup.incremental_minhash_pairs_sigs(
         sigs.where(F.col("doc_id") >= 400),
         sigs.where(F.col("doc_id") < 400),
         min_est_jaccard=0.5,
     )
+
+
+def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized ``dedup.normalized_docs`` frame (r21): the
+    tokenize->shingle plan is a wide HOF expression tree whose PYTHON-side
+    construction + analysis measured ~0.1-0.2 s per call — the same
+    driver-latency argument as :func:`_tbl`/:func:`_samples`.  Same plan,
+    same results; only the per-query rebuild goes away."""
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "__norm_docs")
+    if key not in per:
+        per[key] = dedup.normalized_docs(_docs(spark, sf_dir))
+    return per[key]
+
+
+def _dedup_shingle_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Session-memoized (exploded-shingle, MinHash-signature) frames — the
+    dedup family's shared build, as DataFrame OBJECTS so every consumer
+    reuses one analyzed plan instead of reconstructing the pipeline
+    (measured ~0.6 s of py4j plan construction per rebuild, pure driver
+    overhead).  family_warmup persists these same objects, so the bench's
+    family cache and the memo always refer to one plan."""
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "__dedup_shingle_frames")
+    if key not in per:
+        exploded = _norm_docs(spark, sf_dir).select(
+            "doc_id", F.explode("shingles").alias("sh")
+        )
+        per[key] = (exploded, dedup.minhash_signatures_from(exploded))
+    return per[key]
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized MinHash-LSH pair frame (threshold 0.8) — shared by
+    the LSH query, the recall diagnostic, and the connected-components
+    build (same driver-latency memo rationale as above)."""
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "__lsh_pairs")
+    if key not in per:
+        per[key] = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return per[key]
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized exact n-gram-Jaccard pair frame (threshold 0.8) —
+    shared by the Jaccard query and the recall diagnostic's ground truth."""
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "__jaccard_pairs")
+    if key not in per:
+        per[key] = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return per[key]
 
 
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2305,8 +2357,7 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = _TRAIN_CACHE.setdefault(spark, {})
     key = ("dedup_components", sf_dir)
     if key not in per:
-        pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
-        per[key] = dedup.connected_components(pairs)
+        per[key] = dedup.connected_components(_lsh_pairs(spark, sf_dir))
     return per[key]
 
 
@@ -2327,12 +2378,11 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is the band-collision recall loss an operator owner tunes
     BANDS/ROWS_PER_BAND against.  At 100 TB the exact side is the audit
     run on a sample; the LSH side is the production path."""
-    d = _docs(spark, sf_dir)
-    exact = dedup.ngram_jaccard_pairs(d, threshold=0.8).select("doc_a", "doc_b")
+    exact = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     # persisted: the pair frame (tiny — the LSH output) feeds BOTH the
     # hit join and the n_lsh count; without this the whole banding +
     # verification plan executes once per consumer
-    approx = dedup.minhash_lsh_pairs(d, threshold=0.8).select(
+    approx = _lsh_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     ).persist()
     joined = exact.join(approx, ["doc_a", "doc_b"], "left")
@@ -2997,9 +3047,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is per-row); int/int division is bit-exact cross-engine."""
     # normalized_docs materializes toks behind an exchange before the
     # shingle HOF (the projection-collapse trap measured in textfuncs) and
-    # is plan-identical to the dedup family's base, so its materialization
-    # is shared when both run in one session
-    base = dedup.normalized_docs(_docs(spark, sf_dir))
+    # is the dedup family's memoized base frame, so its materialization
+    # AND analyzed plan are shared when both run in one session
+    base = _norm_docs(spark, sf_dir)
     n_total = F.greatest(F.size("toks") - F.lit(2), F.lit(0)).cast("long")
     n_distinct = F.size("shingles").cast("long")
     rep = F.when(
@@ -4319,13 +4369,13 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
         stage_dedup_stream_input(spark, sf_dir)
     elif family == "dedup":
         # the token-shingle inverted index and the MinHash signature table
-        # are the family's shared persisted frames (plan-identical across
-        # ngram/minhash/groups/incremental — the CacheManager dedupes
-        # them); materialize once here so the first consumer's timing
-        # measures its query, not the family's shared build
-        base = dedup.normalized_docs(_docs(spark, sf_dir))
-        exploded = base.select("doc_id", F.explode("shingles").alias("sh")).persist()
-        dedup.minhash_signatures_from(exploded).persist().count()
+        # are the family's shared persisted frames (the SAME memoized
+        # DataFrame objects every consumer uses since r21 —
+        # _dedup_shingle_frames); materialize once here so the first
+        # consumer's timing measures its query, not the family's build
+        exploded, sigs = _dedup_shingle_frames(spark, sf_dir)
+        exploded.persist()
+        sigs.persist().count()
         exploded.count()
         # the LSH pair graph is the third shared frame: groups (connected
         # components), cluster_stats, and minhash_recall all consume the
@@ -4334,8 +4384,8 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
         # plan-identical subtrees instead of re-running the banding join
         # per consumer.  Same story for the exact n-gram Jaccard pairs
         # (consumed by its own query AND as minhash_recall's ground truth)
-        dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8).persist().count()
-        dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8).persist().count()
+        _lsh_pairs(spark, sf_dir).persist().count()
+        _jaccard_pairs(spark, sf_dir).persist().count()
     elif family == "sim":
         # the ANN family's shared builds are session-memoized: the coarse
         # quantizer rows, the k-means-trained centroids/codebook, the
