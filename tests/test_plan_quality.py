@@ -448,8 +448,19 @@ def _plan_cold(spark, name: str) -> str:
     """Plan with the cache cleared first: plans that can reuse the dedup
     family's shared persisted frames print the cached subtree's plan inside
     every InMemoryTableScan, so node COUNTS are only deterministic on the
-    cold shape."""
+    cold shape.
+
+    Since r21 the entry session-memoizes the dedup family's DataFrame
+    OBJECTS (plan reuse, not result reuse), and a memoized DataFrame
+    carries its first QueryExecution — if that plan already EXECUTED, its
+    string embeds every nested AQE-final cached-stage dump, inflating node
+    counts far past the cold shape.  Drop the per-session plan memo along
+    with the cache so the build is genuinely cold, which is exactly the
+    shape a fresh driver session plans and executes."""
     spark.catalog.clearCache()
+    table_memo = getattr(entrymod, "_TABLE_CACHE", None)
+    if table_memo is not None:
+        table_memo.pop(spark, None)
     return _plan(spark, name)
 
 
