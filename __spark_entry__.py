@@ -2706,11 +2706,18 @@ def q_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers -> per-language corpus stats.  One chained DataFrame plan: the
     dedup shuffle and the stats aggregation are the only exchanges."""
     d = _docs(spark, sf_dir)
-    toks = tx.tokens(F.col("text"))
+    # r21: tokenize once in a lower projection — the scoring expression
+    # referenced tx.tokens(text) three times (stopword filter + two size()
+    # uses), each embedding the full regexp tokenize chain, and HOF chains
+    # are exempt from codegen subexpression elimination (lambda variables).
+    # CollapseProject keeps the stages apart (non-cheap expr, many refs);
+    # same arithmetic over the same array — bit-identical quality scores.
+    toked = d.select("doc_id", "lang", "text", tx.tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
     n_tokens = F.size(toks).cast("long")
     sw_ratio = tx.stopword_count(toks, "en") / F.greatest(n_tokens, F.lit(1))
     punct = tx.punct_ratio(F.col("text"))
-    scored = d.select(
+    scored = toked.select(
         "doc_id", "lang", tx.quality_score(n_tokens, sw_ratio, punct).alias("quality")
     )
     keepers = dedup.exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
@@ -3005,12 +3012,25 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r21: tokenize once in a lower projection — building all four outputs
+    # straight off tx.tokens(text) embedded the regexp tokenize chain ~7
+    # times in one Project (size/stopword refs across ratio + score), and
+    # HOF chains are exempt from codegen subexpression elimination.
+    # CollapseProject keeps the stages apart (non-cheap expr, many refs);
+    # same expressions over the same array — bit-identical output.
     d = _docs(spark, sf_dir)
-    toks = tx.tokens(F.col("text"))
+    # punct_ratio staged too: it is referenced twice (output + score) and
+    # its strip-regex would otherwise run twice per row
+    toked = d.select(
+        "doc_id",
+        tx.tokens(F.col("text")).alias("toks"),
+        tx.punct_ratio(F.col("text")).alias("punct"),
+    )
+    toks = F.col("toks")
     n_tokens = F.size(toks).cast("long")
     sw_ratio = tx.stopword_count(toks, "en") / F.greatest(n_tokens, F.lit(1))
-    punct = tx.punct_ratio(F.col("text"))
-    return d.select(
+    punct = F.col("punct")
+    return toked.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         sw_ratio.alias("stopword_ratio"),
@@ -3030,12 +3050,25 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints over one shared token array.
+
+    r21 (guide §1.2 "per-task work"): building both fingerprints straight
+    off ``tx.tokens(text)`` embedded the regexp+split+filter tokenize
+    chain NINE times in one Project (md5 once, the shingle zip_with's
+    size/slice references the rest) — and HOF chains carry lambda
+    variables, which Spark's codegen subexpression elimination skips, so
+    all nine evaluated per row.  Tokenize in a lower projection instead:
+    ``toks`` is a non-cheap expression referenced many times, so
+    CollapseProject keeps the two Projects separate (SPARK-36718) and the
+    chain runs once per row.  Same expressions over the same array —
+    bit-identical output; still projection-only (no exchange, no Python).
+    """
     d = _docs(spark, sf_dir)
-    toks = tx.tokens(F.col("text"))
-    return d.select(
+    toked = d.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    return toked.select(
         "doc_id",
-        tx.md5_fingerprint(toks).alias("fp_md5"),
-        tx.min_shingle_fingerprint(toks, 3).alias("fp_shingle"),
+        tx.md5_fingerprint(F.col("toks")).alias("fp_md5"),
+        tx.min_shingle_fingerprint(F.col("toks"), 3).alias("fp_shingle"),
     )
 
 

@@ -111,7 +111,16 @@ def chunk_token_windows(
     if overlap >= window:
         raise ValueError(f"overlap ({overlap}) must be < window ({window})")
     stride = window - overlap
-    n_tok = F.size(tx.tokens(F.col(text_col))).cast("long")
+    # r21: tokenize once in a lower projection — n_tokens, the chunk-count
+    # generator, and (with_text) the slice source all need the token array,
+    # and referencing tx.tokens(text) in each embedded the regexp tokenize
+    # chain 2-3x per row (HOF chains are exempt from codegen subexpression
+    # elimination).  _toks is non-cheap and referenced more than once, so
+    # CollapseProject keeps the projections separate and the chain runs
+    # once; everything downstream is size()/slice() over the materialized
+    # array.  Same expressions, bit-identical output, still generator-only.
+    toked = df.select(F.col(id_col), tx.tokens(F.col(text_col)).alias("_toks"))
+    n_tok = F.size("_toks").cast("long")
     # ceil(max(0, n-window)/stride) in exact integer arithmetic
     n_chunks = (
         F.lit(1)
@@ -119,8 +128,8 @@ def chunk_token_windows(
     ).cast("long")
     base_cols = [F.col(id_col), n_tok.alias("n_tokens")]
     if with_text:
-        base_cols.append(tx.tokens(F.col(text_col)).alias("_toks"))
-    base = df.select(
+        base_cols.append(F.col("_toks"))
+    base = toked.select(
         *base_cols,
         F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
     )

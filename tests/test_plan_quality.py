@@ -529,6 +529,25 @@ def test_asof_join_is_union_and_scan(spark):
         assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
+def test_tokenize_chain_staged_once(spark):
+    # r21: the regexp tokenize chain carries lambda variables, which
+    # codegen subexpression elimination skips — so consumers materialize
+    # it once in a lower projection.  A count above the pinned bound means
+    # CollapseProject re-inlined it (per-row tokenize blowup: 9x measured
+    # on text_fingerprint before the staging).  doc_chunk_texts carries
+    # two extra copies from its pushed-down n_tokens>32 filter (the
+    # Filter node plus the scan's DataFilters echo of the same predicate).
+    needle = "split(lower(regexp_replace(text"
+    for name, bound in [
+        ("text_fingerprint", 1),
+        ("text_quality", 1),
+        ("doc_chunk_windows", 1),
+        ("doc_chunk_texts", 3),
+    ]:
+        plan = _plan_cold(spark, name)
+        assert plan.count(needle) <= bound, (name, plan)
+
+
 def test_fingerprint_projection_only(spark):
     # rolling-hash fingerprinting is pure expression work over a pruned
     # scan: no shuffle-by-key (only _docs()'s round-robin spread of the
