@@ -3305,25 +3305,39 @@ def q_multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id")
 
     def batches(it):
+        # r21 (guide §4.2): the colors — hence the PNG bytes and features —
+        # are pure functions of doc_id % 256, so at most 256 distinct codec
+        # round-trips exist; the old per-row loop re-encoded/decoded the
+        # same 4x4 PNG for every row (~2 codec calls/row) and built the
+        # output row-at-a-time in Python.  Fill a 256-slot feature table on
+        # demand (same encode->decode->float32 path, same values) and gather
+        # per-row results with one numpy take — identical output rows.
+        table = np.zeros((256, 4), dtype=np.float64)
+        have = np.zeros(256, dtype=bool)
         for pdf in it:
-            ids, feats = [], []
-            for did in pdf["doc_id"]:
-                i = int(did)
+            ids = pdf["doc_id"].to_numpy(dtype="int64")
+            keys = ids % 256
+            for k in np.unique(keys[~have[keys]]):
+                i = int(k)
                 color = (i % 256, (i * 7) % 256, (i * 13) % 256)
                 png = multimodal.encode_png(4, 4, [color] * 16)
                 w, h, pixels = multimodal.decode_png(png)
                 # the ARRAY<FLOAT> emission of extract_features narrows to
                 # float32; mirror that cast so the oracle can too
-                f = [float(np.float32(v)) for v in multimodal._rgb_features(w, h, pixels)]
-                ids.append(i)
-                feats.append(f)
+                f = [
+                    float(np.float32(v))
+                    for v in multimodal._rgb_features(w, h, pixels)
+                ]
+                table[i] = f[2:6]
+                have[i] = True
+            vals = table[keys]
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "mean_r": [f[2] for f in feats],
-                    "mean_g": [f[3] for f in feats],
-                    "mean_b": [f[4] for f in feats],
-                    "luma": [f[5] for f in feats],
+                    "mean_r": vals[:, 0],
+                    "mean_g": vals[:, 1],
+                    "mean_b": vals[:, 2],
+                    "luma": vals[:, 3],
                 }
             )
 
