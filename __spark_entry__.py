@@ -2505,6 +2505,23 @@ def _exact_topk_rows(spark: SparkSession, sf_dir: str) -> list:
     return per[key]
 
 
+def _exact_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-row exact baseline as a local-relation DataFrame, memoized
+    per session/sf beside the collected rows it wraps (r21, guide §5):
+    ``createDataFrame`` re-parallelized the same 100 rows on every recall
+    query's every (re-)build — a driver-side job submission each time.
+    The memo shares one local relation plan; every consumer still joins
+    and aggregates it per query."""
+    per = _TRAIN_CACHE.setdefault(spark, {})
+    key = ("exact_topk_df", sf_dir)
+    if key not in per:
+        per[key] = spark.createDataFrame(
+            [(int(r[0]), int(r[1])) for r in _exact_topk_rows(spark, sf_dir)],
+            "query_id LONG, neighbor_id LONG",
+        )
+    return per[key]
+
+
 def _recall_at_10(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
     """Shared recall@10 skeleton: hits of an approximate top-10 inside the
     exact cosine top-10 per query (left join keeps zero-hit queries).
@@ -2512,10 +2529,7 @@ def _recall_at_10(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFr
     (:func:`_exact_topk_rows`) as a local relation, so the join
     broadcasts trivially and the brute-force scan runs once per
     session, not once per recall diagnostic."""
-    exact = spark.createDataFrame(
-        [(int(r[0]), int(r[1])) for r in _exact_topk_rows(spark, sf_dir)],
-        "query_id LONG, neighbor_id LONG",
-    )
+    exact = _exact_topk_df(spark, sf_dir)
     # broadcast the approximate side (the preserved LEFT of the outer
     # join cannot be the build side): both frames are ~100 rows, and the
     # hint removes the sort-merge exchanges the RDD-backed local side

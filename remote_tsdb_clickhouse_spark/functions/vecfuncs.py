@@ -8,6 +8,8 @@ very wide vectors (>4k dims) a Pandas-UDF/numpy path wins on SIMD; see
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -22,6 +24,12 @@ def as_double(vec: Column | str) -> Column:
 #: any other length takes the general fold.  Guarded by a runtime
 #: ``size(a)`` check, so the specialization is transparent to callers.
 _UNROLL_DIMS = (16, 64)
+
+#: (str(a), str(b)) -> fully-built unrolled ``dot`` Column (see the memo
+#: note inside :func:`dot`).  Bounded LRU so adversarial/pathological call
+#: patterns cannot grow it without bound.
+_UNROLL_BUILD_CACHE: OrderedDict[tuple[str, str], Column] = OrderedDict()
+_UNROLL_BUILD_MAX = 64
 
 
 def _unrolled_dot(a: Column, b: Column, dim: int) -> Column:
@@ -52,16 +60,39 @@ def dot(a: Column, b: Column, *, unroll: bool = False) -> Column:
     is evaluated interpreted, which measured ~8x SLOWER than the fold —
     top-level projections opt in, lambda bodies never do.
     """
-    fold = F.aggregate(
+    if not unroll:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    # Plan-construction memo (r21, guide §5 "the driver should do almost no
+    # data work"): building the unrolled chain issues ~4 py4j round-trips
+    # per term x 80 terms — measured 618 ms of pure DRIVER time per call
+    # site per query build, the single largest cost of the sim family's
+    # bench entries (build 1.1-3.6 s vs exec 1-2.7 s).  Column objects wrap
+    # immutable unresolved expression trees, so an identical (a, b) pair
+    # always yields the identical expression — key on the rendered
+    # expression strings (two py4j calls) and reuse the built Column.
+    # Expressions only, never data: resolution still happens per DataFrame.
+    # NOTE unroll callers must keep passing top-level named/cast columns
+    # (the documented contract above); lambda variables render positionally
+    # and must not reach this cache.
+    key = (str(a), str(b))
+    hit = _UNROLL_BUILD_CACHE.get(key)
+    if hit is not None:
+        _UNROLL_BUILD_CACHE.move_to_end(key)
+        return hit
+    expr = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    if not unroll:
-        return fold
-    expr = fold
     for d in _UNROLL_DIMS:
         expr = F.when(F.size(a) == d, _unrolled_dot(a, b, d)).otherwise(expr)
+    _UNROLL_BUILD_CACHE[key] = expr
+    while len(_UNROLL_BUILD_CACHE) > _UNROLL_BUILD_MAX:
+        _UNROLL_BUILD_CACHE.popitem(last=False)
     return expr
 
 

@@ -584,22 +584,47 @@ def simhash_values(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """
     toks = spread(docs).select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
     hashed = toks.withColumn("h", hash32(F.col("tok")))
-    bit_votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(32)
-    ]
+    bit_votes = _simhash_vote_cols()
     # materialize h pre-shuffle (see minhash_signatures: 32 aggs would each
     # inline the md5 chain otherwise); explicit count so AQE can't coalesce
     # the pre-agg shuffle to one core (see normalized_docs)
     par = docs.sparkSession.sparkContext.defaultParallelism
     votes = hashed.repartition(par, "doc_id").groupBy("doc_id").agg(*bit_votes)
-    packed = None
-    for j in range(32):
-        term = F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = term if packed is None else packed + term
-    return votes.select("doc_id", packed.alias("simhash"))
+    return votes.select("doc_id", _simhash_pack_col().alias("simhash"))
+
+
+#: Plan-construction memos (r21, guide §5): the 32 vote aggregates and the
+#: 32-term pack expression are fixed Column trees over fixed column names
+#: ("h", "b0".."b31") — building them issued ~500 py4j round-trips per
+#: simhash_values call (~0.6 s of the query's measured 1.1-1.8 s driver
+#: build time).  Columns are immutable expression wrappers, safe to share
+#: across plans and sessions; expressions only, never data.
+_SIMHASH_EXPR_CACHE: dict = {}
+
+
+def _simhash_vote_cols() -> list:
+    cols = _SIMHASH_EXPR_CACHE.get("votes")
+    if cols is None:
+        cols = [
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(32)
+        ]
+        _SIMHASH_EXPR_CACHE["votes"] = cols
+    return cols
+
+
+def _simhash_pack_col():
+    packed = _SIMHASH_EXPR_CACHE.get("pack")
+    if packed is None:
+        for j in range(32):
+            term = F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            packed = term if packed is None else packed + term
+        _SIMHASH_EXPR_CACHE["pack"] = packed
+    return packed
 
 
 def simhash_pairs(

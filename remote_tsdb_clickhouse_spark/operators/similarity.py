@@ -333,6 +333,14 @@ def _cents_literal(rows: list[tuple[int, list[float], float]]):
     return col
 
 
+#: (id(rows), str(vec), str(nrm), n) -> built probe Column (same memo
+#: rationale and id-stability/LRU-bounding story as _CENTS_LIT_CACHE one
+#: screen up; r21 guide §5 — the transform+struct lambda chain measured
+#: ~66 ms of py4j-bound driver time per build, paid 2-3x per IVF query).
+_PROBE_COL_MAX = 32
+_PROBE_COL_CACHE: "OrderedDict[tuple, tuple[object, object]]" = OrderedDict()
+
+
 def _nearest_cents_col(
     rows: list[tuple[int, list[float], float]], vec, nrm, n: int
 ):
@@ -361,6 +369,12 @@ def _nearest_cents_col(
     ``Double.parseDouble`` (correctly rounded), so the literal values are
     still bit-exact."""
 
+    key = (id(rows), str(vec), str(nrm), n)
+    hit = _PROBE_COL_CACHE.get(key)
+    if hit is not None and hit[0] is rows:
+        _PROBE_COL_CACHE.move_to_end(key)
+        return hit[1]
+
     cents = _cents_literal(rows)
     scored = F.transform(
         cents,
@@ -369,7 +383,11 @@ def _nearest_cents_col(
             c["cent_id"].alias("cent_id"),
         ),
     )
-    return F.slice(F.array_sort(scored), 1, n)
+    col = F.slice(F.array_sort(scored), 1, n)
+    _PROBE_COL_CACHE[key] = (rows, col)
+    while len(_PROBE_COL_CACHE) > _PROBE_COL_MAX:
+        _PROBE_COL_CACHE.popitem(last=False)
+    return col
 
 
 def ivf_assignments(

@@ -76,9 +76,24 @@ def test_dot_unrolled_dims_bit_identical_to_fold(spark):
             rows.append((i, a, b))
             i += 1
     df = spark.createDataFrame(rows, "i LONG, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
-    got = {r.i: r.dp for r in df.select("i", vf.dot(F.col("a"), F.col("b")).alias("dp")).collect()}
+    unrolled = vf.dot(F.col("a"), F.col("b"), unroll=True)
+    # r21 plan-construction memo: an identical (a, b) pair must return the
+    # CACHED Column object (the ~620 ms py4j build happens once), and the
+    # cached expression must stay value-correct below
+    assert vf.dot(F.col("a"), F.col("b"), unroll=True) is unrolled
+    got = {
+        r.i: (r.dp, r.dpu)
+        for r in df.select(
+            "i",
+            vf.dot(F.col("a"), F.col("b")).alias("dp"),
+            unrolled.alias("dpu"),
+        ).collect()
+    }
     for i, a, b in rows:
         dp = 0.0
         for x, y in zip(a, b):
             dp = dp + x * y
-        assert struct.pack("d", got[i]) == struct.pack("d", dp), (i, got[i], dp)
+        assert struct.pack("d", got[i][0]) == struct.pack("d", dp), (i, got[i], dp)
+        # the unrolled chain (taken for _UNROLL_DIMS, the fold otherwise)
+        # must be bit-identical to the fold on every dim
+        assert struct.pack("d", got[i][1]) == struct.pack("d", dp), (i, got[i], dp)
