@@ -2190,6 +2190,79 @@ def _trained_ivf_rows(spark: SparkSession, sf_dir: str) -> list:
     return per[key]
 
 
+def _ivf_lists_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized IVF inverted-list serving frame (vid, vec, nrm,
+    cent_id) under the smallest-id coarse quantizer — the index the
+    topk/recall/balance serving rows probe.  Memoized as a DataFrame
+    OBJECT (plan reuse; family_warmup persists the same object) so the
+    assignment projection materializes once per session instead of once
+    per serving query — the sim-family twin of _dedup_shingle_frames
+    (r21, guide §2.4: identical repeated stage removed from every
+    consumer).  Keyed in _TABLE_CACHE so the plan-shape suite's
+    _plan_cold drops it alongside the other plan memos."""
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "__ivf_lists")
+    if key not in per:
+        per[key] = similarity.ivf_lists(
+            _embs(spark, sf_dir), n_centroids=16,
+            cent_rows=_ivf_coarse_rows(spark, sf_dir),
+        )
+    return per[key]
+
+
+def _trained_ivf_lists_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list serving frame under the k-means-TRAINED quantizer
+    (same memo shape as :func:`_ivf_lists_df`)."""
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "__ivf_lists_trained")
+    if key not in per:
+        per[key] = similarity.ivf_lists(
+            _embs(spark, sf_dir), n_centroids=16,
+            cent_rows=_trained_ivf_rows(spark, sf_dir),
+        )
+    return per[key]
+
+
+def _lsh_corpus4_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized LSH index side at the family's n_bits=4: the
+    bucketed corpus (vid, vec, nrm, bucket) shared by the four LSH
+    serving rows (same memo rationale as :func:`_ivf_lists_df`)."""
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "__lsh_corpus4")
+    if key not in per:
+        per[key] = similarity.lsh_corpus(_embs(spark, sf_dir), n_bits=4)
+    return per[key]
+
+
+def _bf_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized normed brute-force corpus (vid, vec, nrm) — the
+    exact-search serving frame shared by the bruteforce row and the
+    memoized exact-top-10 baseline build."""
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "__bf_corpus")
+    if key not in per:
+        from remote_tsdb_clickhouse_spark.operators.similarity import _with_norm
+
+        per[key] = _with_norm(_embs(spark, sf_dir), "vec_id", "embedding")
+    return per[key]
+
+
+def _mat_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized Matryoshka serving corpus: the 16-dim prefix slice,
+    normed — shared by the truncated topk and its recall diagnostic."""
+    per = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, "__mat_corpus")
+    if key not in per:
+        from remote_tsdb_clickhouse_spark.operators.similarity import _with_norm
+
+        per[key] = _with_norm(
+            _embs(spark, sf_dir).withColumn("embedding", F.slice("embedding", 1, 16)),
+            "vec_id",
+            "embedding",
+        )
+    return per[key]
+
+
 def _ivf_pq_index(spark: SparkSession, sf_dir: str) -> dict:
     """Memoized IVF-PQ index build (centroids + residual codebook + ADC
     tables — three metadata-sized collects) shared by the topk and recall
@@ -2447,13 +2520,19 @@ def q_dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
-    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+    out = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10,
+        corpus=_bf_corpus_df(spark, sf_dir),
+    )
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
-    out = similarity.bucketed_topk(emb, emb.where(F.col("vec_id") < 20), k=5, n_bits=4)
+    out = similarity.bucketed_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5, n_bits=4,
+        corpus=_lsh_corpus4_df(spark, sf_dir),
+    )
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
@@ -2483,7 +2562,8 @@ def q_sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint, so candidates never duplicate)."""
     emb = _embs(spark, sf_dir)
     out = similarity.bucketed_topk(
-        emb, emb.where(F.col("vec_id") < 20), k=5, n_bits=4, nprobe=3
+        emb, emb.where(F.col("vec_id") < 20), k=5, n_bits=4, nprobe=3,
+        corpus=_lsh_corpus4_df(spark, sf_dir),
     )
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
@@ -2547,7 +2627,8 @@ def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline the multi-probe variant must beat."""
     emb = _embs(spark, sf_dir)
     approx = similarity.bucketed_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=10, n_bits=4, nprobe=1
+        emb, emb.where(F.col("vec_id") < 10), k=10, n_bits=4, nprobe=1,
+        corpus=_lsh_corpus4_df(spark, sf_dir),
     )
     return _recall_at_10(spark, sf_dir, approx)
 
@@ -2557,7 +2638,8 @@ def q_sim_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra probes buy over q_sim_lsh_recall on the same fixture."""
     emb = _embs(spark, sf_dir)
     approx = similarity.bucketed_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=10, n_bits=4, nprobe=3
+        emb, emb.where(F.col("vec_id") < 10), k=10, n_bits=4, nprobe=3,
+        corpus=_lsh_corpus4_df(spark, sf_dir),
     )
     return _recall_at_10(spark, sf_dir, approx)
 
@@ -2573,6 +2655,7 @@ def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         nprobe=2,
         cent_rows=_ivf_coarse_rows(spark, sf_dir),
+        lists=_ivf_lists_df(spark, sf_dir),
     )
     return _recall_at_10(spark, sf_dir, approx)
 
@@ -2634,7 +2717,10 @@ def q_sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-rank embedding, giving a 4x cheaper scan with no index at all.
     Same brute-force dataflow (broadcast queries, corpus never moves)."""
     emb = _embs(spark, sf_dir).withColumn("embedding", F.slice("embedding", 1, 16))
-    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+    out = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10,
+        corpus=_mat_corpus_df(spark, sf_dir),
+    )
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
 
@@ -2643,7 +2729,10 @@ def q_sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-10 — the dimension/quality trade-off number, on the same
     recall axis as the LSH/IVF/PQ diagnostics."""
     tr = _embs(spark, sf_dir).withColumn("embedding", F.slice("embedding", 1, 16))
-    approx = similarity.brute_force_topk(tr, tr.where(F.col("vec_id") < 10), k=10)
+    approx = similarity.brute_force_topk(
+        tr, tr.where(F.col("vec_id") < 10), k=10,
+        corpus=_mat_corpus_df(spark, sf_dir),
+    )
     return _recall_at_10(spark, sf_dir, approx)
 
 
@@ -2657,6 +2746,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=16,
         nprobe=2,
         cent_rows=_ivf_coarse_rows(spark, sf_dir),
+        lists=_ivf_lists_df(spark, sf_dir),
     )
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
@@ -2676,6 +2766,7 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe=2,
         cent_rows=_trained_ivf_rows(spark, sf_dir),
+        lists=_trained_ivf_lists_df(spark, sf_dir),
     )
     return out.withColumn("rnk", F.col("rank").cast("long")).drop("rank")
 
@@ -2698,6 +2789,7 @@ def q_sim_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=2,
         cent_rows=_trained_ivf_rows(spark, sf_dir),
+        lists=_trained_ivf_lists_df(spark, sf_dir),
     )
     return _recall_at_10(spark, sf_dir, approx)
 
@@ -2710,7 +2802,9 @@ def q_sim_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     One projection assignment pass + one count aggregation; the corpus
     never shuffles (similarity.ivf_assignments)."""
     asg = similarity.ivf_assignments(
-        _embs(spark, sf_dir), n_centroids=16, cent_rows=_ivf_coarse_rows(spark, sf_dir)
+        _embs(spark, sf_dir), n_centroids=16,
+        cent_rows=_ivf_coarse_rows(spark, sf_dir),
+        lists=_ivf_lists_df(spark, sf_dir),
     )
     return asg.groupBy("cent_id").agg(F.count("*").cast("long").alias("n_vectors"))
 
@@ -4459,6 +4553,19 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
         _trained_pq_codebook(spark, sf_dir)
         _ivf_pq_index(spark, sf_dir)
         _exact_topk_rows(spark, sf_dir)
+        # r21: the serving-side index frames (normed corpus, LSH buckets,
+        # IVF inverted lists — the SAME memoized DataFrame objects every
+        # serving row probes) are shared builds like the dedup family's
+        # shingle index; persist + materialize them here so each serving
+        # query's timing measures probing, not an index rebuild
+        for frame in (
+            _bf_corpus_df(spark, sf_dir),
+            _mat_corpus_df(spark, sf_dir),
+            _lsh_corpus4_df(spark, sf_dir),
+            _ivf_lists_df(spark, sf_dir),
+            _trained_ivf_lists_df(spark, sf_dir),
+        ):
+            frame.persist().count()
     elif family == "multimodal":
         # first use of the worker-side codec modules (zlib/wave/struct
         # imports + the numpy kernels) otherwise lands on whichever

@@ -58,13 +58,23 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector.
 
     Output: (query_id, neighbor_id, cos, rank) with rank 1..k, ties broken
     by neighbor id for determinism; self-matches excluded.
+
+    ``corpus=`` accepts a prebuilt ``(vid, vec, nrm)`` frame (the
+    :func:`_with_norm` shape) so a serve-many-queries caller can
+    materialize the normed corpus once and share it across calls — the
+    same build-once/serve-many contract as ``cent_rows=`` on
+    :func:`ivf_topk` (r21, guide §2.4: the norm projection is identical
+    per call, so recomputing it per query is a removable repeated stage).
+    Values are unchanged — the frame is the same expression over the same
+    rows.
     """
-    corpus = _with_norm(emb, id_col, vec_col)
+    corpus = _with_norm(emb, id_col, vec_col) if corpus is None else corpus
     qs = _with_norm(queries, id_col, vec_col).select(
         F.col("vid").alias("query_id"), F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm")
     )
@@ -86,6 +96,22 @@ def brute_force_topk(
     )
 
 
+def lsh_corpus(
+    emb: DataFrame,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The bucketed corpus serving frame of :func:`bucketed_topk`:
+    ``(vid, vec, nrm, bucket)`` under the deterministic sign-pattern
+    quantizer.  Exposed so a serve-many-queries caller can build the LSH
+    index side once (optionally persist it) and pass it back via
+    ``corpus=`` — the LSH twin of :func:`ivf_lists` (r21, guide §2.4)."""
+    return _with_norm(emb, id_col, vec_col).withColumn(
+        "bucket", sign_bucket(F.col("vec"), n_bits)
+    )
+
+
 def bucketed_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -94,6 +120,7 @@ def bucketed_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-bucketed approximate top-k: search the query's sign-bucket,
     plus — with ``nprobe > 1`` — the **multi-probe** recall knob: the
@@ -112,8 +139,13 @@ def bucketed_topk(
 
     The quantizer (:func:`~...vecfuncs.sign_bucket`) is deterministic, so
     results are reproducible and oracle-checkable at every ``nprobe``.
+
+    ``corpus=`` accepts a prebuilt :func:`lsh_corpus` frame (same
+    ``n_bits``) so the index side is built once across serving calls;
+    results are unchanged (same expression, same rows).
     """
-    corpus = _with_norm(emb, id_col, vec_col).withColumn("bucket", sign_bucket(F.col("vec"), n_bits))
+    if corpus is None:
+        corpus = lsh_corpus(emb, n_bits, id_col, vec_col)
     qs = (
         _with_norm(queries, id_col, vec_col)
         .withColumn("bucket", sign_bucket(F.col("vec"), n_bits))
@@ -390,7 +422,7 @@ def _nearest_cents_col(
     return col
 
 
-def ivf_assignments(
+def ivf_lists(
     emb: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
@@ -398,14 +430,16 @@ def ivf_assignments(
     centroids: DataFrame | None = None,
     cent_rows: list[tuple[int, list[float], float]] | None = None,
 ) -> DataFrame:
-    """Corpus → inverted-list assignment: the index-BUILD half of
-    :func:`ivf_topk`, exposed for list-balance diagnostics and external
-    index materialization.  Output: (vid, cent_id), one row per corpus
-    vector; same collected-centroid projection (zero shuffles — one
-    narrow map stage over the corpus scan)."""
+    """The corpus serving frame of :func:`ivf_topk`: ``(vid, vec, nrm,
+    cent_id)`` — every corpus vector with its inverted-list id under the
+    coarse quantizer.  Exposed (r21, guide §2.4) so a serve-many-queries
+    caller can build the inverted lists ONCE (optionally persist them —
+    this frame IS the inverted index) and pass them back via ``lists=`` on
+    :func:`ivf_topk` / :func:`ivf_assignments`: the assignment projection
+    is identical across serving calls, so recomputing it per query is a
+    removable repeated stage.  Values are unchanged — same expression over
+    the same rows."""
     if cent_rows is not None and len(cent_rows) != n_centroids:
-        # same contract as ivf_topk: a mismatched prebuilt centroid list
-        # would silently serve different parameters than requested
         raise ValueError(
             f"cent_rows has {len(cent_rows)} centroids, n_centroids={n_centroids}"
         )
@@ -415,11 +449,31 @@ def ivf_assignments(
         else coarse_cent_rows(emb, n_centroids, id_col, vec_col, centroids)
     )
     corpus = _with_norm(emb, id_col, vec_col)
-    return corpus.select(
-        "vid",
-        _nearest_cents_col(rows, F.col("vec"), F.col("nrm"), 1)[0]["cent_id"].alias(
-            "cent_id"
-        ),
+    return corpus.withColumn(
+        "cent_id", _nearest_cents_col(rows, F.col("vec"), F.col("nrm"), 1)[0]["cent_id"]
+    )
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    cent_rows: list[tuple[int, list[float], float]] | None = None,
+    lists: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus → inverted-list assignment: the index-BUILD half of
+    :func:`ivf_topk`, exposed for list-balance diagnostics and external
+    index materialization.  Output: (vid, cent_id), one row per corpus
+    vector; same collected-centroid projection (zero shuffles — one
+    narrow map stage over the corpus scan).  ``lists=`` projects from a
+    prebuilt :func:`ivf_lists` frame instead of recomputing the
+    assignment (build-once/serve-many, r21)."""
+    if lists is not None:
+        return lists.select("vid", "cent_id")
+    return ivf_lists(emb, n_centroids, id_col, vec_col, centroids, cent_rows).select(
+        "vid", "cent_id"
     )
 
 
@@ -434,6 +488,7 @@ def ivf_topk(
     centroids: DataFrame | None = None,
     cent_rows: list[tuple[int, list[float], float]] | None = None,
     broadcast_queries: bool = True,
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the corpus
     into inverted lists; each query scores only its ``nprobe`` nearest
@@ -467,21 +522,30 @@ def ivf_topk(
     broadcast hint on candidate generation for corpus-scale query sets
     (corpus-vs-corpus ANN), letting the auto-threshold + AQE pick the
     join strategy instead of forcing a potentially enormous broadcast.
+    ``lists=`` accepts a prebuilt :func:`ivf_lists` frame (built with the
+    SAME ``cent_rows``, which query probing still needs) so the inverted
+    index is materialized once across serving calls (r21).
     """
     if cent_rows is not None and len(cent_rows) != n_centroids:
         raise ValueError(
             f"cent_rows has {len(cent_rows)} centroids, n_centroids={n_centroids}"
         )
+    if lists is not None and cent_rows is None:
+        # probing routes on the same collected centroids the lists were
+        # built from; accepting lists without them would silently derive a
+        # DIFFERENT quantizer for the query side
+        raise ValueError("lists= requires cent_rows= (the quantizer it was built from)")
     rows = (
         cent_rows
         if cent_rows is not None
         else coarse_cent_rows(emb, n_centroids, id_col, vec_col, centroids)
     )
 
-    corpus = _with_norm(emb, id_col, vec_col)
-    lists = corpus.withColumn(
-        "cent_id", _nearest_cents_col(rows, F.col("vec"), F.col("nrm"), 1)[0]["cent_id"]
-    )
+    if lists is None:
+        # len(rows), not n_centroids: a trained ``centroids=`` frame defines
+        # its own list count (coarse_cent_rows returns ALL its rows), and
+        # the historical behavior never re-validated that branch
+        lists = ivf_lists(emb, len(rows), id_col, vec_col, cent_rows=rows)
 
     qn = _with_norm(queries, id_col, vec_col)
     qside = qn.select(

@@ -1230,3 +1230,49 @@ def test_opq_interleave_is_the_documented_stride_permutation(spark):
     assert got == want
     assert sorted(got) == [float(i) for i in range(d)]  # a permutation
     assert got != [float(i) for i in range(d)]          # not the identity
+
+
+def test_prebuilt_serving_frames_match_default_paths(spark):
+    """r21 serving-frame sharing (guide §2.4): passing a prebuilt
+    ``ivf_lists`` / ``lsh_corpus`` / normed-corpus frame must return rows
+    IDENTICAL to the self-building path — the parameter only relocates
+    where the index side materializes, never what it contains.  Also pins
+    the ``lists= without cent_rows=`` misuse to a loud error (a silently
+    re-derived quantizer would serve different lists than probed)."""
+    import pytest
+
+    from remote_tsdb_clickhouse_spark.operators import similarity
+    from remote_tsdb_clickhouse_spark.operators.similarity import _with_norm
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    qs = emb.where("vec_id < 3")
+
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+
+    cent_rows = similarity.coarse_cent_rows(emb, n_centroids=4)
+    lists = similarity.ivf_lists(emb, n_centroids=4, cent_rows=cent_rows)
+    base = similarity.ivf_topk(emb, qs, k=3, n_centroids=4, nprobe=2, cent_rows=cent_rows)
+    via = similarity.ivf_topk(
+        emb, qs, k=3, n_centroids=4, nprobe=2, cent_rows=cent_rows, lists=lists
+    )
+    assert key(base) == key(via)
+    assert key(similarity.ivf_assignments(emb, n_centroids=4, cent_rows=cent_rows)) == key(
+        similarity.ivf_assignments(emb, n_centroids=4, cent_rows=cent_rows, lists=lists)
+    )
+
+    corpus4 = similarity.lsh_corpus(emb, n_bits=3)
+    assert key(similarity.bucketed_topk(emb, qs, k=3, n_bits=3, nprobe=2)) == key(
+        similarity.bucketed_topk(emb, qs, k=3, n_bits=3, nprobe=2, corpus=corpus4)
+    )
+
+    normed = _with_norm(emb, "vec_id", "embedding")
+    assert key(similarity.brute_force_topk(emb, qs, k=3)) == key(
+        similarity.brute_force_topk(emb, qs, k=3, corpus=normed)
+    )
+
+    with pytest.raises(ValueError, match="lists= requires cent_rows="):
+        similarity.ivf_topk(emb, qs, k=3, n_centroids=4, lists=lists)

@@ -8,7 +8,13 @@ WholeStageCodegen span count — so before/after plan diffs are reviewable
 without running Spark.
 
 Usage:
-    python tools/capture_plans.py plans/r21/before [query ...]
+    python tools/capture_plans.py plans/r21/before [--warm] [query ...]
+
+``--warm`` runs the entry's ``family_warmup`` for each captured query's
+family first (bench conditions): plans that probe a family's shared
+persisted frames then show the ``InMemoryTableScan`` the bench actually
+executes, which is the shape an optimization that introduces a shared
+serving frame changes.  Without it, captures are cold single-query plans.
 
 With no query names, captures all of ``queries()``.  Streaming queries
 (``streaming_*``) execute a real micro-batch run inside the query
@@ -55,7 +61,9 @@ def main(argv: list[str]) -> int:
         print(__doc__)
         return 2
     outdir = argv[0]
-    only = set(argv[1:])
+    rest = argv[1:]
+    warm = "--warm" in rest
+    only = {a for a in rest if a != "--warm"}
     os.makedirs(outdir, exist_ok=True)
     sys.path.insert(0, REPO)
     import __spark_entry__ as entrymod
@@ -66,9 +74,17 @@ def main(argv: list[str]) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     lines = []
+    warmed: set[str] = set()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        fam = name.split("_", 1)[0]
+        if warm and fam not in warmed:
+            try:
+                entrymod.family_warmup(spark, sf_dir, fam)
+            except Exception as exc:
+                print(f"# family_warmup({fam}) error: {exc}", file=sys.stderr)
+            warmed.add(fam)
         try:
             df = fn(spark, sf_dir)
             text = df._sc._jvm.PythonSQLUtils.explainString(
