@@ -55,10 +55,15 @@ def handle_read_request(
     for q in req.queries:
         result = prompb.QueryResult()
         df = read_query_df(samples, q, ignore_label=ignore_label, ignore_hints=ignore_hints)
-        # toLocalIterator streams partition-at-a-time instead of buffering
-        # the whole result twice driver-side (the prompb objects are the
-        # one unavoidable materialization; the reference holds the same)
-        rows = df.orderBy("metric_name", "slb").toLocalIterator()
+        # collect(), not toLocalIterator(): the response contract fully
+        # materializes every series driver-side anyway (the prompb objects
+        # below; the reference holds the same, capped at 32 MiB wire
+        # bytes), so streaming partition-at-a-time saved no memory while
+        # paying one sequential fetch round-trip per output partition —
+        # measured +0.2 s per request on a sorted 1.4k-row response
+        # (interleaved A/B, r21; guide §5: the driver does one bounded
+        # pull, in one job)
+        rows = df.orderBy("metric_name", "slb").collect()
         result.timeseries = [row_to_timeseries(r) for r in rows]
         resp.results.append(result)
     return resp
