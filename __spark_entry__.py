@@ -3606,28 +3606,38 @@ def q_multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id")
 
     def batches(it):
+        # r21 (guide §4.2, the PNG-features pattern): gray AND the
+        # baseline/progressive mode are both pure functions of
+        # doc_id % 256 (256 is even, so (i % 256) % 2 == i % 2) — at most
+        # 256 distinct encode->decode->feature round-trips exist.  The old
+        # per-row loop re-ran the Huffman encode/decode for every row;
+        # fill a 256-slot table on demand (same codec path, same values)
+        # and gather per-row results with one numpy take — identical rows.
+        table = np.zeros((256, 4), dtype=np.float64)
+        have = np.zeros(256, dtype=bool)
         for pdf in it:
-            ids, feats = [], []
-            for did in pdf["doc_id"]:
-                i = int(did)
-                g = i % 256
+            ids = pdf["doc_id"].to_numpy(dtype="int64")
+            keys = ids % 256
+            for k in np.unique(keys[~have[keys]]):
+                g = int(k)
                 jpg = multimodal.encode_jpeg(
-                    8, 8, [(g, g, g)] * 64, gray=True, progressive=bool(i % 2)
+                    8, 8, [(g, g, g)] * 64, gray=True, progressive=bool(g % 2)
                 )
                 w, h, pixels = multimodal.decode_jpeg(jpg)
                 f = [
                     float(np.float32(v))
                     for v in multimodal._rgb_features(w, h, pixels)
                 ]
-                ids.append(i)
-                feats.append(f)
+                table[g] = f[2:6]
+                have[g] = True
+            vals = table[keys]
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "mean_r": [f[2] for f in feats],
-                    "mean_g": [f[3] for f in feats],
-                    "mean_b": [f[4] for f in feats],
-                    "luma": [f[5] for f in feats],
+                    "mean_r": vals[:, 0],
+                    "mean_g": vals[:, 1],
+                    "mean_b": vals[:, 2],
+                    "luma": vals[:, 3],
                 }
             )
 
