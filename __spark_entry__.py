@@ -3060,12 +3060,15 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality proxy: a corpus bigram language model scored
     back over each document — the perplexity-filter shape (docs whose
     bigrams are corpus-typical score high; gibberish scores low) without
-    an external KenLM.  One explode feeds BOTH the LM aggregation and the
-    scoring join (same linear equi-join dataflow as tf-idf); per-bigram
-    log-probs quantize to micro-units BEFORE the per-doc aggregation so
-    the sum is exact int64 (a float avg would be summation-order-
-    dependent across engines), and the mean is integer floor division.
-    Docs with <2 tokens carry no bigrams and are excluded on both sides."""
+    an external KenLM.  The per-bigram corpus count is a count-window over
+    the exploded bigrams (same key the tf-idf rewrite windows on — one
+    shuffle, no LM join-back); per-bigram log-probs quantize to micro-units
+    BEFORE the per-doc aggregation so the sum is exact int64 (a float avg
+    would be summation-order-dependent across engines), and the mean is
+    integer floor division.  Docs with <2 tokens carry no bigrams and are
+    excluded on both sides."""
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
     toks = tx.tokens(F.col("text"))
     sz = F.size("toks")
@@ -3074,24 +3077,22 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("toks", 2, sz - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    ex = (
-        d.select("doc_id", toks.alias("toks"))
-        .where(sz >= 2)
-        .select("doc_id", F.explode(bgs).alias("bg"))
-    )
-    # persist the vocab-sized LM table: the eager scalar total (sum of
-    # per-bigram counts — the 1-int driver materialization has the same
-    # metadata-sized precedent as the k-means centroid collect) then
-    # doubles as the cache materialization, and the scoring join reads
-    # the cached LM instead of replaying its explode+aggregate.  Plan-
-    # gated at two Generates like tf-idf; the persist lives until the
-    # bench family boundary clearCache (dedup-family precedent).
-    lm = ex.groupBy("bg").agg(F.count("*").alias("c")).persist()
-    t = lm.agg(F.sum("c")).first()[0]
-    lp = F.floor(F.log(F.col("c").cast("double") / F.lit(float(t))) * 1000000.0).cast("long")
+    staged = d.select("doc_id", toks.alias("toks")).where(sz >= 2)
+    # r21 (guide §2.4, the tf-idf pattern): the LM table + scoring join
+    # re-shuffled the exploded bigrams onto `bg` TWICE (once to build the
+    # vocab aggregate, once to join it back) and needed a persisted cache
+    # plus an eager scalar job over the explode.  The per-bigram count is
+    # a count-window over the SAME `bg` key (one shuffle, no join, no
+    # cache), and the scalar total needs no explode at all: each doc
+    # contributes exactly size(toks)-1 bigrams, so t = sum(sz-1) over the
+    # staged tokenized projection — a tokenize+sum job, metadata-sized
+    # result.  Same per-row c and t values, bit-identical lp and sums.
+    t = staged.agg(F.sum(sz - 1)).first()[0]
+    ex = staged.select("doc_id", F.explode(bgs).alias("bg"))
+    c = F.count("*").over(Window.partitionBy("bg"))
+    lp = F.floor(F.log(c.cast("double") / F.lit(float(t))) * 1000000.0).cast("long")
     return (
-        ex.join(lm, "bg")
-        .select("doc_id", lp.alias("lp"))
+        ex.select("doc_id", lp.alias("lp"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("sum_lp_micro"))
         .select(

@@ -338,14 +338,16 @@ def test_bucketed_join_zero_exchange_zero_sort(spark):
     assert plan.count("Bucketed: true") == 2, plan
 
 
-def test_bigram_lm_two_explodes_only(spark):
-    # the scoring join's LM side must come from the persisted aggregate
-    # (InMemoryTableScan) that the eager scalar total materialized — so
-    # only the probe side re-explodes at runtime.  The plan TEXT repeats
-    # the cached relation's body under the InMemoryTableScan (same
-    # artifact as the q11 gate), so count the cache read, not Generates.
+def test_bigram_lm_single_explode_window(spark):
+    # r21: the LM table + scoring join became a count-window over the
+    # exploded bigrams (one `bg` shuffle total) and the scalar total is a
+    # tokenize+sum job with no explode — so the runtime plan must carry
+    # exactly ONE Generate, one Window, and NO join or cached LM relation.
     plan = _plan(spark, "text_bigram_lm")
-    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("Generate") == 1, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan
+    assert "InMemoryTableScan" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
