@@ -179,12 +179,34 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per[key]
 
 
+#: Fixed Column-tree memo (r21, guide §5): these helpers build the same
+#: immutable expression trees on every query call (py4j round-trips);
+#: share one instance per distinct input — expressions only, never data
+#: (the _SIMHASH_EXPR_CACHE / read_plan._EXPR_MEMO precedent).
+_ENTRY_EXPR_MEMO: dict = {}
+
+
 def _lbl(col: str = "slb") -> F.Column:
-    return F.array_join(col, ",").alias("labels_str")
+    c = _ENTRY_EXPR_MEMO.get(("lbl", col))
+    if c is None:
+        c = _ENTRY_EXPR_MEMO[("lbl", col)] = F.array_join(col, ",").alias("labels_str")
+    return c
 
 
 def _epoch(col: str = "t") -> F.Column:
-    return F.col(col).cast("long").alias(col)
+    c = _ENTRY_EXPR_MEMO.get(("epoch", col))
+    if c is None:
+        c = _ENTRY_EXPR_MEMO[("epoch", col)] = F.col(col).cast("long").alias(col)
+    return c
+
+
+def _slb_value(name: str) -> F.Column:
+    """Memoized ``label_value(F.col("slb"), name)`` — the X2 extraction is
+    a fixed HOF chain per label name (~25 ms of py4j per build)."""
+    c = _ENTRY_EXPR_MEMO.get(("slbv", name))
+    if c is None:
+        c = _ENTRY_EXPR_MEMO[("slbv", name)] = label_value(F.col("slb"), name)
+    return c
 
 
 def _dsum(col: F.Column) -> F.Column:
@@ -630,7 +652,7 @@ def q_tsdb_label_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "click"),))
     grouped = read_query_grouped(_samples(spark, sf_dir), q)
     rewritten = label_replace(grouped, dst="shard", src="user", pattern="([0-9])[0-9]*")
-    shard = label_value(F.col("slb"), "shard").alias("shard")
+    shard = _slb_value("shard").alias("shard")
     return (
         rewritten.select("metric_name", shard, "max_0")
         .groupBy("metric_name", "shard")
@@ -674,7 +696,7 @@ def q_tsdb_label_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "error"),))
     grouped = read_query_grouped(_samples(spark, sf_dir), q)
     rewritten = label_join(grouped, dst="ut", sep="|", srcs=["user", "tier"])
-    ut = label_value(F.col("slb"), "ut").alias("ut")
+    ut = _slb_value("ut").alias("ut")
     return (
         rewritten.select("metric_name", ut, "max_0")
         .groupBy("metric_name", "ut")
@@ -702,7 +724,7 @@ def q_tsdb_binary_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch = F.col("t").cast("long")
         return (
             g.select(
-                label_value(F.col("slb"), "user").alias("user_id"),
+                _slb_value("user").alias("user_id"),
                 (epoch - epoch % 3600).alias("bucket_t"),
             )
             .groupBy("user_id", "bucket_t")
@@ -951,7 +973,7 @@ def q_tsdb_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction is a codegen'd higher-order filter, not a UDF."""
     q = ReadQuery(start_ms=T0, end_ms=T20, matchers=(LabelMatcher(EQ, "__name__", "view"),))
     grouped = read_query_grouped(_samples(spark, sf_dir), q)
-    tier = F.coalesce(label_value(F.col("slb"), "tier"), F.lit(""))
+    tier = F.coalesce(_slb_value("tier"), F.lit(""))
     return (
         grouped.select(tier.alias("tier"), _epoch(), "max_0")
         .groupBy("tier", "t")

@@ -112,13 +112,36 @@ def bucket_time(ts_col, interval_s: int):
     return F.timestamp_seconds((epoch - epoch % interval_s))
 
 
+#: Plan-construction memo (r21, guide §5 driver latency): the WHERE /
+#: projection / assembly Columns below are pure functions of frozen,
+#: hashable inputs (ReadQuery, ReadHints, literals), yet building them
+#: issued dozens of py4j round-trips per query call — measured ~0.06-0.1 s
+#: of every tsdb consumer's ~0.16 s driver build.  Columns are immutable
+#: expression wrappers, safe to share across plans and sessions (the
+#: established ``_SIMHASH_EXPR_CACHE`` precedent in operators/dedup.py);
+#: the memo holds expressions only, never data.  Unhashable ad-hoc inputs
+#: fall back to direct construction.
+_EXPR_MEMO: dict = {}
+
+
+def _expr_memo(key, build):
+    try:
+        col = _EXPR_MEMO.get(key)
+    except TypeError:  # unhashable component in the key
+        return build()
+    if col is None:
+        col = _EXPR_MEMO[key] = build()
+    return col
+
+
 def time_expr(q: ReadQuery, *, ignore_hints: bool = False):
     """The ``t`` projection: raw second-truncated ts, or the A2 bucket."""
-    ts = F.col("ts")
     interval_s = downsample_interval_seconds(q.hints, ignore_hints=ignore_hints)
     if interval_s is None:
-        return ts
-    return bucket_time(ts, interval_s)
+        return _expr_memo(("ts",), lambda: F.col("ts"))
+    return _expr_memo(
+        ("bucket", interval_s), lambda: bucket_time(F.col("ts"), interval_s)
+    )
 
 
 def read_filter(q: ReadQuery, *, ignore_label: str | None = DEFAULT_READ_IGNORE_LABEL):
@@ -129,6 +152,12 @@ def read_filter(q: ReadQuery, *, ignore_label: str | None = DEFAULT_READ_IGNORE_
     :func:`trunc_ms_to_s` (``read.go:24-28``); the upper bound is inclusive
     and only applied when ``end_ms > 0``.
     """
+    return _expr_memo(
+        ("filter", q, ignore_label), lambda: _read_filter_build(q, ignore_label)
+    )
+
+
+def _read_filter_build(q: ReadQuery, ignore_label: str | None):
     cond = F.col("ts") >= F.timestamp_seconds(F.lit(trunc_ms_to_s(q.start_ms)))
     if q.end_ms > 0:
         cond = cond & (F.col("ts") <= F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))
@@ -150,14 +179,19 @@ def partition_pruning_filter(samples: DataFrame, q: ReadQuery):
 
     if PARTITION_COLUMN not in samples.columns:
         return None
-    cond = F.col(PARTITION_COLUMN) >= F.to_date(
-        F.timestamp_seconds(F.lit(trunc_ms_to_s(q.start_ms)))
-    )
-    if q.end_ms > 0:
-        cond = cond & (
-            F.col(PARTITION_COLUMN) <= F.to_date(F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))
+
+    def build():
+        cond = F.col(PARTITION_COLUMN) >= F.to_date(
+            F.timestamp_seconds(F.lit(trunc_ms_to_s(q.start_ms)))
         )
-    return cond
+        if q.end_ms > 0:
+            return cond & (
+                F.col(PARTITION_COLUMN)
+                <= F.to_date(F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))
+            )
+        return cond
+
+    return _expr_memo(("prune", q.start_ms, q.end_ms), build)
 
 
 def read_query_grouped(
@@ -185,20 +219,22 @@ def read_query_grouped(
     pruning = partition_pruning_filter(samples, q)
     if pruning is not None:
         samples = samples.where(pruning)
+    interval_s = downsample_interval_seconds(q.hints, ignore_hints=ignore_hints)
+    t_col = _expr_memo(
+        ("t_aliased", interval_s),
+        lambda: time_expr(q, ignore_hints=ignore_hints).alias("t"),
+    )
     projected = samples.where(read_filter(q, ignore_label=ignore_label)).select(
         "metric_name",
-        F.array_sort("labels").alias("slb"),
-        time_expr(q, ignore_hints=ignore_hints).alias("t"),
+        _expr_memo(("slb",), lambda: F.array_sort("labels").alias("slb")),
+        t_col,
         "value",
     )
-    if (
-        series_partitioned
-        and downsample_interval_seconds(q.hints, ignore_hints=ignore_hints) is None
-    ):
+    if series_partitioned and interval_s is None:
         # no numPartitions argument: AQE may coalesce (scale-adaptive)
         projected = projected.repartition("metric_name", "slb")
     grouped = projected.groupBy("metric_name", "slb", "t")
-    return grouped.agg(F.max("value").alias("max_0"))
+    return grouped.agg(_expr_memo(("max_0",), lambda: F.max("value").alias("max_0")))
 
 
 def read_query_df(
@@ -230,7 +266,10 @@ def read_query_df(
         series_partitioned=series_partitioned,
     )
     return grouped.groupBy("metric_name", "slb").agg(
-        F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("max_0").alias("v")))).alias(
-            "samples"
+        _expr_memo(
+            ("samples_assembly",),
+            lambda: F.array_sort(
+                F.collect_list(F.struct(F.col("t"), F.col("max_0").alias("v")))
+            ).alias("samples"),
         )
     )
