@@ -14,9 +14,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Plan-construction memo (r21, guide §5 driver latency): the per-series
+#: window specs and the lag projections below are fixed immutable trees
+#: over fixed column names, rebuilt by every rate/irate/delta consumer —
+#: share one instance (the read_plan._EXPR_MEMO precedent); expressions
+#: only, never data.
+_EXPR_MEMO: dict = {}
+
+
+def _expr_memo(key, build):
+    col = _EXPR_MEMO.get(key)
+    if col is None:
+        col = _EXPR_MEMO[key] = build()
+    return col
+
+
 def series_window(extra_order: list[str] | None = None) -> Window:
     """Per-series time-ordered window: partition by (metric_name, labels)."""
-    return Window.partitionBy("metric_name", "slb").orderBy("t", *(extra_order or []))
+    return _expr_memo(
+        ("series_window", tuple(extra_order or ())),
+        lambda: Window.partitionBy("metric_name", "slb").orderBy(
+            "t", *(extra_order or [])
+        ),
+    )
 
 
 def per_second_rate(grouped: DataFrame, *, reset_as_null: bool = True) -> DataFrame:
@@ -33,13 +53,7 @@ def per_second_rate(grouped: DataFrame, *, reset_as_null: bool = True) -> DataFr
     grouped aggregation that produced the input, so AQE/exchange reuse
     avoids a second full shuffle in the combined plan.
     """
-    w = series_window()
-    epoch = F.col("t").cast("long")
-    with_lags = grouped.select(
-        "*",
-        F.lag("max_0").over(w).alias("_pv"),
-        F.lag(epoch).over(w).alias("_pt"),
-    )
+    with_lags = grouped.select("*", _lag_pv(), _lag_pt())
     dv = F.col("max_0") - F.col("_pv")
     dt = F.col("t").cast("long") - F.col("_pt")
     rate = F.when(dv < 0, F.lit(None).cast("double")).otherwise(dv / dt)
@@ -47,6 +61,22 @@ def per_second_rate(grouped: DataFrame, *, reset_as_null: bool = True) -> DataFr
         with_lags.where(F.col("_pv").isNotNull())
         .withColumn("rate", rate)
         .drop("_pv", "_pt")
+    )
+
+
+def _lag_pv() -> Column:
+    """Memoized ``lag(max_0) OVER series_window AS _pv`` (shared by the
+    rate family)."""
+    return _expr_memo(
+        ("_pv",), lambda: F.lag("max_0").over(series_window()).alias("_pv")
+    )
+
+
+def _lag_pt() -> Column:
+    """Memoized ``lag(epoch(t)) OVER series_window AS _pt``."""
+    return _expr_memo(
+        ("_pt",),
+        lambda: F.lag(F.col("t").cast("long")).over(series_window()).alias("_pt"),
     )
 
 
@@ -60,14 +90,16 @@ def irate(grouped: DataFrame) -> DataFrame:
     partitioning (rather than a descending row_number, whose opposite sort
     order would force a second sort of every partition).
     """
-    w = series_window()
-    w_all = Window.partitionBy("metric_name", "slb")
-    epoch = F.col("t").cast("long")
     with_lags = grouped.select(
         "*",
-        F.lag("max_0").over(w).alias("_pv"),
-        F.lag(epoch).over(w).alias("_pt"),
-        F.max("t").over(w_all).alias("_tmax"),
+        _lag_pv(),
+        _lag_pt(),
+        _expr_memo(
+            ("_tmax",),
+            lambda: F.max("t")
+            .over(Window.partitionBy("metric_name", "slb"))
+            .alias("_tmax"),
+        ),
     )
     dv = F.col("max_0") - F.col("_pv")
     dt = F.col("t").cast("long") - F.col("_pt")
