@@ -266,10 +266,10 @@ def read_query_df(
         series_partitioned=series_partitioned,
     )
     return grouped.groupBy("metric_name", "slb").agg(
-        _expr_memo(
-            ("samples_assembly",),
-            lambda: F.array_sort(
-                F.collect_list(F.struct(F.col("t"), F.col("max_0").alias("v")))
-            ).alias("samples"),
-        )
+        _expr_memo(("samples_assembly",), _assembly_col)
     )
+
+
+def _assembly_col():
+    """O2 series assembly aggregate (memoized via ``_expr_memo`` above)."""
+    return F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("max_0").alias("v")))).alias("samples")

@@ -251,16 +251,16 @@ MUTANTS = [
      "if 0 < hints.range_ms:",
      ["tests/test_read_plan.py"]),
     ("M13", "A1 grouped max -> min", RP,
-     '.agg(F.max("value").alias("max_0"))',
-     '.agg(F.min("value").alias("max_0"))',
+     'F.max("value").alias("max_0")',
+     'F.min("value").alias("max_0")',
      ["tests/test_read_plan.py"]),
     ("M14", "O2 series assembly time-sort dropped (collect_list order luck)", RP,
      'F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("max_0").alias("v")))).alias(',
      'F.collect_list(F.struct(F.col("t"), F.col("max_0").alias("v"))).alias(',
      ["tests/test_read_plan.py", "tests/test_server.py"]),
     ("M15", "P2 arraySort(labels) dropped from the projection", RP,
-     'F.array_sort("labels").alias("slb"),',
-     'F.col("labels").alias("slb"),',
+     'F.array_sort("labels").alias("slb")',
+     'F.col("labels").alias("slb")',
      ["tests/test_read_plan.py", "tests/test_matchers.py"]),
     ("M16", "increase reset-awareness dropped (drop contributes delta, not value)",
      "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
@@ -542,8 +542,8 @@ MUTANTS = [
      "cond = F.col(PARTITION_COLUMN) > F.to_date(",
      ["tests/test_store_writer.py"]),
     ("M69", "S6 partition pruning end <= -> < (end-instant day pruned, breaks F2)", RP,
-     "F.col(PARTITION_COLUMN) <= F.to_date(F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))",
-     "F.col(PARTITION_COLUMN) < F.to_date(F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))",
+     "<= F.to_date(F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))",
+     "< F.to_date(F.timestamp_seconds(F.lit(trunc_ms_to_s(q.end_ms))))",
      ["tests/test_store_writer.py"]),
     ("M70", "OPQ-lite interleave degenerates to the identity permutation",
      "remote_tsdb_clickhouse_spark/operators/similarity.py",
