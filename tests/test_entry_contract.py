@@ -418,24 +418,36 @@ def test_staleness_tool_skips_landed_pending_bump():
     """ADVICE r9/r10: once a pending window's own CORRECTNESS file lands
     (some recorded round holds exactly its rows), --pending must not bump
     them to a phantom next round — the printed distribution should top out
-    at the max recorded round.  The window to pend is DERIVED from the max
-    recorded round (r10 verdict: hardcoding a window name time-bombs the
-    test every time the driver lands a newer CORRECTNESS file)."""
+    at the max recorded round.  The window to pend is DERIVED by matching
+    the max recorded round's key list against the entry's window lists
+    (r10 verdict: hardcoding a window name time-bombs the test every time
+    the driver lands a newer CORRECTNESS file; r22: deriving the NAME from
+    the round number broke too — an optimization round may legitimately
+    keep the previous hoist, so CORRECTNESS_r{top} can hold an older
+    window's rows.  Landed-ness is the exact key-list match, same as the
+    tool's own rule)."""
     import glob
+    import json as _json
     import os as _os
     import re as _re
     import subprocess
     import sys as _sys
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    top = max(
-        int(_re.search(r"r0*(\d+)", _os.path.basename(p)).group(1))
+    top, top_path = max(
+        (int(_re.search(r"r0*(\d+)", _os.path.basename(p)).group(1)), p)
         for p in glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))
     )
-    # the top round's window is by construction the landed one: the driver
-    # hashes the FIRST 50 queries() entries, i.e. the round's hoisted window
-    landed_window = f"_R{top}_WINDOW"
-    assert hasattr(entry, landed_window), landed_window
+    with open(top_path) as fh:
+        landed_keys = list(_json.load(fh))
+    # the landed window is the one whose rows the top round's driver run
+    # actually hashed — found by key-list identity, not by name arithmetic
+    landed_window = next(
+        name
+        for name in dir(entry)
+        if _re.fullmatch(r"_R\d+_WINDOW", name)
+        and list(getattr(entry, name)) == landed_keys
+    )
     proc = subprocess.run(
         [_sys.executable, _os.path.join(repo, "tools", "staleness_ledger.py"),
          "--pending", landed_window],
