@@ -3113,12 +3113,20 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a count-window over the SAME `bg` key (one shuffle, no join, no
     # cache), and the scalar total needs no explode at all: each doc
     # contributes exactly size(toks)-1 bigrams, so t = sum(sz-1) over the
-    # staged tokenized projection — a tokenize+sum job, metadata-sized
-    # result.  Same per-row c and t values, bit-identical lp and sums.
-    t = staged.agg(F.sum(sz - 1)).first()[0]
-    ex = staged.select("doc_id", F.explode(bgs).alias("bg"))
+    # staged tokenized projection.  r22 (guide §5 driver): that scalar was
+    # an EAGER first() at plan-build time — one extra blocking full scan
+    # before the real job at 100 TB; attach the 1-row aggregate with a
+    # broadcast cross-join instead, so the whole query is one lazy plan.
+    # int64 -> double cast matches float(t) bit-for-bit (same IEEE
+    # round-to-nearest), so lp and every downstream sum are unchanged.
+    total = staged.agg(F.sum(sz - 1).alias("_t"))
+    ex = staged.select("doc_id", F.explode(bgs).alias("bg")).crossJoin(
+        F.broadcast(total)
+    )
     c = F.count("*").over(Window.partitionBy("bg"))
-    lp = F.floor(F.log(c.cast("double") / F.lit(float(t))) * 1000000.0).cast("long")
+    lp = F.floor(
+        F.log(c.cast("double") / F.col("_t").cast("double")) * 1000000.0
+    ).cast("long")
     return (
         ex.select("doc_id", lp.alias("lp"))
         .groupBy("doc_id")

@@ -341,12 +341,18 @@ def test_bucketed_join_zero_exchange_zero_sort(spark):
 def test_bigram_lm_single_explode_window(spark):
     # r21: the LM table + scoring join became a count-window over the
     # exploded bigrams (one `bg` shuffle total) and the scalar total is a
-    # tokenize+sum job with no explode — so the runtime plan must carry
-    # exactly ONE Generate, one Window, and NO join or cached LM relation.
+    # tokenize+sum job with no explode.  r22: the scalar total stopped
+    # being an eager first() at plan-build time — it is now a 1-row
+    # aggregate attached with a broadcast cross-join, so the whole query
+    # is ONE lazy plan.  The runtime plan must carry exactly ONE Generate,
+    # one Window, the single 1-row BroadcastNestedLoopJoin (the scalar
+    # attach — never a shuffled join), and no cached LM relation.
     plan = _plan(spark, "text_bigram_lm")
     assert plan.count("Generate") == 1, plan
     assert "Window" in plan, plan
-    assert "Join" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
     assert "InMemoryTableScan" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
