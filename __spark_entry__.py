@@ -182,31 +182,29 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Fixed Column-tree memo (r21, guide §5): these helpers build the same
 #: immutable expression trees on every query call (py4j round-trips);
 #: share one instance per distinct input — expressions only, never data
-#: (the _SIMHASH_EXPR_CACHE / read_plan._EXPR_MEMO precedent).
-_ENTRY_EXPR_MEMO: dict = {}
+#: (the _SIMHASH_EXPR_CACHE / read_plan._EXPR_MEMO precedent).  r22:
+#: bounded + gateway-aware via the shared ExprMemo (r21 verdict item 3).
+from remote_tsdb_clickhouse_spark.util import ExprMemo as _ExprMemo
+
+_ENTRY_EXPR_MEMO = _ExprMemo(maxsize=256)
 
 
 def _lbl(col: str = "slb") -> F.Column:
-    c = _ENTRY_EXPR_MEMO.get(("lbl", col))
-    if c is None:
-        c = _ENTRY_EXPR_MEMO[("lbl", col)] = F.array_join(col, ",").alias("labels_str")
-    return c
+    return _ENTRY_EXPR_MEMO.get(
+        ("lbl", col), lambda: F.array_join(col, ",").alias("labels_str")
+    )
 
 
 def _epoch(col: str = "t") -> F.Column:
-    c = _ENTRY_EXPR_MEMO.get(("epoch", col))
-    if c is None:
-        c = _ENTRY_EXPR_MEMO[("epoch", col)] = F.col(col).cast("long").alias(col)
-    return c
+    return _ENTRY_EXPR_MEMO.get(
+        ("epoch", col), lambda: F.col(col).cast("long").alias(col)
+    )
 
 
 def _slb_value(name: str) -> F.Column:
     """Memoized ``label_value(F.col("slb"), name)`` — the X2 extraction is
     a fixed HOF chain per label name (~25 ms of py4j per build)."""
-    c = _ENTRY_EXPR_MEMO.get(("slbv", name))
-    if c is None:
-        c = _ENTRY_EXPR_MEMO[("slbv", name)] = label_value(F.col("slb"), name)
-    return c
+    return _ENTRY_EXPR_MEMO.get(("slbv", name), lambda: label_value(F.col("slb"), name))
 
 
 def _dsum(col: F.Column) -> F.Column:

@@ -13,20 +13,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from remote_tsdb_clickhouse_spark.util import ExprMemo
 
 #: Plan-construction memo (r21, guide §5 driver latency): the per-series
-#: window specs and the lag projections below are fixed immutable trees
-#: over fixed column names, rebuilt by every rate/irate/delta consumer —
+#: window specs, lag projections, and (r22) the histogram / regression /
+#: bucket-aggregate expression lists below are fixed immutable trees over
+#: fixed column names and frozen parameters, rebuilt by every consumer —
 #: share one instance (the read_plan._EXPR_MEMO precedent); expressions
-#: only, never data.
-_EXPR_MEMO: dict = {}
-
-
-def _expr_memo(key, build):
-    col = _EXPR_MEMO.get(key)
-    if col is None:
-        col = _EXPR_MEMO[key] = build()
-    return col
+#: only, never data.  r22: bounded + gateway-aware + TypeError-safe via
+#: the shared :class:`ExprMemo` (r21 verdict item 3 / ADVICE r21).
+_EXPR_MEMO = ExprMemo(maxsize=256)
+_expr_memo = _EXPR_MEMO.get
 
 
 def series_window(extra_order: list[str] | None = None) -> Window:
@@ -120,11 +117,15 @@ def delta(grouped: DataFrame) -> DataFrame:
     before the exchange — at 100 TB this is one shuffle of pre-aggregated
     per-series rows rather than a sorted window over every sample.
     """
-    return grouped.groupBy("metric_name", "slb").agg(
-        (F.max_by("max_0", "t") - F.min_by("max_0", "t")).alias("delta"),
-        (F.max("t").cast("long") - F.min("t").cast("long")).alias("range_s"),
-        F.count("*").alias("n_samples"),
+    aggs = _expr_memo(
+        ("delta_aggs",),
+        lambda: (
+            (F.max_by("max_0", "t") - F.min_by("max_0", "t")).alias("delta"),
+            (F.max("t").cast("long") - F.min("t").cast("long")).alias("range_s"),
+            F.count("*").alias("n_samples"),
+        ),
     )
+    return grouped.groupBy("metric_name", "slb").agg(*aggs)
 
 
 def increase(grouped: DataFrame) -> DataFrame:
@@ -137,16 +138,26 @@ def increase(grouped: DataFrame) -> DataFrame:
     shuffle-free.  The conditional delta sum goes through DECIMAL(30,6)
     for order-independent exactness against the oracle.
     """
-    w = series_window()
-    dv = F.col("max_0") - F.lag("max_0").over(w)
-    step = F.when(dv.isNull(), F.lit(None)).when(dv < 0, F.col("max_0")).otherwise(dv)
+    def _step():
+        dv = F.col("max_0") - F.lag("max_0").over(series_window())
+        return (
+            F.when(dv.isNull(), F.lit(None))
+            .when(dv < 0, F.col("max_0"))
+            .otherwise(dv)
+            .alias("_step")
+        )
+
     return (
-        grouped.select("metric_name", "slb", step.alias("_step"))
+        grouped.select("metric_name", "slb", _expr_memo(("increase_step",), _step))
         .groupBy("metric_name", "slb")
         .agg(
-            F.coalesce(
-                F.sum(F.col("_step").cast("decimal(30,6)")).cast("double"), F.lit(0.0)
-            ).alias("increase")
+            _expr_memo(
+                ("increase_agg",),
+                lambda: F.coalesce(
+                    F.sum(F.col("_step").cast("decimal(30,6)")).cast("double"),
+                    F.lit(0.0),
+                ).alias("increase"),
+            )
         )
     )
 
@@ -156,20 +167,25 @@ def resets_changes(grouped: DataFrame) -> DataFrame:
     drops (counter resets) and count of adjacent value changes.  Same
     single-window-then-reuse-exchange shape as :func:`increase`.
     """
-    w = series_window()
-    pv = F.lag("max_0").over(w)
-    return (
-        grouped.select(
-            "metric_name",
-            "slb",
+    def _flags():
+        pv = F.lag("max_0").over(series_window())
+        return (
             (F.col("max_0") < pv).cast("long").alias("_reset"),
             (F.col("max_0") != pv).cast("long").alias("_change"),
         )
-        .groupBy("metric_name", "slb")
-        .agg(
+
+    flags = _expr_memo(("resets_flags",), _flags)
+    aggs = _expr_memo(
+        ("resets_aggs",),
+        lambda: (
             F.coalesce(F.sum("_reset"), F.lit(0)).alias("resets"),
             F.coalesce(F.sum("_change"), F.lit(0)).alias("changes"),
-        )
+        ),
+    )
+    return (
+        grouped.select("metric_name", "slb", *flags)
+        .groupBy("metric_name", "slb")
+        .agg(*aggs)
     )
 
 
@@ -179,16 +195,26 @@ def range_aggregate(grouped: DataFrame, bucket_s: int) -> DataFrame:
     windows.  Plain hash aggregation — floor-aligned bucket key (same
     alignment rule as the A2 downsampler), map-side partials, one shuffle.
     """
-    epoch = F.col("t").cast("long")
-    bucket = (epoch - epoch % bucket_s).alias("bucket_t")
-    return grouped.groupBy("metric_name", "slb", bucket).agg(
-        (F.sum(F.col("max_0").cast("decimal(30,6)")).cast("double") / F.count("*")).alias(
-            "avg_v"
+    bucket = _expr_memo(("bucket_t", bucket_s), lambda: _bucket_col(bucket_s))
+    aggs = _expr_memo(
+        ("range_aggs",),
+        lambda: (
+            (
+                F.sum(F.col("max_0").cast("decimal(30,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_v"),
+            F.min("max_0").alias("min_v"),
+            F.max("max_0").alias("max_v"),
+            F.count("*").alias("n"),
         ),
-        F.min("max_0").alias("min_v"),
-        F.max("max_0").alias("max_v"),
-        F.count("*").alias("n"),
     )
+    return grouped.groupBy("metric_name", "slb", bucket).agg(*aggs)
+
+
+def _bucket_col(bucket_s: int) -> Column:
+    """Floor-aligned epoch bucket (the A2 alignment rule) as ``bucket_t``."""
+    epoch = F.col("t").cast("long")
+    return (epoch - epoch % bucket_s).alias("bucket_t")
 
 
 def label_replace(
@@ -211,19 +237,22 @@ def label_replace(
     shuffle; a following ``groupBy`` on the rewritten labelset is the
     standard "re-aggregate by derived label" PromQL move.
     """
-    src_val = F.coalesce(label_value(F.col("slb"), src), F.lit(""))
-    anchored = f"^(?:{pattern})$"
-    matched = src_val.rlike(anchored)
-    cap = F.regexp_extract(src_val, anchored, 1)
-    without_dst = F.filter(F.col("slb"), lambda x: ~x.like(f"{dst}=%"))
-    with_dst = F.array_sort(
-        F.concat(without_dst, F.array(F.concat(F.lit(dst + "="), cap)))
-    )
-    # filter of a sorted array is sorted, so the empty-expansion branch
-    # needs no re-sort
-    rewritten = F.when(F.length(cap) == 0, without_dst).otherwise(with_dst)
+    def build():
+        src_val = F.coalesce(label_value(F.col("slb"), src), F.lit(""))
+        anchored = f"^(?:{pattern})$"
+        matched = src_val.rlike(anchored)
+        cap = F.regexp_extract(src_val, anchored, 1)
+        without_dst = F.filter(F.col("slb"), lambda x: ~x.like(f"{dst}=%"))
+        with_dst = F.array_sort(
+            F.concat(without_dst, F.array(F.concat(F.lit(dst + "="), cap)))
+        )
+        # filter of a sorted array is sorted, so the empty-expansion branch
+        # needs no re-sort
+        rewritten = F.when(F.length(cap) == 0, without_dst).otherwise(with_dst)
+        return F.when(matched, rewritten).otherwise(F.col("slb"))
+
     return grouped.withColumn(
-        "slb", F.when(matched, rewritten).otherwise(F.col("slb"))
+        "slb", _expr_memo(("label_replace", dst, src, pattern), build)
     )
 
 
@@ -240,13 +269,17 @@ def label_join(
     the labelset stays sorted (P2 invariant).  Pure per-row projection —
     no shuffle.
     """
-    parts = [F.coalesce(label_value(F.col("slb"), s), F.lit("")) for s in srcs]
-    joined = F.concat_ws(sep, *parts)
-    without_dst = F.filter(F.col("slb"), lambda x: ~x.like(f"{dst}=%"))
-    rewritten = F.array_sort(
-        F.concat(without_dst, F.array(F.concat(F.lit(dst + "="), joined)))
+    def build():
+        parts = [F.coalesce(label_value(F.col("slb"), s), F.lit("")) for s in srcs]
+        joined = F.concat_ws(sep, *parts)
+        without_dst = F.filter(F.col("slb"), lambda x: ~x.like(f"{dst}=%"))
+        return F.array_sort(
+            F.concat(without_dst, F.array(F.concat(F.lit(dst + "="), joined)))
+        )
+
+    return grouped.withColumn(
+        "slb", _expr_memo(("label_join", dst, sep, tuple(srcs)), build)
     )
-    return grouped.withColumn("slb", rewritten)
 
 
 def quantile_over_time(grouped: DataFrame, quantiles: list[float]) -> DataFrame:
@@ -263,17 +296,30 @@ def quantile_over_time(grouped: DataFrame, quantiles: list[float]) -> DataFrame:
     combine map-side); per-series sample counts are range-bounded, so the
     array stays small at any corpus scale.
     """
-    arr = F.sort_array(F.collect_list("max_0"))
-    agg = grouped.groupBy("metric_name", "slb").agg(
-        arr.alias("_vs"), F.count("*").alias("n_samples")
+    agg = grouped.groupBy("metric_name", "slb").agg(*_sorted_values_aggs())
+
+    def build():
+        n = F.col("n_samples")
+        cols = [F.col("metric_name"), F.col("slb"), n]
+        for q in quantiles:
+            idx0 = F.floor((n - 1).cast("double") * F.lit(q)).cast("int")
+            name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
+            cols.append(F.get("_vs", idx0).alias(name))
+        return tuple(cols)
+
+    return agg.select(*_expr_memo(("qot_cols", tuple(quantiles)), build))
+
+
+def _sorted_values_aggs() -> tuple:
+    """Memoized ``(sort_array(collect_list(max_0)) AS _vs, count(*))`` —
+    shared by the quantile/MAD object-hash aggregations."""
+    return _expr_memo(
+        ("sorted_values_aggs",),
+        lambda: (
+            F.sort_array(F.collect_list("max_0")).alias("_vs"),
+            F.count("*").alias("n_samples"),
+        ),
     )
-    n = F.col("n_samples")
-    cols = [F.col("metric_name"), F.col("slb"), n]
-    for q in quantiles:
-        idx0 = F.floor((n - 1).cast("double") * F.lit(q)).cast("int")
-        name = f"p{str(q).replace('0.', '').ljust(2, '0')}"
-        cols.append(F.get("_vs", idx0).alias(name))
-    return agg.select(*cols)
 
 
 def count_values(grouped: DataFrame) -> DataFrame:
@@ -284,10 +330,16 @@ def count_values(grouped: DataFrame) -> DataFrame:
     partials, one shuffle on (metric, value) — at 100 TB the output is
     bounded by value cardinality, not sample count.
     """
-    return grouped.groupBy("metric_name", F.col("max_0").alias("value")).agg(
-        F.count("*").alias("n_samples"),
-        F.countDistinct("slb").alias("n_series"),
+    aggs = _expr_memo(
+        ("count_values_aggs",),
+        lambda: (
+            F.count("*").alias("n_samples"),
+            F.countDistinct("slb").alias("n_series"),
+        ),
     )
+    return grouped.groupBy(
+        "metric_name", _expr_memo(("value_key",), lambda: F.col("max_0").alias("value"))
+    ).agg(*aggs)
 
 
 def deriv_sums(grouped: DataFrame, t0_s: int, t_unit_s: int = 3600) -> DataFrame:
@@ -301,18 +353,29 @@ def deriv_sums(grouped: DataFrame, t0_s: int, t_unit_s: int = 3600) -> DataFrame
     series key; at 100 TB the shuffled rows are pre-combined per-series
     partials, never raw samples.
     """
-    t = ((F.col("t").cast("long") - F.lit(t0_s)) / F.lit(t_unit_s)).cast("long")
-    y = F.floor(F.col("max_0") * 1_000_000).cast("long")
-    return (
-        grouped.select("metric_name", "slb", t.alias("_t"), y.alias("_y"))
-        .groupBy("metric_name", "slb")
-        .agg(
+    proj = _expr_memo(
+        ("deriv_proj", t0_s, t_unit_s),
+        lambda: (
+            ((F.col("t").cast("long") - F.lit(t0_s)) / F.lit(t_unit_s))
+            .cast("long")
+            .alias("_t"),
+            F.floor(F.col("max_0") * 1_000_000).cast("long").alias("_y"),
+        ),
+    )
+    aggs = _expr_memo(
+        ("deriv_aggs",),
+        lambda: (
             F.count("*").alias("n_samples"),
             F.sum("_t").alias("st"),
             F.sum("_y").alias("sy"),
             F.sum(F.col("_t") * F.col("_y")).alias("sty"),
             F.sum(F.col("_t") * F.col("_t")).alias("stt"),
-        )
+        ),
+    )
+    return (
+        grouped.select("metric_name", "slb", *proj)
+        .groupBy("metric_name", "slb")
+        .agg(*aggs)
     )
 
 
@@ -328,14 +391,20 @@ def deriv(grouped: DataFrame, t0_s: int, t_unit_s: int = 3600) -> DataFrame:
     Series with < 2 samples (or zero time variance) yield NULL.
     """
     d = deriv_sums(grouped, t0_s, t_unit_s)
-    dec = "decimal(38,0)"
-    n = F.col("n_samples").cast(dec)
-    num = n * F.col("sty").cast(dec) - F.col("st").cast(dec) * F.col("sy").cast(dec)
-    den = n * F.col("stt").cast(dec) - F.col("st").cast(dec) * F.col("st").cast(dec)
-    slope = F.when(
-        den > 0, num.cast("double") / den.cast("double")
-    ).otherwise(F.lit(None).cast("double"))
-    return d.select("metric_name", "slb", "n_samples", slope.alias("slope_mu"))
+
+    def build():
+        dec = "decimal(38,0)"
+        n = F.col("n_samples").cast(dec)
+        num = n * F.col("sty").cast(dec) - F.col("st").cast(dec) * F.col("sy").cast(dec)
+        den = n * F.col("stt").cast(dec) - F.col("st").cast(dec) * F.col("st").cast(dec)
+        slope = F.when(
+            den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(None).cast("double"))
+        return slope.alias("slope_mu")
+
+    return d.select(
+        "metric_name", "slb", "n_samples", _expr_memo(("deriv_slope",), build)
+    )
 
 
 def predict_linear(
@@ -356,20 +425,24 @@ def predict_linear(
     JVM's BigDecimal conversion can differ by 1 ulp.)
     """
     d = deriv_sums(grouped, t0_s, t_unit_s)
-    dec = "decimal(38,0)"
-    n = F.col("n_samples").cast(dec)
-    st, sy = F.col("st").cast(dec), F.col("sy").cast(dec)
-    num = n * F.col("sty").cast(dec) - st * sy
-    den = n * F.col("stt").cast(dec) - st * st
-    n_d = F.col("n_samples").cast("double")
-    slope = num.cast("double") / den.cast("double")
-    predicted = F.when(
-        den > 0,
-        F.col("sy").cast("double") / n_d
-        + slope * (F.lit(float(tp_units)) - F.col("st").cast("double") / n_d),
-    ).otherwise(F.lit(None).cast("double"))
+
+    def build():
+        dec = "decimal(38,0)"
+        n = F.col("n_samples").cast(dec)
+        st, sy = F.col("st").cast(dec), F.col("sy").cast(dec)
+        num = n * F.col("sty").cast(dec) - st * sy
+        den = n * F.col("stt").cast(dec) - st * st
+        n_d = F.col("n_samples").cast("double")
+        slope = num.cast("double") / den.cast("double")
+        predicted = F.when(
+            den > 0,
+            F.col("sy").cast("double") / n_d
+            + slope * (F.lit(float(tp_units)) - F.col("st").cast("double") / n_d),
+        ).otherwise(F.lit(None).cast("double"))
+        return predicted.alias("predicted_mu")
+
     return d.select(
-        "metric_name", "slb", "n_samples", predicted.alias("predicted_mu")
+        "metric_name", "slb", "n_samples", _expr_memo(("predict", tp_units), build)
     )
 
 
@@ -385,11 +458,14 @@ def to_histogram(grouped: DataFrame, bounds: list[int]) -> DataFrame:
     count.  :func:`histogram_buckets` unpivots to the (le, cum) wire shape;
     :func:`histogram_quantile` consumes the wide shape directly.
     """
-    aggs = [
-        F.count(F.when(F.col("max_0") <= F.lit(b), 1)).alias(f"cum_{i}")
-        for i, b in enumerate(bounds)
-    ]
-    aggs.append(F.count("*").alias("total"))
+    aggs = _expr_memo(
+        ("hist_aggs", tuple(bounds)),
+        lambda: tuple(
+            F.count(F.when(F.col("max_0") <= F.lit(b), 1)).alias(f"cum_{i}")
+            for i, b in enumerate(bounds)
+        )
+        + (F.count("*").alias("total"),),
+    )
     return grouped.groupBy("metric_name", "slb").agg(*aggs)
 
 
@@ -400,13 +476,25 @@ def histogram_buckets(grouped: DataFrame, bounds: list[int]) -> DataFrame:
     Pure unpivot (stack) of the wide frame: no extra shuffle.
     """
     wide = to_histogram(grouped, bounds)
-    pairs: list[Column] = []
-    for i, b in enumerate(bounds):
-        pairs.append(F.struct(F.lit(float(b)).alias("le"), F.col(f"cum_{i}").alias("cum")))
-    pairs.append(F.struct(F.lit(float("inf")).alias("le"), F.col("total").alias("cum")))
+
+    def build():
+        pairs: list[Column] = []
+        for i, b in enumerate(bounds):
+            pairs.append(
+                F.struct(F.lit(float(b)).alias("le"), F.col(f"cum_{i}").alias("cum"))
+            )
+        pairs.append(
+            F.struct(F.lit(float("inf")).alias("le"), F.col("total").alias("cum"))
+        )
+        return F.explode(F.array(*pairs)).alias("_b")
+
+    unpivot = _expr_memo(
+        ("hist_bucket_sel",),
+        lambda: (F.col("_b.le").alias("le"), F.col("_b.cum").alias("cum")),
+    )
     return wide.select(
-        "metric_name", "slb", F.explode(F.array(*pairs)).alias("_b")
-    ).select("metric_name", "slb", F.col("_b.le").alias("le"), F.col("_b.cum").alias("cum"))
+        "metric_name", "slb", _expr_memo(("hist_explode", tuple(bounds)), build)
+    ).select("metric_name", "slb", *unpivot)
 
 
 def histogram_quantile(
@@ -427,28 +515,31 @@ def histogram_quantile(
     the one inside :func:`to_histogram`.
     """
     wide = to_histogram(grouped, bounds)
-    rank = (F.lit(q_num) * F.col("total")).cast("long")  # vs q_den * cum
 
-    def interp(i: int) -> Column:
-        # In the matched bucket i, rank > q_den*cum_lo (an earlier bucket
-        # would have matched otherwise) and bucket_n > 0 (an empty bucket
-        # cannot be the first with cum >= rank), so num and den are strictly
-        # positive: `div` truncation == floor == DuckDB `//`.
-        lo = 0 if i == 0 else bounds[i - 1]
-        hi = bounds[i]
-        cum_lo = F.lit(0).cast("long") if i == 0 else F.col(f"cum_{i - 1}")
-        bucket_n = F.col(f"cum_{i}") - cum_lo
-        num = F.lit((hi - lo) * 1_000_000) * (rank - F.lit(q_den) * cum_lo)
-        den = F.lit(q_den) * bucket_n
-        return F.lit(lo * 1_000_000) + F.call_function("div", num, den)
+    def build():
+        rank = (F.lit(q_num) * F.col("total")).cast("long")  # vs q_den * cum
 
-    result = F.lit(bounds[-1] * 1_000_000).cast("long")  # +Inf bucket rule
-    for i in reversed(range(len(bounds))):
-        in_bucket = rank <= F.lit(q_den) * F.col(f"cum_{i}")
-        result = F.when(in_bucket, interp(i).cast("long")).otherwise(result)
-    return wide.select(
-        "metric_name", "slb", F.col("total").alias("n_samples"), result.alias("q_mu")
-    )
+        def interp(i: int) -> Column:
+            # In the matched bucket i, rank > q_den*cum_lo (an earlier bucket
+            # would have matched otherwise) and bucket_n > 0 (an empty bucket
+            # cannot be the first with cum >= rank), so num and den are
+            # strictly positive: `div` truncation == floor == DuckDB `//`.
+            lo = 0 if i == 0 else bounds[i - 1]
+            hi = bounds[i]
+            cum_lo = F.lit(0).cast("long") if i == 0 else F.col(f"cum_{i - 1}")
+            bucket_n = F.col(f"cum_{i}") - cum_lo
+            num = F.lit((hi - lo) * 1_000_000) * (rank - F.lit(q_den) * cum_lo)
+            den = F.lit(q_den) * bucket_n
+            return F.lit(lo * 1_000_000) + F.call_function("div", num, den)
+
+        result = F.lit(bounds[-1] * 1_000_000).cast("long")  # +Inf bucket rule
+        for i in reversed(range(len(bounds))):
+            in_bucket = rank <= F.lit(q_den) * F.col(f"cum_{i}")
+            result = F.when(in_bucket, interp(i).cast("long")).otherwise(result)
+        return (F.col("total").alias("n_samples"), result.alias("q_mu"))
+
+    cols = _expr_memo(("hist_q", q_num, q_den, tuple(bounds)), build)
+    return wide.select("metric_name", "slb", *cols)
 
 
 def label_project(labels: Column, prefix: str) -> Column:
@@ -479,32 +570,50 @@ def stddev_over_time(grouped: DataFrame, bucket_s: int) -> DataFrame:
     Output: (metric_name, slb, bucket_t, n, sum_micro, stddev_micro,
     last_v).
     """
-    epoch = F.col("t").cast("long")
-    bucket = (epoch - epoch % bucket_s).alias("bucket_t")
-    iv = F.floor(F.col("max_0") * 1000000.0).cast("long")
-    agg = (
-        grouped.select("metric_name", "slb", bucket, "t", "max_0", iv.alias("iv"))
-        .groupBy("metric_name", "slb", "bucket_t")
-        .agg(
+    proj = _expr_memo(
+        ("sot_proj", bucket_s),
+        lambda: (
+            _bucket_col(bucket_s),
+            F.col("t"),
+            F.col("max_0"),
+            F.floor(F.col("max_0") * 1000000.0).cast("long").alias("iv"),
+        ),
+    )
+    aggs = _expr_memo(
+        ("sot_aggs",),
+        lambda: (
             F.count("*").alias("n"),
             F.sum("iv").alias("sum_micro"),
             F.sum(
                 F.col("iv").cast("decimal(18,0)") * F.col("iv").cast("decimal(18,0)")
             ).alias("q"),
             F.max_by("max_0", "t").alias("last_v"),
-        )
+        ),
     )
-    s = F.col("sum_micro").cast("double")
-    qq = F.col("q").cast("double")
-    nn = F.col("n").cast("double")
-    var = (qq - s * s / nn) / nn
+    agg = (
+        grouped.select("metric_name", "slb", *proj)
+        .groupBy("metric_name", "slb", "bucket_t")
+        .agg(*aggs)
+    )
+
+    def _stddev():
+        s = F.col("sum_micro").cast("double")
+        qq = F.col("q").cast("double")
+        nn = F.col("n").cast("double")
+        var = (qq - s * s / nn) / nn
+        return (
+            F.floor(F.sqrt(F.greatest(var, F.lit(0.0))))
+            .cast("long")
+            .alias("stddev_micro")
+        )
+
     return agg.select(
         "metric_name",
         "slb",
         "bucket_t",
         "n",
         "sum_micro",
-        F.floor(F.sqrt(F.greatest(var, F.lit(0.0)))).cast("long").alias("stddev_micro"),
+        _expr_memo(("sot_stddev",), _stddev),
         "last_v",
     )
 
@@ -525,24 +634,39 @@ def exp_smooth(grouped: DataFrame, window_n: int = 21) -> DataFrame:
     ``smooth_scaled`` = level in micro-units x 2^(window_n-1).
     """
     S = window_n - 1
-    w = Window.partitionBy("metric_name", "slb").orderBy(F.col("t").desc())
-    ranked = grouped.select(
-        "metric_name",
-        "slb",
-        F.floor(F.col("max_0") * 1000000.0).cast("long").alias("iv"),
-        F.row_number().over(w).alias("rn"),
-    ).where(F.col("rn") <= window_n)
-    wk = Window.partitionBy("metric_name", "slb")
-    term = F.when(
-        F.col("rn") < F.col("k"), F.expr(f"shiftleft(iv, {S} - rn)")
-    ).otherwise(F.expr(f"shiftleft(iv, {window_n} - k)"))
-    return (
-        ranked.withColumn("k", F.max("rn").over(wk))
-        .groupBy("metric_name", "slb")
-        .agg(
+    proj = _expr_memo(
+        ("exps_proj",),
+        lambda: (
+            F.floor(F.col("max_0") * 1000000.0).cast("long").alias("iv"),
+            F.row_number()
+            .over(Window.partitionBy("metric_name", "slb").orderBy(F.col("t").desc()))
+            .alias("rn"),
+        ),
+    )
+    ranked = grouped.select("metric_name", "slb", *proj).where(
+        F.col("rn") <= window_n
+    )
+    k_col = _expr_memo(
+        ("exps_k",),
+        lambda: F.max("rn").over(Window.partitionBy("metric_name", "slb")),
+    )
+    aggs = _expr_memo(
+        ("exps_aggs", window_n),
+        lambda: (
             F.max("k").cast("long").alias("n_used"),
-            F.sum(term).cast("long").alias("smooth_scaled"),
-        )
+            F.sum(
+                F.when(
+                    F.col("rn") < F.col("k"), F.expr(f"shiftleft(iv, {S} - rn)")
+                ).otherwise(F.expr(f"shiftleft(iv, {window_n} - k)"))
+            )
+            .cast("long")
+            .alias("smooth_scaled"),
+        ),
+    )
+    return (
+        ranked.withColumn("k", k_col)
+        .groupBy("metric_name", "slb")
+        .agg(*aggs)
     )
 
 
@@ -557,18 +681,14 @@ def mad_over_time(grouped: DataFrame) -> DataFrame:
 
     Output: (metric_name, slb, n_samples, median_v, mad_v).
     """
-    arr = F.sort_array(F.collect_list("max_0"))
-    agg = grouped.groupBy("metric_name", "slb").agg(
-        arr.alias("_vs"), F.count("*").alias("n_samples")
-    )
-    n = F.col("n_samples")
-    mid = F.floor((n - 1).cast("double") * F.lit(0.5)).cast("int")
-    med = F.get("_vs", mid)
-    devs = F.sort_array(F.transform("_vs", lambda x: F.abs(x - med)))
-    return agg.select(
-        "metric_name",
-        "slb",
-        "n_samples",
-        med.alias("median_v"),
-        F.get(devs, mid).alias("mad_v"),
-    )
+    agg = grouped.groupBy("metric_name", "slb").agg(*_sorted_values_aggs())
+
+    def build():
+        n = F.col("n_samples")
+        mid = F.floor((n - 1).cast("double") * F.lit(0.5)).cast("int")
+        med = F.get("_vs", mid)
+        devs = F.sort_array(F.transform("_vs", lambda x: F.abs(x - med)))
+        return (med.alias("median_v"), F.get(devs, mid).alias("mad_v"))
+
+    cols = _expr_memo(("mad_cols",), build)
+    return agg.select("metric_name", "slb", "n_samples", *cols)

@@ -598,33 +598,39 @@ def simhash_values(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 #: ("h", "b0".."b31") — building them issued ~500 py4j round-trips per
 #: simhash_values call (~0.6 s of the query's measured 1.1-1.8 s driver
 #: build time).  Columns are immutable expression wrappers, safe to share
-#: across plans and sessions; expressions only, never data.
-_SIMHASH_EXPR_CACHE: dict = {}
+#: across plans; expressions only, never data.  r22: gateway-aware bounded
+#: memo (a relaunched JVM gateway invalidates cached JavaObjects —
+#: ADVICE r21).
+from remote_tsdb_clickhouse_spark.util import ExprMemo as _ExprMemo
+
+_SIMHASH_EXPR_CACHE = _ExprMemo(maxsize=16)
 
 
 def _simhash_vote_cols() -> list:
-    cols = _SIMHASH_EXPR_CACHE.get("votes")
-    if cols is None:
-        cols = [
+    return _SIMHASH_EXPR_CACHE.get(
+        "votes",
+        lambda: [
             F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
             ).alias(f"b{j}")
             for j in range(32)
-        ]
-        _SIMHASH_EXPR_CACHE["votes"] = cols
-    return cols
+        ],
+    )
 
 
 def _simhash_pack_col():
-    packed = _SIMHASH_EXPR_CACHE.get("pack")
-    if packed is None:
+    def build():
+        packed = None
         for j in range(32):
             term = F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
             packed = term if packed is None else packed + term
-        _SIMHASH_EXPR_CACHE["pack"] = packed
-    return packed
+        return packed
+
+    return _SIMHASH_EXPR_CACHE.get("pack", build)
 
 
 def simhash_pairs(

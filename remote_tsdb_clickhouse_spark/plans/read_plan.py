@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from remote_tsdb_clickhouse_spark.model import DEFAULT_READ_IGNORE_LABEL
 from remote_tsdb_clickhouse_spark.plans.matchers import LabelMatcher, compile_matchers
+from remote_tsdb_clickhouse_spark.util import ExprMemo
 
 #: Only downsample when the step hint exceeds this (``read.go:13``).
 MIN_STEP_HINT_MS = 2000
@@ -117,21 +118,14 @@ def bucket_time(ts_col, interval_s: int):
 #: hashable inputs (ReadQuery, ReadHints, literals), yet building them
 #: issued dozens of py4j round-trips per query call — measured ~0.06-0.1 s
 #: of every tsdb consumer's ~0.16 s driver build.  Columns are immutable
-#: expression wrappers, safe to share across plans and sessions (the
-#: established ``_SIMHASH_EXPR_CACHE`` precedent in operators/dedup.py);
-#: the memo holds expressions only, never data.  Unhashable ad-hoc inputs
-#: fall back to direct construction.
-_EXPR_MEMO: dict = {}
-
-
-def _expr_memo(key, build):
-    try:
-        col = _EXPR_MEMO.get(key)
-    except TypeError:  # unhashable component in the key
-        return build()
-    if col is None:
-        col = _EXPR_MEMO[key] = build()
-    return col
+#: expression wrappers, safe to share across plans (the established
+#: ``_SIMHASH_EXPR_CACHE`` precedent in operators/dedup.py); the memo
+#: holds expressions only, never data.  r22: bounded + gateway-aware +
+#: TypeError-safe via the shared :class:`ExprMemo` (the ``/read`` server
+#: path sees one distinct ReadQuery per remote-read request, so an
+#: unbounded dict was a slow driver-memory leak — r21 verdict item 3).
+_EXPR_MEMO = ExprMemo(maxsize=256)
+_expr_memo = _EXPR_MEMO.get
 
 
 def time_expr(q: ReadQuery, *, ignore_hints: bool = False):
@@ -152,8 +146,12 @@ def read_filter(q: ReadQuery, *, ignore_label: str | None = DEFAULT_READ_IGNORE_
     :func:`trunc_ms_to_s` (``read.go:24-28``); the upper bound is inclusive
     and only applied when ``end_ms > 0``.
     """
+    # keyed on the fields the filter actually depends on — NOT the whole
+    # ReadQuery: queries differing only in step/range hints (the common
+    # dashboard pattern) share one filter (ADVICE r21)
     return _expr_memo(
-        ("filter", q, ignore_label), lambda: _read_filter_build(q, ignore_label)
+        ("filter", q.start_ms, q.end_ms, q.matchers, ignore_label),
+        lambda: _read_filter_build(q, ignore_label),
     )
 
 

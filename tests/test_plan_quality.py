@@ -596,6 +596,7 @@ def test_no_cartesian_or_unlisted_bnlj_anywhere(spark):
         # 1-row scalar aggregate broadcast into every row
         "q11_important_parts", "q22_inactive_customer_balance",
         "text_tfidf_keywords", "events_funnel", "dedup_minhash_recall",
+        "text_bigram_lm",  # r22: corpus bigram total, was an eager first()
     }
     # Python execution nodes: row-at-a-time BatchEvalPython is forbidden
     # everywhere (10-100x slower than Arrow batches); the Arrow-batched

@@ -109,3 +109,71 @@ def test_bench_stdout_json_fits_driver_capture_window():
         separators=(",", ":"),
     )
     assert len(line) < 1200, f"bench stdout line {len(line)}B nears the ~2.2KB window"
+
+
+def test_expr_memo_bounded_fifo_eviction():
+    """r21 verdict item 3: the expression memos must not grow without
+    bound — the /read server path builds one filter per distinct
+    remote-read request, so an uncapped dict is a slow driver-memory
+    leak.  ExprMemo evicts oldest-inserted past maxsize."""
+    from remote_tsdb_clickhouse_spark.util import ExprMemo
+
+    m = ExprMemo(maxsize=8)
+    for i in range(100):
+        m.get(("k", i), lambda i=i: f"v{i}")
+    assert len(m) == 8
+    # oldest evicted, newest retained (a re-get of a retained key is a hit)
+    calls = []
+    assert m.get(("k", 99), lambda: calls.append(1) or "rebuilt") == "v99"
+    assert not calls
+    assert m.get(("k", 0), lambda: "rebuilt-0") == "rebuilt-0"
+
+
+def test_expr_memo_typeerror_fallback():
+    """ADVICE r21: an unhashable key component (e.g. a Column slipping
+    into series_window's extra_order) must fall back to direct
+    construction, not raise — tsfuncs' r21 memo lacked this."""
+    from remote_tsdb_clickhouse_spark.util import ExprMemo
+
+    m = ExprMemo(maxsize=8)
+    built = []
+    for _ in range(3):
+        m.get(("k", ["unhashable"]), lambda: built.append(1) or "v")
+    assert len(built) == 3  # built every time, never cached
+    assert len(m) == 0
+
+
+def test_expr_memo_clears_on_context_change():
+    """ADVICE r21: cached Columns wrap py4j JavaObjects; a relaunched
+    JVM gateway (new SparkContext) would leave stale references.  The
+    memo tracks the active SparkContext and self-clears on change."""
+    from remote_tsdb_clickhouse_spark.util import ExprMemo
+
+    m = ExprMemo(maxsize=8)
+    m.get(("k",), lambda: "v1")
+    assert len(m) == 1
+    m._ctx = object()  # simulate: entries were cached under another context
+    built = []
+    assert m.get(("k",), lambda: built.append(1) or "v2") == "v2"
+    assert built  # rebuilt: the old entry was dropped, not served stale
+
+
+def test_read_filter_memo_bounded_under_distinct_queries(spark):
+    """r21 verdict item 3 'Done' shape: N distinct ReadQueries (the
+    dashboard/server traffic pattern) leave the read-path memo bounded."""
+    from remote_tsdb_clickhouse_spark.plans import read_plan as rp
+
+    for i in range(600):
+        rp.read_filter(rp.ReadQuery(start_ms=i * 1000, end_ms=i * 1000 + 500))
+    assert len(rp._EXPR_MEMO) <= 256
+
+
+def test_read_filter_memo_ignores_hint_only_differences(spark):
+    """ADVICE r21: the built filter depends only on the time bounds,
+    matchers and ignore_label — queries differing only in step/range
+    hints (the common dashboard pattern) must share one cached filter."""
+    from remote_tsdb_clickhouse_spark.plans import read_plan as rp
+
+    q1 = rp.ReadQuery(start_ms=1000, end_ms=2000, hints=rp.ReadHints(step_ms=0))
+    q2 = rp.ReadQuery(start_ms=1000, end_ms=2000, hints=rp.ReadHints(step_ms=60000))
+    assert rp.read_filter(q1) is rp.read_filter(q2)
