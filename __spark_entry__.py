@@ -3890,11 +3890,20 @@ _DEDUP_STREAM_STAGING: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def stage_dedup_stream_input(spark: SparkSession, sf_dir: str) -> str:
-    """Write the streaming-dedup input: the documents table as 4 ascending
+    """Write the streaming-dedup input: the documents table as 2 ascending
     ``doc_id``-range parquet chunks whose file mtimes pin the micro-batch
     order (FileStreamSource orders new files by modification time;
     ``maxFilesPerTrigger=1`` then yields one chunk per batch, in doc_id
-    order).  Memoized per (session, sf_dir) like the samples staging, AND
+    order).  r22 (guide §2, the r21 verdict's chunk-count item): 4 chunks
+    read 2-per-trigger and 2 chunks read 1-per-trigger both plan exactly
+    2 micro-batches — the REAL cross-batch state boundary is unchanged —
+    but the 2-chunk layout lists/opens half the files and schedules one
+    read task per batch instead of two; interleaved same-session A/B
+    (5 reps, rows asserted identical, agreeing calib brackets) measured
+    min 7.34 -> 5.94 s, median 7.75 -> 7.04 s on the isolated run shape.
+    The share name carries a ``2`` layout tag so a stale 4-chunk
+    publication from an older process is never reused.
+    Memoized per (session, sf_dir) like the samples staging, AND
     cross-process on disk: the chunks are a pure function of the
     immutable testdata (deterministic hash projection + fixed split
     points + pinned mtimes), so a fresh session — the bench cold pass,
@@ -3917,7 +3926,7 @@ def stage_dedup_stream_input(spark: SparkSession, sf_dir: str) -> str:
     # it with a _STAGED marker to poison the streaming input (r7 advisor).
     uid = os.getuid() if hasattr(os, "getuid") else 0
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    final = os.path.join(tempfile.gettempdir(), f"graft_dedup_stream_u{uid}_{tag}")
+    final = os.path.join(tempfile.gettempdir(), f"graft_dedup_stream2_u{uid}_{tag}")
 
     def _owned_and_staged(path: str) -> bool:
         # lstat + symlink rejection: os.stat FOLLOWS symlinks, so another
@@ -3953,11 +3962,11 @@ def stage_dedup_stream_input(spark: SparkSession, sf_dir: str) -> str:
     in_dir = f"{staging}/in"
     os.makedirs(in_dir)
     t0 = time.time() - 1000
-    for i in range(4):
+    for i in range(2):
         chunk_dir = f"{staging}/chunk{i}"
         (
             docs.where(
-                (F.col("doc_id") >= i * hi / 4) & (F.col("doc_id") < (i + 1) * hi / 4)
+                (F.col("doc_id") >= i * hi / 2) & (F.col("doc_id") < (i + 1) * hi / 2)
             )
             .coalesce(1)
             .write.mode("overwrite")
@@ -4001,13 +4010,14 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_query_confs(spark)
     staging = stage_dedup_stream_input(spark, sf_dir)
-    # two chunks per micro-batch: batch 1 = quartiles 0-1, batch 2 =
-    # quartiles 2-3 — still a REAL cross-batch state boundary (ascending
-    # doc_id ranges preserved; within-batch order is restored by the
-    # operator's sort), at half the micro-batch planning overhead
+    # one half-corpus chunk per micro-batch: still a REAL cross-batch
+    # state boundary (ascending doc_id ranges preserved; within-batch
+    # order is restored by the operator's sort) at the same 2-batch
+    # planning cost, but each batch reads ONE file as one task instead of
+    # two (r22 staging change — see stage_dedup_stream_input docstring)
     stream = (
         spark.readStream.schema("doc_id BIGINT, content_hash STRING")
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 1)
         .parquet(f"{staging}/in")
     )
     qname = f"dedup_{uuid.uuid4().hex[:8]}"
@@ -4090,9 +4100,11 @@ def q_streaming_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_query_confs(spark)
     staging = stage_dedup_stream_input(spark, sf_dir)
+    # one half-corpus chunk per micro-batch (r22 staging change): same
+    # 2-batch cross-batch boundary as streaming_dedup, half the file ops
     stream = (
         spark.readStream.schema("doc_id BIGINT, content_hash STRING")
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 1)
         .parquet(f"{staging}/in")
     )
     qname = f"ddup_{uuid.uuid4().hex[:8]}"
@@ -4593,6 +4605,32 @@ def family_warmup(spark: SparkSession, sf_dir: str, family: str) -> None:
     clear and before the timer so shared-infrastructure cost is paid where
     it belongs: setup, not the first query.  Correctness runs never call
     this — every query stays self-contained.
+
+    **The build/serve boundary (r21 verdict item 6 — what this hook MAY
+    pre-pay, written down so it can be checked mechanically):**
+
+    1. Only **index-side build artifacts** may be persisted here: frames
+       and collected rows that a real deployment materializes once and
+       serves many queries from — the base samples table, the rollup
+       store write, the streaming input staging, the dedup shingle
+       inverted index / MinHash signatures / pair graphs, the sim
+       family's codebooks + centroid training + inverted lists / LSH
+       buckets / normed corpus (the FAISS build/serve split), and
+       first-use JIT/codec warmup on synthetic rows.  Everything here is
+       keyed on the immutable input dataset, never on a query.
+    2. Every query's own **probing, scoring, ranking, filtering and
+       aggregation stays timed** — no frame that embeds a specific
+       query's predicate, query vectors, or (partial) result may be
+       persisted here.  The thinnest frames in the sim list
+       (``_bf_corpus_df``/``_mat_corpus_df``, single projections over the
+       embeddings table) are the deliberate edge of rule 1: they are the
+       serving-side corpus layout, query-independent, and the family's
+       index-BUILD cost is by design covered by this untimed hook — no
+       timed row pays an index build, exactly as in a build/serve ANN
+       deployment.
+    3. **No query results, no result-shaped intermediates, and nothing
+       keyed on a query** may be materialized here; every timed collect
+       must execute its full serving plan from the persisted inputs.
     """
     if family == "tsdb":
         # all tsdb_* queries derive from this persisted frame

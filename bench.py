@@ -383,6 +383,43 @@ def main() -> None:
         # same machinery warm as the suite session (see helper docstring):
         # cold numbers should be cache-cold, not JVM-first-use
         warm_streaming_machinery(spark2)
+        # r22 (additions-only, r21 verdict item 8): the events->samples
+        # adapter + tsdb read-plan machinery JIT-compiles per JVM exactly
+        # like the streaming machinery above; without this warm, a
+        # protocol/tsdb query landing in the cold top-5 measured first-use
+        # JIT (25-31 s in the r21 driver run) instead of cache-cold query
+        # cost, masking real cold regressions.  Mirrors the suite's
+        # warm_suite blocks; diagnostic pass only, the timed suite and its
+        # JSON contract are unchanged.
+        try:
+            from remote_tsdb_clickhouse_spark.sources.events import events_to_samples
+
+            events_to_samples(spark2, sf_dir).count()
+        except Exception:
+            pass
+        try:
+            from remote_tsdb_clickhouse_spark.plans.matchers import (
+                LabelMatcher,
+                MatcherType,
+            )
+            from remote_tsdb_clickhouse_spark.plans.read_plan import (
+                ReadQuery,
+                read_query_grouped,
+            )
+
+            tiny = spark2.sql(
+                "SELECT timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS ts, "
+                "'m' AS metric_name, array('a=1') AS labels, CAST(id AS DOUBLE) AS value "
+                "FROM range(3)"
+            )
+            wq = ReadQuery(
+                start_ms=0,
+                end_ms=2_000_000_000_000,
+                matchers=(LabelMatcher(MatcherType.EQ, "__name__", "m"),),
+            )
+            read_query_grouped(tiny, wq).collect()
+        except Exception:
+            pass
         for name in heaviest:
             spark2.catalog.clearCache()
             t0 = time.perf_counter()

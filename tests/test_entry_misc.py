@@ -33,7 +33,7 @@ def test_samples_spread_guard(spark):
 def _published_staging_path(sf_dir: str) -> str:
     uid = os.getuid() if hasattr(os, "getuid") else 0
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"graft_dedup_stream_u{uid}_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"graft_dedup_stream2_u{uid}_{tag}")
 
 
 def _drop_published(spark, sf_dir: str) -> str:
@@ -64,7 +64,7 @@ def test_staging_rejects_symlink_alias(spark, tmp_path):
         with open(os.path.join(got, "_STAGED")) as fh:
             assert fh.read() == os.path.abspath(SF_SMOKE)
         assert sorted(os.listdir(os.path.join(got, "in"))) == [
-            f"chunk{i}.parquet" for i in range(4)
+            f"chunk{i}.parquet" for i in range(2)
         ]
     finally:
         _drop_published(spark, SF_SMOKE)
