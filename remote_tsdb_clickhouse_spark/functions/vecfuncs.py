@@ -31,6 +31,20 @@ _UNROLL_DIMS = (16, 64)
 _UNROLL_BUILD_CACHE: OrderedDict[tuple[str, str], Column] = OrderedDict()
 _UNROLL_BUILD_MAX = 64
 
+#: Active SparkContext the cache above was built under (r22, ADVICE r21):
+#: cached Columns wrap py4j JavaObjects — clear on context change so a
+#: relaunched gateway can never be served stale references.
+_UNROLL_CTX: list = [None]
+
+
+def _unroll_ctx_check() -> None:
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if ctx is not _UNROLL_CTX[0]:
+        _UNROLL_BUILD_CACHE.clear()
+        _UNROLL_CTX[0] = ctx
+
 
 def _unrolled_dot(a: Column, b: Column, dim: int) -> Column:
     # same left-associative addition order from the same 0.0 seed as the
@@ -78,6 +92,7 @@ def dot(a: Column, b: Column, *, unroll: bool = False) -> Column:
     # NOTE unroll callers must keep passing top-level named/cast columns
     # (the documented contract above); lambda variables render positionally
     # and must not reach this cache.
+    _unroll_ctx_check()
     key = (str(a), str(b))
     hit = _UNROLL_BUILD_CACHE.get(key)
     if hit is not None:

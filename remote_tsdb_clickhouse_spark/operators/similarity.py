@@ -34,6 +34,11 @@ from remote_tsdb_clickhouse_spark.functions.vecfuncs import (
     norm,
     sign_bucket,
 )
+from remote_tsdb_clickhouse_spark.util import ExprMemo
+
+#: Bounded gateway-aware Column memo for this module's fixed expression
+#: trees (r22, guide §5 — the util.ExprMemo story).
+_SIM_EXPR_MEMO = ExprMemo(maxsize=64)
 
 
 def _with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -337,8 +342,25 @@ def coarse_cent_rows(
 _CENTS_LIT_MAX = 16
 _CENTS_LIT_CACHE: "OrderedDict[int, tuple[object, object]]" = OrderedDict()
 
+#: Active SparkContext the Column caches below were built under (r22,
+#: ADVICE r21): cached Columns wrap py4j JavaObjects, so a relaunched
+#: JVM gateway would serve stale references — clear on context change
+#: (the util.ExprMemo rule, applied to these id()-keyed LRUs).
+_CACHES_CTX: list = [None]
+
+
+def _caches_ctx_check() -> None:
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if ctx is not _CACHES_CTX[0]:
+        _CENTS_LIT_CACHE.clear()
+        _PROBE_COL_CACHE.clear()
+        _CACHES_CTX[0] = ctx
+
 
 def _cents_literal(rows: list[tuple[int, list[float], float]]):
+    _caches_ctx_check()
     hit = _CENTS_LIT_CACHE.get(id(rows))
     if hit is not None and hit[0] is rows:
         _CENTS_LIT_CACHE.move_to_end(id(rows))
@@ -401,6 +423,7 @@ def _nearest_cents_col(
     ``Double.parseDouble`` (correctly rounded), so the literal values are
     still bit-exact."""
 
+    _caches_ctx_check()
     key = (id(rows), str(vec), str(nrm), n)
     hit = _PROBE_COL_CACHE.get(key)
     if hit is not None and hit[0] is rows:
@@ -1041,8 +1064,16 @@ def interleave_permute(emb: DataFrame, vec_col: str = "embedding", m: int = 4) -
     """
     d = 64
     sub = d // m
-    perm = [(i % sub) * m + i // sub for i in range(d)]
-    return emb.withColumn(vec_col, F.array(*[F.col(vec_col)[p] for p in perm]))
+
+    def build():
+        perm = [(i % sub) * m + i // sub for i in range(d)]
+        return F.array(*[F.col(vec_col)[p] for p in perm])
+
+    # r22 (guide §5): the 64-element gather is ~130 py4j round-trips per
+    # build; one immutable Column per (vec_col, m) — expressions only
+    return emb.withColumn(
+        vec_col, _SIM_EXPR_MEMO.get(("interleave", vec_col, m, d), build)
+    )
 
 
 def ivf_pq_build(

@@ -3,8 +3,17 @@
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import SparkSession
+
+#: Sessions already configured by :func:`ensure_query_confs`.  Every query
+#: entrypoint (and several shared helpers they call) invokes the ensure —
+#: 68 call sites, several per query call — and each invocation used to pay
+#: ~6 py4j conf round-trips re-setting values that cannot change between
+#: calls (nothing in the engine mutates them).  Weak-keyed so entries die
+#: with their session (r22, guide §5 driver latency).
+_CONFS_ENSURED: WeakKeyDictionary = WeakKeyDictionary()
 
 
 def ensure_query_confs(spark: SparkSession) -> SparkSession:
@@ -15,6 +24,8 @@ def ensure_query_confs(spark: SparkSession) -> SparkSession:
     comparisons); AQE re-plans shuffles at runtime (skew joins, coalesced
     partitions) — essential at 100 TB, harmless locally.
     """
+    if _CONFS_ENSURED.get(spark):
+        return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -39,6 +50,7 @@ def ensure_query_confs(spark: SparkSession) -> SparkSession:
     # normalize in the source adapters (sources/events.py floors ns -> us,
     # byte-matching DuckDB's coercion).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _CONFS_ENSURED[spark] = True
     return spark
 
 
