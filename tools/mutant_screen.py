@@ -264,8 +264,8 @@ MUTANTS = [
      ["tests/test_read_plan.py", "tests/test_matchers.py"]),
     ("M16", "increase reset-awareness dropped (drop contributes delta, not value)",
      "remote_tsdb_clickhouse_spark/functions/tsfuncs.py",
-     'step = F.when(dv.isNull(), F.lit(None)).when(dv < 0, F.col("max_0")).otherwise(dv)',
-     "step = dv",
+     '.when(dv < 0, F.col("max_0"))',
+     ".when(dv < 0, dv)",
      ["tests/test_tsfuncs.py"]),
     ("M17", "32 MiB wire cap silently doubled",
      "remote_tsdb_clickhouse_spark/codec.py",
